@@ -1,0 +1,142 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query at a scale factor and compares against its
+DuckDB oracle: row count + column names/types + order-insensitive exact
+value comparison (a stricter stand-in for the driver's value hash — if this
+passes, any order-insensitive hash of the same values passes).
+
+Usage:
+    python tools/check_parity.py [key_prefix ...]   # default: all keys
+    SF_DIR=/root/testdata/sf0.01 python tools/check_parity.py q_join
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from token_burn_listener_spark.registry import QUERIES, ORACLES, load_all_modules
+from token_burn_listener_spark.session import get_spark
+from token_burn_listener_spark.tables import TABLE_NAMES
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize dtypes, sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(s):
+            s = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            s = s.astype("float64")
+        elif s.dtype == object:
+            s = s.map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+        out[c] = s
+    ndf = pd.DataFrame(out)
+    ndf = ndf.sort_values(by=list(ndf.columns), kind="mergesort", na_position="last")
+    return ndf.reset_index(drop=True)
+
+
+def compare(key: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    if len(s) == len(d):
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            if pd.api.types.is_float_dtype(sv):
+                eq = (sv.isna() & dv.isna()) | (sv == dv)
+            else:
+                eq = (sv.isna() & dv.isna()) | (sv == dv).fillna(False)
+            bad = (~eq).to_numpy().nonzero()[0]
+            if len(bad):
+                i = bad[0]
+                problems.append(
+                    f"col {c}: {len(bad)}/{len(s)} values differ; first at row {i}: "
+                    f"spark={sv.iloc[i]!r} duck={dv.iloc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    prefixes = sys.argv[1:]
+    load_all_modules()
+    keys = [
+        k
+        for k in QUERIES
+        if not prefixes or any(k.startswith(p) for p in prefixes)
+    ]
+    print(f"checking {len(keys)} queries at {SF_DIR}")
+    spark = get_spark("parity-check")
+    con = duck_connection(SF_DIR)
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for k in keys:
+        t0 = time.time()
+        try:
+            sdf = QUERIES[k](spark, SF_DIR).toPandas()
+        except Exception:
+            n_fail += 1
+            failures.append(k)
+            print(f"FAIL {k}: spark raised\n{traceback.format_exc()}")
+            continue
+        if k not in ORACLES:
+            ok = len(sdf) >= 0
+            n_rows_only += 1
+            print(f"rows {k}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(ORACLES[k]).df()
+        except Exception:
+            n_fail += 1
+            failures.append(k)
+            print(f"FAIL {k}: duckdb raised\n{traceback.format_exc()}")
+            continue
+        problems = compare(k, sdf, ddf)
+        if problems:
+            n_fail += 1
+            failures.append(k)
+            print(f"FAIL {k} ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"   - {p}")
+        else:
+            n_pass += 1
+            print(f"ok   {k}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if failures:
+        print("failed:", " ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
