@@ -1,1 +1,354 @@
-"""Stub — filled in by a later milestone."""
+"""B3 — joins (SURVEY.md §2.B3).
+
+Join-strategy policy for 100 TB (stated once, applied everywhere):
+
+- **Small dimension ⇒ broadcast.** region/nation/supplier-class tables are
+  KBs-to-MBs at any scale factor; `F.broadcast()` pins a broadcast hash join
+  so the fact table never shuffles (q_join_inner_broadcast, q_join_star).
+- **Fact-to-fact ⇒ sort-merge on the join key.** Spark shuffles both sides
+  by key; AQE handles skew splitting at runtime (q_join_inner_smj).
+- **Shuffled-hash** where one side is much smaller but above the broadcast
+  threshold (q_join_inner_shj pins it with a hint to prove the strategy).
+- **Theta/interval joins** have no hash path; they are bounded with band
+  predicates so the nested-loop stays proportional to matches, and the
+  bigger side stays partitioned (q_join_theta, q_join_interval).
+- **As-of join** (absent in Spark SQL) is composed as time-conditioned join
+  + per-left-row rank-1 window — fully distributed, no driver loop. A
+  pandas merge_asof variant lives in llm/udfs.py as the applyInPandas demo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from token_burn_listener_spark.registry import query
+from token_burn_listener_spark.tables import load_table
+
+
+@query(
+    "q_join_inner_broadcast",
+    oracle="""
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join against a broadcast dimension (BroadcastHashJoin)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+@query(
+    "q_join_inner_smj",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_quantity >= 48.0
+    """,
+)
+def q_join_inner_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi join pinned to sort-merge — the strategy that
+    scales when both sides are too large to broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48.0)
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_orderkey", "o_totalprice", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "q_join_inner_shj",
+    oracle="""
+    SELECT s_suppkey, s_name, l_orderkey, l_linenumber
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+    WHERE l_discount > 0.09
+    """,
+)
+def q_join_inner_shj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled hash join (no sort) — right strategy when one side is small
+    per-partition but above the broadcast threshold."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.09)
+    return (
+        s.hint("shuffle_hash")
+        .join(li, s.s_suppkey == li.l_suppkey)
+        .select("s_suppkey", "s_name", "l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero orders (count = 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT o_orderkey, c_name
+    FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+    RIGHT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every order survives, name NULL for non-BUILDING."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "right").select(
+        "o_orderkey", "c_name"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT lo.k AS k_low, hi.k AS k_high, lo.n AS n_low, hi.n AS n_high
+    FROM (SELECT o_custkey AS k, count(*) AS n FROM orders
+          WHERE o_totalprice < 20000 GROUP BY o_custkey) lo
+    FULL JOIN (SELECT o_custkey AS k, count(*) AS n FROM orders
+               WHERE o_totalprice > 450000 GROUP BY o_custkey) hi
+    ON lo.k = hi.k
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two deliberately partial key sets."""
+    o = load_table(spark, sf_dir, "orders")
+    lo = (
+        o.filter(F.col("o_totalprice") < 20000)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+    hi = (
+        o.filter(F.col("o_totalprice") > 450000)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+    return lo.join(hi, lo.k == hi.k, "full").select(
+        lo.k.alias("k_low"),
+        hi.k.alias("k_high"),
+        lo.n.alias("n_low"),
+        hi.n.alias("n_high"),
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — customers having at least one large order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — customers with no order above 300k (non-empty in
+    the fixtures, unlike no-orders-at-all: every customer has orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny dimensions (5 × 25 rows)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+    FROM supplier JOIN customer
+      ON s_acctbal > c_acctbal AND s_acctbal - c_acctbal < 10.0
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/band) join: acctbal within a (0, 10) band.
+
+    Physical plan is BroadcastNestedLoopJoin with the small supplier side
+    broadcast; the band predicate keeps output ∝ matches. At 100 TB a band
+    join would first bucket both sides on floor(acctbal/band) and join on
+    the bucket key ± 1 — the equi-prefilter trick.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (s.s_acctbal > c.c_acctbal) & (s.s_acctbal - c.c_acctbal < 10.0)
+    return F.broadcast(s).join(c, cond).select(
+        "s_suppkey", "c_custkey", "s_acctbal", "c_acctbal"
+    )
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    SELECT a.event_id AS first_id, b.event_id AS next_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: event pairs of one user within 1 hour — the batch
+    shape of a stream-stream time-bounded join. Equi key (user_id) carries
+    the shuffle; the time band is a post-join filter, so this scales as a
+    hash join, not a nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("a.event_id").alias("first_id"),
+            F.col("b.event_id").alias("next_id"),
+            F.col("a.user_id").alias("user_id"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.event_id AS prior_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it (DuckDB has native ASOF JOIN; Spark composes it).
+
+    Composition: time-conditioned equi join + row_number()=1 per left row,
+    then left join back to keep purchases with no prior click. Distributed
+    end-to-end — shuffle on user_id, window within (purchase) partitions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    matched = p.join(
+        c, (p.user_id == c.c_user_id) & (p.ts >= c.c_ts), "inner"
+    )
+    w = Window.partitionBy("event_id").orderBy(F.col("c_ts").desc())
+    best = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", F.col("c_event_id").alias("prior_click_id"))
+    )
+    return p.join(best, "event_id", "left").select(
+        "event_id", "user_id", "ts", "prior_click_id"
+    )
+
+
+@query(
+    "q_join_star",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, revenue, revenue_rank
+    FROM (
+      SELECT o_orderkey, o_orderdate,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             row_number() OVER (
+               ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+                        o_orderkey) AS revenue_rank
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY o_orderkey, o_orderdate
+    ) t
+    WHERE revenue_rank <= 10
+    """,
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped star join: filtered dim ⋈ orders ⋈ lineitem, top-10
+    unshipped orders by revenue (rank materialized for the hash check).
+
+    customer(BUILDING) is broadcast; orders⋈lineitem sort-merges on the
+    order key; revenue agg is partial+final.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15 00:00:00"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15 00:00:00"
+    )
+    rev = (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        rev.withColumn("revenue_rank", F.row_number().over(w))
+        .filter(F.col("revenue_rank") <= 10)
+        .select("o_orderkey", "o_orderdate", "revenue", "revenue_rank")
+    )
