@@ -1,0 +1,79 @@
+"""Bench harness: times the headline queries and prints ONE JSON line.
+
+Protocol (driver contract): run at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, print exactly one
+JSON line to stdout:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timings are first-run (include codegen), matching BASELINE.md's protocol.
+Everything else (Spark startup logs, per-query progress) goes to stderr so
+stdout stays parseable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from token_burn_listener_spark.registry import QUERIES, load_all_modules
+from token_burn_listener_spark.session import get_spark
+
+# Headline queries (BASELINE.md table + flagship shapes). Keys missing from
+# the registry are skipped so the bench never breaks mid-build.
+HEADLINE_KEYS = [
+    "q_agg_groupby",        # TPC-H Q1 pricing summary (BASELINE: 4622 ms)
+    "q_join_star",          # TPC-H Q3-like star join top-10 (BASELINE: 4855 ms)
+    "q_stream_tumbling",    # events hourly tumbling rollup (BASELINE: 1261 ms)
+    "q_win_topk_group",     # top-3 orders per customer
+    "q_agg_count_distinct", # distinct users per event_type
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_all_modules()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE_KEYS:
+        fn = QUERIES.get(key)
+        if fn is None:
+            print(f"bench: skipping unimplemented key {key}", file=sys.stderr)
+            continue
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        timings[key] = round(dt, 3)
+        print(f"bench: {key}: {dt:.3f}s ({len(rows)} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

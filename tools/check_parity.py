@@ -111,9 +111,14 @@ def main() -> int:
             print(f"FAIL {k}: spark raised\n{traceback.format_exc()}")
             continue
         if k not in ORACLES:
-            ok = len(sdf) >= 0
-            n_rows_only += 1
-            print(f"rows {k}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            # Match the driver's rows>0 smoke semantics: empty output fails.
+            if len(sdf) > 0:
+                n_rows_only += 1
+                print(f"rows {k}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            else:
+                n_fail += 1
+                failures.append(k)
+                print(f"FAIL {k}: rows-only query returned 0 rows")
             continue
         try:
             ddf = con.execute(ORACLES[k]).df()
