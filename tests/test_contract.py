@@ -1,0 +1,62 @@
+"""Driver-contract and infrastructure sanity tests."""
+
+from __future__ import annotations
+
+import os
+
+from token_burn_listener_spark.registry import ORACLES, QUERIES, load_all_modules
+from token_burn_listener_spark.scratch import materialize
+
+load_all_modules()
+
+
+def test_every_oracle_key_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_key_naming_convention():
+    assert all(k.startswith("q_") for k in QUERIES)
+
+
+def test_bench_headline_keys_registered():
+    import bench
+
+    missing = [k for k in bench.HEADLINE_KEYS if k not in QUERIES]
+    assert not missing, f"bench references unimplemented keys: {missing}"
+
+
+def test_materialize_ignores_partial_dirs(tmp_path):
+    """A crashed (no _SUCCESS) scratch dir must be rebuilt, not reused."""
+    final = str(tmp_path / "copy")
+
+    def write(_df, path):
+        os.makedirs(path)
+        with open(os.path.join(path, "part-0"), "w") as f:
+            f.write("data")
+        with open(os.path.join(path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    # simulate a partial prior write at the final path (no _SUCCESS)
+    os.makedirs(final)
+    with open(os.path.join(final, "part-0"), "w") as f:
+        f.write("partial")
+
+    materialize(None, final, write)
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    with open(os.path.join(final, "part-0")) as f:
+        assert f.read() == "data"  # rebuilt, not the stale partial
+
+
+def test_materialize_reuses_complete_dirs(tmp_path):
+    final = str(tmp_path / "copy")
+    calls = []
+
+    def write(_df, path):
+        os.makedirs(path)
+        with open(os.path.join(path, "_SUCCESS"), "w") as f:
+            f.write("")
+        calls.append(path)
+
+    materialize(None, final, write)
+    materialize(None, final, write)
+    assert len(calls) == 1

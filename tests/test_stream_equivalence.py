@@ -1,0 +1,195 @@
+"""B9 streaming verification (SURVEY.md §5.4).
+
+Three layers, mirroring what the DuckDB oracle cannot see:
+
+1. **Batch equivalence** — the streaming result of an operator equals the
+   identical batch computation on the same data (availableNow replay,
+   results sorted before compare).
+2. **Targeted semantics** — late-data drop, checkpoint restart resume,
+   foreachBatch idempotency, bounded-state dedup: asserts on the mechanism
+   itself, not just the final relation.
+3. **Determinism guards** — replay files written in a fixed order, one
+   micro-batch per phase.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from token_burn_listener_spark.registry import QUERIES, load_all_modules
+from token_burn_listener_spark.scratch import fresh_run_dir
+from token_burn_listener_spark.streaming.replay import (
+    ensure_events_replay,
+    events_df,
+    read_events_stream,
+    read_upsert_target,
+    run_foreach_upsert,
+    run_to_memory,
+)
+
+load_all_modules()
+
+
+def assert_df_equal(a, b):
+    """Order-insensitive exact equality via symmetric exceptAll.
+
+    Schema compared as (name, type) — nullability differs per plan shape.
+    """
+    sa = [(f.name, f.dataType) for f in a.schema.fields]
+    sb = [(f.name, f.dataType) for f in b.schema.fields]
+    assert sa == sb, f"schema: {sa} != {sb}"
+    extra = a.exceptAll(b).count()
+    missing = b.exceptAll(a).count()
+    assert extra == 0 and missing == 0, f"extra={extra} missing={missing}"
+
+
+# ---------------------------------------------------------------------------
+# 1. batch equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_tumbling_equals_batch(spark, sf_dir):
+    streamed = QUERIES["q_stream_tumbling"](spark, sf_dir)
+    batch = (
+        events_df(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    assert_df_equal(streamed, batch)
+
+
+def test_session_window_equals_batch(spark, sf_dir):
+    streamed = QUERIES["q_stream_session"](spark, sf_dir)
+    batch = (
+        events_df(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
+    assert_df_equal(streamed, batch)
+
+
+def test_stateful_equals_batch(spark, sf_dir):
+    streamed = QUERIES["q_stream_stateful"](spark, sf_dir)
+    batch = (
+        events_df(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    # sum order differs (pandas per-state vs Spark partial aggs): both are
+    # rounded to 6dp, which the fixture magnitudes make exact.
+    assert_df_equal(streamed, batch)
+
+
+def test_availablenow_backfill_equals_batch(spark, sf_dir):
+    streamed = QUERIES["q_stream_availablenow"](spark, sf_dir)
+    batch = (
+        events_df(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    assert_df_equal(streamed, batch)
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    streamed = QUERIES["q_stream_static_join"](spark, sf_dir)
+    batch = events_df(spark, sf_dir).select(
+        "event_id", "user_id", (F.col("user_id") % 10).cast("long").alias("cohort"), "value"
+    )
+    assert_df_equal(streamed, batch)
+
+
+# ---------------------------------------------------------------------------
+# 2. targeted semantics
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_emits_each_event_once(spark, sf_dir):
+    out = QUERIES["q_stream_dedup"](spark, sf_dir)
+    ev = events_df(spark, sf_dir)
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_dedup_within_watermark_bounded_state(spark, sf_dir):
+    """dropDuplicatesWithinWatermark: the bounded-state A6 variant."""
+    replay = ensure_events_replay(spark, sf_dir, dup=True)
+    deduped = (
+        read_events_stream(spark, replay)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = run_to_memory(deduped, "append")
+    ev = events_df(spark, sf_dir)
+    # duplicates arrive in the same batch — well within the watermark window
+    assert out.count() == ev.count()
+
+
+def test_late_data_dropped(spark, sf_dir):
+    """Events replayed after the watermark passed them never reach the sink."""
+    out = QUERIES["q_stream_late_data"](spark, sf_dir)
+    ev = events_df(spark, sf_dir)
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    t0 = mn + datetime.timedelta(days=1)
+    n_late = ev.filter(F.col("ts") <= t0).count()
+    assert n_late > 0, "fixture must contain late-phase rows"
+    emitted = out.agg(F.sum("n")).collect()[0][0]
+    ontime_closed = (
+        ev.filter(F.col("ts") > t0)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("w.end") <= mx - datetime.timedelta(minutes=30))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert emitted == ontime_closed
+    assert emitted < ev.count() - n_late + 1  # late rows definitely absent
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir):
+    out = QUERIES["q_stream_checkpoint"](spark, sf_dir)
+    ev = events_df(spark, sf_dir)
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_foreachbatch_upsert_idempotent(spark, sf_dir):
+    """Re-running a batch against the target must not change it."""
+    base = fresh_run_dir("idem")
+    target, cp = f"{base}/target", f"{base}/cp"
+    replay = ensure_events_replay(spark, sf_dir)
+    run_foreach_upsert(read_events_stream(spark, replay), target, cp)
+    first = read_upsert_target(spark, target).count()
+    # restart: no new data → no-op; then redeliver the same stream from a
+    # FRESH checkpoint (same batch ids) → overwrites with identical content.
+    run_foreach_upsert(read_events_stream(spark, replay), target, cp)
+    run_foreach_upsert(read_events_stream(spark, replay), target, f"{base}/cp2")
+    assert read_upsert_target(spark, target).count() == first == events_df(
+        spark, sf_dir
+    ).count()
+
+
+def test_watermark_emits_only_closed_windows(spark, sf_dir):
+    out = QUERIES["q_stream_watermark"](spark, sf_dir)
+    ev = events_df(spark, sf_dir)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    wm = mx - datetime.timedelta(minutes=10)
+    assert out.filter(F.col("we") > wm).count() == 0

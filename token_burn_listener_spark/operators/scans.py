@@ -15,13 +15,12 @@ columnar layout, never the query-time format.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from token_burn_listener_spark.registry import query
+from token_burn_listener_spark.scratch import materialize, scratch_dir
 from token_burn_listener_spark.tables import load_table
 
 REGION_SCHEMA = T.StructType(
@@ -32,21 +31,14 @@ REGION_SCHEMA = T.StructType(
 )
 
 
-def _derived_dir(sf_dir: str, kind: str) -> str:
-    """Deterministic per-sf scratch dir for derived source-format copies."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/tbls_derived/{tag}/{kind}"
-
-
 def _ensure_region_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    path = _derived_dir(sf_dir, f"region_{fmt}")
+    """Derive a JSON/CSV copy of region once, atomically (see scratch.py)."""
     region = load_table(spark, sf_dir, "region")
-    writer = region.coalesce(1).write.mode("ignore")
     if fmt == "json":
-        writer.json(path)
+        write = lambda df, p: df.coalesce(1).write.json(p)
     else:
-        writer.option("header", True).csv(path)
-    return path
+        write = lambda df, p: df.coalesce(1).write.option("header", True).csv(p)
+    return materialize(region, scratch_dir(sf_dir, f"region_{fmt}"), write)
 
 
 @query(
