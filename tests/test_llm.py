@@ -1,0 +1,67 @@
+"""B10 LLM-operator checks that the SQL oracle cannot express.
+
+The two LSH keys are rows-only in the driver (bucketing is engine-specific),
+so their quality bar lives here: candidate pairs must be real near-dups
+(precision vs exact Jaccard) and must find the known high-similarity pairs
+(recall); the ANN neighbors must overlap the exact kNN answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from token_burn_listener_spark.registry import QUERIES, load_all_modules
+from token_burn_listener_spark.llm.dedup import shingles
+from token_burn_listener_spark.tables import load_table
+
+load_all_modules()
+
+
+def exact_jaccard_pairs(spark, sf_dir, threshold: float):
+    """Exact shingle-Jaccard pairs ≥ threshold (brute force, fixture-sized)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text").alias("sh")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def test_near_dedup_precision_and_recall(spark, sf_dir):
+    found = QUERIES["q_llm_near_dedup"](spark, sf_dir).select("doc_a", "doc_b")
+    # precision: every LSH pair is a true pair at the join threshold (the
+    # framework computes exact distance on candidates, so this is exact)
+    truth_at_threshold = exact_jaccard_pairs(spark, sf_dir, 0.4).select(
+        "doc_a", "doc_b"
+    )
+    false_pos = found.exceptAll(truth_at_threshold).count()
+    assert false_pos == 0, f"{false_pos} pairs below the Jaccard threshold"
+    # recall on the strong pairs (J >= 0.8): OR-amplified MinHash at 6
+    # tables virtually cannot miss these
+    strong = exact_jaccard_pairs(spark, sf_dir, 0.8).select("doc_a", "doc_b")
+    n_strong = strong.count()
+    if n_strong:
+        missed = strong.exceptAll(found).count()
+        assert missed / n_strong <= 0.2, f"missed {missed}/{n_strong} strong pairs"
+
+
+def test_ann_lsh_recall_vs_exact_knn(spark, sf_dir):
+    ann = {r.vec_id for r in QUERIES["q_llm_ann_lsh"](spark, sf_dir).collect()}
+    exact = {r.vec_id for r in QUERIES["q_llm_knn_query"](spark, sf_dir).collect()}
+    assert len(ann) == 10
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall} vs exact 10-NN"
+
+
+def test_exact_dedup_covers_all_docs(spark, sf_dir):
+    out = QUERIES["q_llm_exact_dedup"](spark, sf_dir)
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    docs = QUERIES["q_hash_sha2"](spark, sf_dir).count()
+    assert total == docs
