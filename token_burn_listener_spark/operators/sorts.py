@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from token_burn_listener_spark.operators.ranking import global_row_number
 from token_burn_listener_spark.registry import query
 from token_burn_listener_spark.tables import load_table
 
@@ -34,7 +35,10 @@ from token_burn_listener_spark.tables import load_table
 )
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort, mixed direction, NULLS LAST (nulls synthesized from
-    negative balances); position materialized via row_number."""
+    negative balances); position materialized scale-safely: range-partition
+    + local row_number + broadcast offsets (ranking.py), never a global
+    single-task window.
+    """
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
@@ -47,12 +51,9 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").asc(),
         F.col("c_custkey").asc(),
     ]
-    return c.select(
-        "c_custkey",
-        "bal_or_null",
-        "c_mktsegment",
-        F.row_number().over(Window.orderBy(*order)).alias("sort_pos"),
-    ).orderBy(*order)
+    return global_row_number(c, order, "sort_pos").select(
+        "c_custkey", "bal_or_null", "c_mktsegment", "sort_pos"
+    )
 
 
 @query(
@@ -66,17 +67,17 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIMIT after a deterministic (unique-key) sort — first 100 orders."""
+    """LIMIT after a deterministic (unique-key) sort — first 100 orders.
+
+    limit-BEFORE-rank: orderBy().limit(k) compiles to TakeOrderedAndProject
+    (per-partition heaps, k rows shuffled); the rank window then runs on the
+    100-row result instead of the full table (VERDICT.md r1 fix).
+    """
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.select(
-            "o_orderkey",
-            "o_orderdate",
-            F.row_number().over(w).alias("arrival_pos"),
-        )
-        .orderBy("arrival_pos")
-        .limit(100)
+    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    top = o.select("o_orderkey", "o_orderdate").orderBy(*order).limit(100)
+    return top.withColumn(
+        "arrival_pos", F.row_number().over(Window.orderBy(*order))
     )
 
 
@@ -92,15 +93,9 @@ def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 by price: orderBy(desc).limit(k) →
-    TakeOrderedAndProject (heap per partition, k rows shuffled)."""
+    TakeOrderedAndProject (heap per partition, only k rows move); rank
+    window applied on the 10-row result (VERDICT.md r1 fix)."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        o.select(
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("price_rank"),
-        )
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(10)
-    )
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    top = o.select("o_orderkey", "o_totalprice").orderBy(*order).limit(10)
+    return top.withColumn("price_rank", F.row_number().over(Window.orderBy(*order)))

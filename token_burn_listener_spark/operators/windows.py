@@ -18,6 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from token_burn_listener_spark.operators.ranking import (
+    global_row_number,
+    ntile_from_rank,
+    with_total_count,
+)
 from token_burn_listener_spark.registry import query
 from token_burn_listener_spark.tables import load_table
 
@@ -71,10 +76,17 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile assignment (tiebreak on c_custkey: one acctbal tie exists)."""
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.ntile(4).over(w).alias("bal_quartile")
+    """Quartile assignment (tiebreak on c_custkey: one acctbal tie exists).
+
+    Scale-safe: NTILE derived from the range-partitioned global rank + total
+    count (ranking.py) instead of a single-task global window.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    order = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    ranked = with_total_count(global_row_number(c, order, "_rnk"))
+    return ranked.select(
+        "c_custkey",
+        ntile_from_rank(F.col("_rnk"), F.col("_n"), 4).alias("bal_quartile"),
     )
 
 
@@ -88,12 +100,20 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist (ratio outputs rounded 6dp)."""
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return load_table(spark, sf_dir, "customer").select(
+    """percent_rank / cume_dist (ratio outputs rounded 6dp).
+
+    Scale-safe: under the total order (unique c_custkey tiebreaker) both
+    reduce to closed forms of the global rank — percent_rank = (r-1)/(n-1),
+    cume_dist = r/n — computed via ranking.py, no global window.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    order = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    ranked = with_total_count(global_row_number(c, order, "_rnk"))
+    r, n = F.col("_rnk"), F.col("_n")
+    return ranked.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.round((r - 1) / (n - 1), 6).alias("bal_pct_rank"),
+        F.round(r / n, 6).alias("bal_cume_dist"),
     )
 
 

@@ -31,6 +31,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # Runtime re-planning: coalesce small shuffle partitions, split skewed
     # ones, switch SMJ->broadcast when runtime stats allow.
     "spark.sql.adaptive.enabled": "true",
+    # Local-fixture sizing (the driver's vanilla session defaults to 200):
+    # fewer, fuller partitions; AQE re-coalesces. Streaming state stores are
+    # keyed per shuffle partition, so this also bounds per-query state files.
+    # At 100 TB this is a deploy-time knob: O(input/128MB) initial partitions.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
