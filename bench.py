@@ -28,7 +28,8 @@ from token_burn_listener_spark.session import get_spark
 HEADLINE_KEYS = [
     "q_agg_groupby",        # TPC-H Q1 pricing summary (BASELINE: 4622 ms)
     "q_join_star",          # TPC-H Q3-like star join top-10 (BASELINE: 4855 ms)
-    "q_stream_tumbling",    # events hourly tumbling rollup (BASELINE: 1261 ms)
+    "q_agg_time_rollup",    # events hourly rollup, batch (BASELINE: 1261 ms)
+    "q_stream_tumbling",    # same rollup through real Structured Streaming
     "q_win_topk_group",     # top-3 orders per customer
     "q_agg_count_distinct", # distinct users per event_type
 ]

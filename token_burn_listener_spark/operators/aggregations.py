@@ -390,3 +390,28 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "user_bucket", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
     )
+
+
+@query(
+    "q_agg_time_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start,
+           event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch hourly rollup of the event stream (extra, beyond §2.B4 — the
+    batch twin of q_stream_tumbling, and the BASELINE.md 'events hourly
+    tumbling rollup' shape for apples-to-apples bench comparison).
+
+    date_trunc + hash agg: one partial+final aggregation, shuffle keyed on
+    (hour, event_type) — the hypertable-rollup pattern at any scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
