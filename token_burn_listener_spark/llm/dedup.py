@@ -93,3 +93,150 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
     )
+
+
+@query(
+    "q_llm_jaccard_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct([substring(text, i, 5)
+                            for i in range(1, length(text) - 3)]) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM s a JOIN s b
+      ON a.doc_id < b.doc_id
+     AND least(len(a.sh), len(b.sh))::DOUBLE
+         / greatest(len(a.sh), len(b.sh)) >= 0.4
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(a.sh || b.sh)) >= 0.4
+    """,
+)
+def q_llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (extra, beyond §2.B10).
+
+    The ORACLE for what q_llm_near_dedup approximates: brute-force pairwise
+    Jaccard ≥ 0.4 over 5-gram shingles. O(n²) by design at fixture scale
+    (SURVEY.md §7.4 exception); the MinHash-LSH key is the 100 TB path.
+    The threshold filter runs on the unrounded ratio — an exact rational of
+    two ints, bit-identical across engines.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text").alias("sh")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    # Length prefilter (exact): J(A,B) ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t,
+    # so mismatched-size pairs skip the expensive intersect entirely.
+    ratio = F.least(F.size("sa"), F.size("sb")) / F.greatest(
+        F.size("sa"), F.size("sb")
+    )
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter((F.col("doc_a") < F.col("doc_b")) & (ratio >= 0.4))
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "q_llm_emb_near_dup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.45
+    """,
+)
+def q_llm_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (extra, beyond §2.B10).
+
+    Semantic near-dup detection: pairs with cosine ≥ 0.45 (threshold
+    calibrated to the fixture — max pairwise cosine ≈ 0.51). Brute force
+    here; at 100 TB candidate generation moves to the LSH-bucket join
+    (q_llm_ann_lsh) with this exact computation applied per candidate.
+    """
+    from token_burn_listener_spark.llm.similarity import as_double, dot, l2
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), as_double("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), as_double("embedding").alias("eb"))
+    cos = dot("ea", "eb") / (l2("ea") * l2("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.45)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+@query("q_llm_simhash")  # rows-only: xxhash64-based signature, no DuckDB twin
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates via banded signature join (extra, §2.B10).
+
+    Real SimHash-LSH, Spark-native end to end:
+    1. 64-bit signature per doc: xxhash64 each shingle, majority-vote each
+       bit — all inside array HOFs (codegen, no UDF);
+    2. split the signature into four 16-bit bands; docs sharing ANY band
+       value become candidates (an equi-join on (band_idx, band_val) — the
+       LSH trick that replaces the O(n²) pair scan at 100 TB);
+    3. exact Hamming distance (bit_count(a XOR b)) filters candidates ≤ 16.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text").alias("sh")
+    )
+    hashed = d.select(
+        "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("hs")
+    ).repartition("doc_id")
+    # The repartition is a materialization barrier: without it Catalyst's
+    # projection collapse inlines the transform into all 64 bit-votes below
+    # and every shingle is re-hashed 64× (measured 44 s → ~2 s at sf0.01).
+    sig = hashed.select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 63), 0L, (acc, j) -> acc + "
+            "  (CASE WHEN aggregate(hs, 0L,"
+            "          (a, h) -> a + CASE WHEN (h >> j) & 1 = 1"
+            "                        THEN 1L ELSE -1L END) > 0"
+            "   THEN shiftleft(1L, j) ELSE 0L END))"
+        ).alias("simhash"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " k -> named_struct('band_idx', k,"
+                "                   'band_val', (simhash >> (k * 16)) & 65535))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        "band_idx",
+        "band_val",
+    )
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 16)
+    )
