@@ -203,3 +203,157 @@ def q_llm_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         F.round(F.percentile("n_chars", 0.9), 6).alias("p90_chars"),
     )
+
+
+@query(
+    "q_llm_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len([w for w in string_split(text, ' ')
+                  if w = 'a' OR w = 'the']) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           floor((0.5 * least(n_chars / 500.0, 1.0)
+                  + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens)
+                  + 0.2 * least(n_tokens / 100.0, 1.0)) * 1000000 + 0.5)
+             / 1000000 AS quality
+    FROM t
+    """,
+)
+def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality score: length, stopword ratio, token volume (extra,
+    beyond §2.B10 — the scoring twin of q_llm_text_filter).
+
+    The standard corpus-quality heuristic stack as one scan-side expression;
+    weights are illustrative, the shape (bounded sub-scores, weighted sum)
+    is the production pattern.
+
+    Rounding note: the blend produces EXACT decimal values (rationals over
+    500/n_tokens/100), which land on .5 rounding boundaries where Spark's
+    BigDecimal HALF_UP and DuckDB's float rounding disagree — so both sides
+    round via the identical float expression floor(x*1e6 + 0.5)/1e6.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: (w == "a") | (w == "the")))
+    score = (
+        0.5 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+        + 0.3 * (1.0 - n_stop.cast("double") / n_tokens)
+        + 0.2 * F.least(n_tokens / 100.0, F.lit(1.0))
+    )
+    quality = F.floor(score * 1000000 + 0.5) / 1000000
+    return d.select("doc_id", quality.alias("quality"))
+
+
+@query(
+    "q_llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             [0::BIGINT] || [ord(substring(text, i, 1))::BIGINT
+                             for i in range(1, length(text) + 1)],
+             (a, b) -> (a * 31 + b) % 2147483647) AS fp
+    FROM documents
+    """,
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (extra, beyond §2.B10).
+
+    The Rabin-Karp-style content fingerprint (base 31, Mersenne-prime
+    modulus) computed as a pure integer fold over character codes — exactly
+    reproducible in any engine, unlike the seeded xxhash64 fingerprints
+    (q_llm_simhash), which is why this one is oracle-checked.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(transform(sequence(1, length(text)),"
+        "                    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),"
+        " 0L, (a, b) -> (a * 31 + b) % 2147483647)"
+    )
+    return d.select("doc_id", fp.alias("fp"))
+
+
+@query(
+    "q_llm_lang_id",
+    oracle="""
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    langs AS (SELECT DISTINCT lang AS cand FROM documents),
+    profile AS (SELECT lang AS cand, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    totals AS (SELECT lang AS cand, count(*) AS total FROM tok GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+    terms AS (
+      SELECT t.doc_id, l.cand,
+             ln((coalesce(p.cnt, 0) + 1)::DOUBLE / (tt.total + vocab.v)) AS term
+      FROM (SELECT doc_id, token FROM tok) t
+      CROSS JOIN langs l
+      LEFT JOIN profile p ON p.cand = l.cand AND p.token = t.token
+      JOIN totals tt ON tt.cand = l.cand
+      CROSS JOIN vocab
+    ),
+    scored AS (SELECT doc_id, cand, round(sum(term), 6) AS score
+               FROM terms GROUP BY 1, 2),
+    ranked AS (SELECT doc_id, cand, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, cand) AS rn
+               FROM scored)
+    SELECT r.doc_id, r.cand AS pred_lang, d.lang AS true_lang,
+           (r.cand = d.lang) AS correct
+    FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+    WHERE r.rn = 1
+    """,
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via corpus-learned token profiles (extra, beyond §2.B10).
+
+    The n-gram-profile method (naive-Bayes over unigram log-frequencies,
+    Laplace-smoothed), learned from the labeled corpus and applied back to
+    it — fully relational: profile build is two aggregations, scoring is a
+    broadcast join of the (lang, token) profile, argmax is a per-doc rank
+    window. NOTE: the fixture's languages share one vocabulary, so accuracy
+    is near-chance BY CONSTRUCTION — what the oracle verifies is the exact
+    scoring pipeline, which is the part that transfers to a real corpus.
+
+    Scale: profile and totals are tiny dims (V × #langs) → broadcast; the
+    scored fact is tokens × #langs, aggregated partial+final per (doc, lang).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
+    langs = d.select(F.col("lang").alias("cand")).distinct()
+    profile = tok.groupBy(F.col("lang").alias("cand"), "token").agg(
+        F.count("*").alias("cnt")
+    )
+    totals = tok.groupBy(F.col("lang").alias("cand")).agg(
+        F.count("*").alias("total")
+    )
+    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    terms = (
+        tok.select("doc_id", "token")
+        .crossJoin(F.broadcast(langs))
+        .join(F.broadcast(profile), ["cand", "token"], "left")
+        .join(F.broadcast(totals), "cand")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "cand",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                / (F.col("total") + F.col("v"))
+            ).alias("term"),
+        )
+    )
+    scored = terms.groupBy("doc_id", "cand").agg(
+        F.round(F.sum("term"), 6).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return pred.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("cand").alias("pred_lang"),
+        F.col("lang").alias("true_lang"),
+        (F.col("cand") == F.col("lang")).alias("correct"),
+    )
