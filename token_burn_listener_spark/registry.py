@@ -54,6 +54,7 @@ def load_all_modules() -> None:
     import token_burn_listener_spark.operators.windows  # noqa: F401
     import token_burn_listener_spark.operators.sorts  # noqa: F401
     import token_burn_listener_spark.operators.setops  # noqa: F401
+    import token_burn_listener_spark.operators.subqueries  # noqa: F401
     import token_burn_listener_spark.functions.scalar  # noqa: F401
     import token_burn_listener_spark.streaming.queries  # noqa: F401
     import token_burn_listener_spark.llm.dedup  # noqa: F401
