@@ -1,0 +1,117 @@
+"""Physical-plan audit: sweep every registered query for scale anti-patterns.
+
+Flags, per key:
+- ``Exchange SinglePartition`` — a global single-task shuffle (the r1
+  weakness class). Allowed only where a bounded row count reaches it
+  (documented top-k/limit shapes and tiny prefix-offset aggregates).
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` on unbounded inputs —
+  allowed only for the documented O(n²) exact-oracle keys and true
+  theta-join demos.
+- ``BatchEvalPython`` / ``ArrowEvalPython`` etc. outside the B11 UDF keys —
+  Python in a hot path is an optimizer barrier.
+
+Streaming keys are skipped (their sinks execute eagerly; plan inspection
+happens on the batch twins). Exit 1 if any UNDOCUMENTED pattern appears.
+
+Usage: python tools/audit_plans.py [key_prefix ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from token_burn_listener_spark.registry import QUERIES, load_all_modules
+from token_burn_listener_spark.session import get_spark
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+# Keys whose plans legitimately contain a bounded single-partition exchange:
+# a limit-k or #partitions-row input reaches it (see each docstring).
+ALLOW_SINGLE_PARTITION = {
+    "q_limit",          # 100-row TakeOrderedAndProject result
+    "q_topk_global",    # 10-row result
+    "q_join_star",      # 10-row result
+    "q_llm_cosine_topk",  # 20-row result
+    "q_llm_knn_query",  # 10-row result
+    "q_sort_multi",     # prefix-offset agg over #partitions rows (ranking.py)
+    "q_win_ntile",      # same + 1-row total-count broadcast
+    "q_win_pct",        # same
+    "q_llm_ann_lsh",    # approxNearestNeighbors internal bounded top-k
+}
+
+# Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
+ALLOW_NESTED_LOOP = {
+    "q_join_cross",        # 5×25 dims
+    "q_join_theta",        # banded inequality join demo (broadcast side small)
+    "q_llm_cosine_topk",   # brute-force oracle baseline
+    "q_llm_jaccard_pairs", # exact-Jaccard oracle baseline
+    "q_llm_emb_near_dup",  # exact-cosine oracle baseline
+    "q_sub_scalar",        # scalar-subquery reuse joins as BNLJ on 1-row side
+    "q_agg_global",        # 1-row agg × anything
+    "q_win_ntile",         # broadcast crossJoin of a 1-row total-count agg
+    "q_win_pct",           # same (ranking.py with_total_count)
+    "q_llm_lang_id",       # broadcast crossJoin of 5-row lang dim + 1-row vocab
+}
+
+# B11 exists to prove the Python surface; Python eval is expected there.
+ALLOW_PYTHON = {
+    "q_udf_python",
+    "q_udf_pandas_scalar",
+    "q_udf_pandas_agg",
+    "q_udf_grouped_map",
+    "q_udf_map_iter",
+    "q_udtf",
+    "q_llm_multimodal",  # mapInPandas decode stub — the designed shape
+    "q_llm_tfidf",       # ml HashingTF/IDF pipeline
+    "q_llm_near_dedup",  # ml MinHashLSH
+    "q_llm_ann_lsh",     # ml BucketedRandomProjectionLSH
+}
+
+PYTHON_OPS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+
+def main() -> int:
+    prefixes = sys.argv[1:]
+    load_all_modules()
+    keys = [
+        k
+        for k in QUERIES
+        if (not prefixes or any(k.startswith(p) for p in prefixes))
+        and not k.startswith("q_stream")
+    ]
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    problems = []
+    for k in keys:
+        try:
+            plan = (
+                QUERIES[k](spark, SF_DIR)
+                ._jdf.queryExecution()
+                .explainString(jvm_mode)
+            )
+        except Exception as exc:
+            problems.append((k, f"explain failed: {exc}"))
+            continue
+        if "Exchange SinglePartition" in plan and k not in ALLOW_SINGLE_PARTITION:
+            problems.append((k, "undocumented Exchange SinglePartition"))
+        if (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ) and k not in ALLOW_NESTED_LOOP:
+            problems.append((k, "undocumented cartesian/nested-loop join"))
+        if any(op in plan for op in PYTHON_OPS) and k not in ALLOW_PYTHON:
+            problems.append((k, "Python eval outside the UDF surface"))
+    print(f"audited {len(keys)} plans at {SF_DIR}")
+    for k, msg in problems:
+        print(f"FLAG {k}: {msg}")
+    print(f"{len(problems)} flags")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
