@@ -193,3 +193,31 @@ def test_watermark_emits_only_closed_windows(spark, sf_dir):
     mx = ev.agg(F.max("ts")).collect()[0][0]
     wm = mx - datetime.timedelta(minutes=10)
     assert out.filter(F.col("we") > wm).count() == 0
+
+
+def test_sliding_window_equals_batch(spark, sf_dir):
+    streamed = QUERIES["q_stream_sliding"](spark, sf_dir)
+    batch = (
+        events_df(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    assert_df_equal(streamed, batch)
+
+
+def test_stream_join_pairs_match_batch_interval_join(spark, sf_dir):
+    streamed = QUERIES["q_stream_stream_join"](spark, sf_dir)
+    ev = events_df(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    batch = p.join(
+        v,
+        F.expr(
+            "p.user_id = v.user_id AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"
+        ),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.event_id").alias("view_id"),
+    )
+    assert_df_equal(streamed, batch)
