@@ -185,3 +185,77 @@ def q_llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(F.round(F.avg("val"), 6).alias("c"))
     )
+
+
+@query(
+    "q_llm_ivf_search",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cent AS (
+      SELECT label, pos, avg(val) AS c FROM (
+        SELECT label, unnest(range(len(embedding))) AS pos,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings) x
+      GROUP BY 1, 2
+    ),
+    cdist AS (
+      SELECT label,
+             round(sum((c - (SELECT qv FROM q)[pos + 1])
+                       * (c - (SELECT qv FROM q)[pos + 1])), 6) AS d2
+      FROM cent GROUP BY label
+    ),
+    probed AS (SELECT label FROM cdist ORDER BY d2, label LIMIT 2),
+    cand AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          (SELECT qv FROM q)), 6) AS cos_sim
+      FROM embeddings e JOIN probed USING (label)
+      WHERE e.vec_id <> 0
+    ),
+    top AS (SELECT vec_id, cos_sim FROM cand
+            ORDER BY cos_sim DESC, vec_id LIMIT 10)
+    SELECT vec_id, cos_sim,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM top
+    """,
+)
+def q_llm_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) vector search: probe the 2 nearest clusters only
+    (extra, beyond §2.B10 — the scale path q_llm_knn_query's full scan
+    becomes at 100 TB).
+
+    The label column is the coarse quantizer's cluster assignment (what
+    q_llm_centroids trains); search = rank centroids by distance to the
+    query, then brute-force ONLY the probed clusters — a partition-pruned
+    scan of ~nprobe/nlist of the corpus instead of all of it. Fully
+    declarative: centroid ranking is a 640-row aggregate, probed-cluster
+    routing is a broadcast join.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qcol = F.array(*[F.lit(float(v)) for v in qvec])
+
+    cent = (
+        e.select("label", F.posexplode(as_double("embedding")).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+    )
+    diff = F.col("c") - F.element_at(qcol, F.col("pos") + 1)
+    cdist = cent.groupBy("label").agg(F.round(F.sum(diff * diff), 6).alias("d2"))
+    probed = cdist.orderBy("d2", "label").limit(2).select("label")
+
+    cand = (
+        e.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                dot(as_double("embedding"), qcol)
+                / (l2(as_double("embedding")) * l2(qcol)),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    top = cand.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    return top.withColumn("rnk", F.row_number().over(w))
