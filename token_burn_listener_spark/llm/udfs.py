@@ -188,3 +188,51 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.token "
         "FROM documents_for_udtf d, LATERAL split_doc(d.doc_id, d.text) s"
     )
+
+
+@query(
+    "q_udf_cogroup",
+    oracle="""
+    WITH p AS (SELECT user_id, count(*) AS n_purchases,
+                      round(sum(value), 6) AS purchase_value
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    v AS (SELECT user_id, count(*) AS n_views
+          FROM events WHERE event_type = 'view' GROUP BY user_id)
+    SELECT coalesce(p.user_id, v.user_id) AS user_id,
+           coalesce(p.n_purchases, 0) AS n_purchases,
+           coalesce(p.purchase_value, 0.0) AS purchase_value,
+           coalesce(v.n_views, 0) AS n_views
+    FROM p FULL OUTER JOIN v ON p.user_id = v.user_id
+    """,
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF: per-user merge of two grouped relations.
+
+    ``groupBy().cogroup().applyInPandas`` hands BOTH groups for a key to one
+    Python function — the escape hatch for custom merge logic (as-of joins,
+    interleaving, feature stitching). The oracle re-states this instance as
+    a full outer join of two aggregates.
+    """
+
+    def merge(purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
+        uid = (
+            purchases["user_id"].iloc[0]
+            if len(purchases)
+            else views["user_id"].iloc[0]
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_purchases": [len(purchases)],
+                "purchase_value": [round(float(purchases["value"].sum()), 6)],
+                "n_views": [len(views)],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").groupBy("user_id")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id")
+    return p.cogroup(v).applyInPandas(
+        merge,
+        "user_id long, n_purchases long, purchase_value double, n_views long",
+    )

@@ -63,6 +63,7 @@ ALLOW_PYTHON = {
     "q_udf_pandas_agg",
     "q_udf_grouped_map",
     "q_udf_map_iter",
+    "q_udf_cogroup",
     "q_udtf",
     "q_llm_multimodal",  # mapInPandas decode stub — the designed shape
     "q_llm_tfidf",       # ml HashingTF/IDF pipeline
