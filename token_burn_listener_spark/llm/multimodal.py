@@ -84,3 +84,60 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+FRAME_SCHEMA = (
+    "file_name string, frame_idx long, frame_off long, frame_sha256 string, "
+    "resized_w long, resized_h long"
+)
+
+N_FRAMES = 4
+FRAME_BYTES = 1024
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: N evenly-spaced 'frames' (byte slices) per blob.
+
+    The frame-sample + resize shapes of a video pipeline with the decode
+    STUBBED (no media libs in container): frames are fixed-width byte
+    windows at evenly spaced offsets; 'resize' emits the target dims a real
+    resampler would produce. The Spark-side contract — one input blob →
+    N output rows, Arrow-batched, constant memory — is the real thing.
+    """
+    for pdf in batches:
+        names, idxs, offs, shas, ws, hs = [], [], [], [], [], []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            stride = max(len(content) // N_FRAMES, 1)
+            for i in range(N_FRAMES):
+                off = min(i * stride, max(len(content) - FRAME_BYTES, 0))
+                frame = content[off : off + FRAME_BYTES]
+                names.append(path.rsplit("/", 1)[-1])
+                idxs.append(i)
+                offs.append(off)
+                shas.append(hashlib.sha256(frame).hexdigest())
+                ws.append(224)  # stub resize target
+                hs.append(224)
+        yield pd.DataFrame(
+            {
+                "file_name": names,
+                "frame_idx": idxs,
+                "frame_off": offs,
+                "frame_sha256": shas,
+                "resized_w": ws,
+                "resized_h": hs,
+            }
+        )
+
+
+@query("q_llm_frames")  # rows-only: paths/byte layout are machine-local
+def q_llm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + resize over binary media (extra, beyond §2.B10).
+
+    One blob in → N frame rows out through mapInPandas — the video
+    ingestion shape (sample → decode → resize → embed) with decode stubbed
+    deterministically; see sample_frames.
+    """
+    blobs = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return blobs.mapInPandas(sample_frames, FRAME_SCHEMA).orderBy(
+        "file_name", "frame_idx"
+    )

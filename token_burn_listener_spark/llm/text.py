@@ -357,3 +357,32 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("true_lang"),
         (F.col("cand") == F.col("lang")).alias("correct"),
     )
+
+
+@query(
+    "q_llm_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[^aeiou ]*[aeiou]+[^aeiou ]*')) AS n_subwords
+    FROM documents
+    """,
+)
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + a BPE-ish regex (extra, beyond §2.B10).
+
+    The second count approximates subword units (consonant-vowel-consonant
+    chunks) with a greedy regex — the shape a byte-pair/unigram tokenizer
+    cost model needs (token-count budgeting per doc) without shipping a
+    vocab. Same RE2-compatible pattern on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[^aeiou ]*[aeiou]+[^aeiou ]*"), 0)
+        )
+        .cast("long")
+        .alias("n_subwords"),
+    )
