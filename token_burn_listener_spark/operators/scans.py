@@ -38,7 +38,11 @@ def _ensure_region_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         write = lambda df, p: df.coalesce(1).write.json(p)
     else:
         write = lambda df, p: df.coalesce(1).write.option("header", True).csv(p)
-    return materialize(region, scratch_dir(sf_dir, f"region_{fmt}"), write)
+    return materialize(
+        region,
+        scratch_dir(sf_dir, f"region_{fmt}", source=f"{sf_dir}/region.parquet"),
+        write,
+    )
 
 
 @query(

@@ -24,9 +24,18 @@ from pyspark.sql import DataFrame
 SCRATCH_ROOT = "/tmp/tbls_scratch"
 
 
-def scratch_dir(sf_dir: str, tag: str) -> str:
-    """Deterministic scratch path keyed on the FULL fixture path."""
-    h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+def scratch_dir(sf_dir: str, tag: str, source: str | None = None) -> str:
+    """Deterministic scratch path keyed on the FULL fixture path.
+
+    ``source`` (a file the derived copy is built from) folds that file's
+    (mtime_ns, size) into the key, so regenerated fixtures at the same path
+    invalidate the cache instead of silently reusing stale copies.
+    """
+    key = os.path.abspath(sf_dir)
+    if source is not None:
+        st = os.stat(source)
+        key += f"|{source}|{st.st_mtime_ns}|{st.st_size}"
+    h = hashlib.sha1(key.encode()).hexdigest()[:12]
     return f"{SCRATCH_ROOT}/{h}/{tag}"
 
 

@@ -53,7 +53,11 @@ def ensure_events_replay(spark: SparkSession, sf_dir: str, dup: bool = False) ->
         df = df.unionAll(df)
     return materialize(
         df,
-        scratch_dir(sf_dir, "events_dup" if dup else "events"),
+        scratch_dir(
+            sf_dir,
+            "events_dup" if dup else "events",
+            source=f"{sf_dir}/events.parquet",
+        ),
         lambda d, p: d.coalesce(1).write.parquet(p),
     )
 
