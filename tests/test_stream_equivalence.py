@@ -221,3 +221,31 @@ def test_stream_join_pairs_match_batch_interval_join(spark, sf_dir):
         F.col("v.event_id").alias("view_id"),
     )
     assert_df_equal(streamed, batch)
+
+
+def test_stream_outer_join_invariants(spark, sf_dir):
+    """Outer stream join: matches ≡ batch join; nulls ⊆ batch-unmatched."""
+    out = QUERIES["q_stream_outer_join"](spark, sf_dir)
+    ev = events_df(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    batch = p.join(
+        v,
+        F.expr(
+            "p.user_id = v.user_id AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.event_id").alias("view_id"),
+    )
+    got_matched = out.filter(F.col("view_id").isNotNull())
+    exp_matched = batch.filter(F.col("view_id").isNotNull())
+    assert_df_equal(got_matched, exp_matched)
+    got_null = out.filter(F.col("view_id").isNull()).select("purchase_id")
+    exp_null = batch.filter(F.col("view_id").isNull()).select("purchase_id")
+    assert got_null.exceptAll(exp_null).count() == 0  # nulls ⊆ batch-unmatched
+    assert got_null.count() > 0  # expiry really emitted outer rows
+    # each purchase emitted at most once as null, and never both ways
+    assert got_null.distinct().count() == got_null.count()
+    assert got_null.intersect(got_matched.select("purchase_id")).count() == 0

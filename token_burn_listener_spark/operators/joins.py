@@ -367,3 +367,48 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "revenue_rank", F.row_number().over(Window.orderBy(*order))
     ).select("o_orderkey", "o_orderdate", "revenue", "revenue_rank")
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT e.event_id, e.event_type, t.type_weight,
+           round(e.value * t.type_weight, 6) AS weighted
+    FROM events e
+    JOIN (SELECT event_type, count(*)::DOUBLE / 10000 AS type_weight
+          FROM events GROUP BY event_type) t
+      ON e.event_type = t.event_type
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-join via salting (extra, beyond §2.B3): events ⋈ dim on
+    event_type — FIVE distinct keys, the worst-case skew shape (a plain
+    shuffle join lands the whole fact on ≤5 tasks).
+
+    The manual salting pattern: the fact side gets a random-free
+    deterministic salt (event_id % N), the dim side is exploded ×N, and the
+    join key becomes (event_type, salt) — 5×N evenly sized partitions.
+    AQE's OptimizeSkewedJoin automates this at runtime (session.py); the
+    explicit form is here because at 100 TB you sometimes need it where AQE
+    can't see the skew (e.g. before a stateful streaming join). Result is
+    oracle-identical to the unsalted join.
+    """
+    SALT = 16
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        e.groupBy("event_type")
+        .agg((F.count("*") / 10000).alias("type_weight"))
+    )
+    salted_fact = e.withColumn("salt", (F.col("event_id") % SALT).cast("int"))
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    )
+    return (
+        salted_fact.join(salted_dim, ["event_type", "salt"])
+        .select(
+            "event_id",
+            "event_type",
+            "type_weight",
+            F.round(F.col("value") * F.col("type_weight"), 6).alias("weighted"),
+        )
+    )

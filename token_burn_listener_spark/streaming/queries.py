@@ -501,3 +501,57 @@ def q_stream_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_foreach_upsert(read_events_stream(spark, replay), target, cp)
     return read_upsert_target(spark, target)
+
+
+@query("q_stream_outer_join")  # rows-only: outer-null emission timing is
+# engine-internal (state-eviction watermark arithmetic varies with batching);
+# the semantic invariants are asserted in tests/test_stream_equivalence.py
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: outer-null rows emit on state
+    expiry, not at end-of-data.
+
+    Two checkpointed runs (phase B = the final event): run 2's watermark —
+    max(on-time ts) − 10 min — expires left join state and emits the
+    NULL-matched purchases. WHICH unmatched purchases have expired by
+    end-of-stream is internal state-eviction arithmetic (empirically it
+    shifted between scale factors), so there is no exact SQL oracle; the
+    invariants that define correctness — matched pairs ≡ the batch interval
+    join, null rows ⊆ batch-unmatched purchases, each purchase at most once
+    — are pinned in tests.
+    """
+    ev = events_df(spark, sf_dir)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    base = fresh_run_dir("oj")
+    replay, target, cp = f"{base}/replay", f"{base}/target", f"{base}/cp"
+    ev.filter(F.col("ts") < mx).coalesce(1).write.parquet(replay)
+
+    def run_once() -> None:
+        p = (
+            read_events_stream(spark, replay)
+            .filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", "10 minutes")
+            .alias("p")
+        )
+        v = (
+            read_events_stream(spark, replay)
+            .filter(F.col("event_type") == "view")
+            .withWatermark("ts", "10 minutes")
+            .alias("v")
+        )
+        joined = p.join(
+            v,
+            F.expr(
+                "p.user_id = v.user_id"
+                " AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"
+            ),
+            "leftOuter",
+        ).select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("v.event_id").alias("view_id"),
+        )
+        run_foreach_upsert(joined, target, cp)
+
+    run_once()
+    ev.filter(F.col("ts") >= mx).coalesce(1).write.mode("append").parquet(replay)
+    run_once()
+    return read_upsert_target(spark, target)
