@@ -20,6 +20,14 @@ upsert (A7) or append-mode file/Kafka sinks. Watermarks bound state for
 window aggs and dedup; availableNow + maxFilesPerTrigger bound per-batch
 work during backfill (A2/A10). State store: HDFS-backed locally, RocksDB at
 scale (SURVEY.md §4.2).
+
+API note: Spark 4's ``transformWithStateInPandas`` (the successor to
+``applyInPandasWithState``: composable ValueState/ListState/MapState +
+timers) is present in PySpark 4.1.2 but its worker requires
+``google.protobuf``, which this container lacks (verified: the state-server
+handshake dies on import; no network to install). q_stream_stateful uses
+``applyInPandasWithState``, which covers the same per-key custom-state
+semantics on the stable API.
 """
 
 from __future__ import annotations
