@@ -415,3 +415,22 @@ def q_agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
     )
+
+
+@query("q_agg_approx_percentile")  # rows-only: sketch internals are
+# engine-specific (Spark KLL-style vs DuckDB t-digest); bounds checked here
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via quantile sketch (extra, beyond §2.B4).
+
+    The sketch path for when exact percentile's full sort-per-group is too
+    expensive at 100 TB: approx_percentile with bounded accuracy. Emits the
+    approx values next to the group's true min/max so the rows-only check
+    still has sanity anchors (approx must lie within [min, max]).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", 0.5, 10000), 6).alias("p50_approx"),
+        F.round(F.percentile_approx("value", 0.9, 10000), 6).alias("p90_approx"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
