@@ -131,3 +131,88 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@query(
+    "q_tpch_q7ish",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           year(l_shipdate) AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_nationkey < 5
+      AND sn.n_nationkey >= 20
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-nation volume (extra, §5.5 corpus shape):
+    fact⋈fact keyed joins + two broadcast nation dims under different
+    aliases + a yearly rollup. Nation bands are key ranges rather than the
+    canonical FRANCE/GERMANY pair, which is empty at fixture scale."""
+    register_views(
+        spark, sf_dir, names=("lineitem", "orders", "customer", "supplier", "nation")
+    )
+    return spark.sql(
+        """
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_nationkey < 5
+          AND sn.n_nationkey >= 20
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
+@query(
+    "q_tpch_q10ish",
+    oracle="""
+    WITH r AS (
+      SELECT c_custkey, c_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name
+    ),
+    top AS (SELECT * FROM r ORDER BY revenue DESC, c_custkey LIMIT 20)
+    SELECT c_custkey, c_name, revenue,
+           row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rnk
+    FROM top
+    """,
+)
+def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item customer ranking (extra, §5.5):
+    filtered fact join + per-customer revenue + TakeOrderedAndProject
+    top-20 with the rank window applied after the limit."""
+    register_views(spark, sf_dir, names=("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        WITH r AS (
+          SELECT c_custkey, c_name,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+          GROUP BY c_custkey, c_name
+        ),
+        top AS (SELECT * FROM r ORDER BY revenue DESC, c_custkey LIMIT 20)
+        SELECT c_custkey, c_name, revenue,
+               row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rnk
+        FROM top
+        """
+    )
