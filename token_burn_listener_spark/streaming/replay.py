@@ -62,6 +62,26 @@ def ensure_events_replay(spark: SparkSession, sf_dir: str, dup: bool = False) ->
     )
 
 
+def ensure_events_replay_multi(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Materialize the events table as an ``n_files``-file replay dir.
+
+    The multi-file layout exists for rate-limited ingestion (A10): with
+    ``maxFilesPerTrigger=1`` the file source drains it in ``n_files``
+    micro-batches instead of one. Round-robin repartition gives a balanced,
+    deterministic-count split (WHICH rows share a file is scan-order
+    dependent, so consumers must only assert set/aggregate properties).
+    """
+    return materialize(
+        events_df(spark, sf_dir),
+        scratch_dir(
+            sf_dir, f"events_x{n_files}", source=f"{sf_dir}/events.parquet"
+        ),
+        lambda d, p: d.repartition(n_files).write.parquet(p),
+    )
+
+
 def read_events_stream(
     spark: SparkSession, replay_dir: str, **options: str
 ) -> DataFrame:
@@ -74,11 +94,20 @@ def read_events_stream(
     return reader.parquet(replay_dir)
 
 
-def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
+def run_to_memory(
+    sdf: DataFrame,
+    output_mode: str,
+    min_batches: int | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink.
 
     availableNow = process-everything-then-stop (A2 backfill semantics).
-    Returns the sink contents as a DataFrame.
+    Returns the sink contents as a DataFrame. ``min_batches`` asserts the
+    run really split into that many non-empty micro-batches (the A10
+    rate-limit proof: correct output alone can't distinguish a throttled
+    run from a one-gulp run). ``checkpoint`` pins the checkpoint dir when
+    the caller needs to inspect it (state-store layout asserts).
     """
     name = f"mem_{uuid.uuid4().hex[:10]}"
     q = (
@@ -86,10 +115,17 @@ def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .option("checkpointLocation", fresh_run_dir("cp"))
+        .option("checkpointLocation", checkpoint or fresh_run_dir("cp"))
         .start()
     )
     q.awaitTermination()
+    if min_batches is not None:
+        n = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+        if n < min_batches:
+            raise AssertionError(
+                f"rate limit not applied: {n} non-empty micro-batches,"
+                f" expected >= {min_batches}"
+            )
     return sdf.sparkSession.table(name)
 
 
