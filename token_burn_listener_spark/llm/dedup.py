@@ -244,3 +244,86 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 16)
     )
+
+
+@query(
+    "q_llm_dup_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.45
+    ),
+    edges AS (SELECT va, vb FROM pairs
+              UNION SELECT vb AS va, va AS vb FROM pairs),
+    reach(src, dst) AS (
+      SELECT va, vb FROM edges
+      UNION
+      SELECT r.src, e.vb FROM reach r JOIN edges e ON r.dst = e.va
+    )
+    SELECT v.vec_id,
+           least(v.vec_id, coalesce(min(r.dst), v.vec_id)) AS component_id
+    FROM embeddings v LEFT JOIN reach r ON r.src = v.vec_id
+    GROUP BY v.vec_id
+    """,
+)
+def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the cosine ≥ 0.45
+    pair graph, each vector labeled with its component's minimum vec_id
+    (extra, beyond §2.B10) — the step a real dedup pipeline runs between
+    pair generation and survivor selection (pairs alone over-delete when
+    A~B and B~C but A≁C).
+
+    Iterative min-label propagation: each round every vector takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds — near-dup components are tiny, so 2-3 in practice,
+    with a 32-round safety bound. Spark has no native iteration, so the
+    driver loop re-submits the join plan per round with localCheckpoint
+    truncating the otherwise-exponential lineage (at cluster scale:
+    checkpoint() to durable storage); the per-round convergence probe
+    collects ONE scalar (sum of labels, strictly decreasing until fixed
+    point). Candidate pairs here are the exact small-corpus oracle
+    (crossJoin, SURVEY.md §7.4 exception); at 100 TB they come from the
+    LSH keys (q_llm_near_dedup / q_llm_ann_lsh) and this component pass
+    runs unchanged on those edges. The DuckDB oracle computes the same
+    components via recursive transitive closure.
+    """
+    from token_burn_listener_spark.llm.similarity import as_double, dot, l2
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"), as_double("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), as_double("embedding").alias("eb"))
+    cos = dot("ea", "eb") / (l2("ea") * l2("eb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("va") < F.col("vb"))
+        .filter(cos >= 0.45)
+        .select("va", "vb")
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
+    ).localCheckpoint()  # materialized once, re-read every round
+    labels = e.select("vec_id", F.col("vec_id").alias("component_id"))
+    prev = None
+    for _ in range(32):
+        nbr = (
+            edges.join(labels, edges["vb"] == labels["vec_id"])
+            .groupBy("va")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels["vec_id"] == nbr["va"], "left")
+            .select(
+                "vec_id",
+                F.least(
+                    "component_id", F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("component_id")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels

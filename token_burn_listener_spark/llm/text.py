@@ -391,3 +391,49 @@ def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_subwords"),
     )
+
+
+@query(
+    "q_llm_repetition",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+              for i in range(1, len(t) - 1)] AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+           AS rep_ratio
+    FROM g WHERE len(grams) > 0
+    """,
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratio: fraction of duplicate word trigrams per document
+    (extra, beyond §2.B10) — the Gopher/C4-style repetitiousness signal
+    used to drop boilerplate and degenerate generations from a corpus.
+
+    All in-row array HOFs (trigrams via transform(sequence), dedup via
+    array_distinct) — per-document work, no shuffle at all: at 100 TB this
+    is a pure map-side scan like the other quality signals, and the ratio
+    composes with q_llm_text_filter's predicate stack. The DuckDB oracle
+    builds the identical trigram list with a list comprehension (1-based
+    on both engines via element_at/t[i]).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+        "                     element_at(split(text, ' '), i + 1),"
+        "                     element_at(split(text, ' '), i + 2)))"
+    )
+    return (
+        d.select("doc_id", grams.alias("grams"))
+        .filter(F.size("grams") > 0)
+        .select(
+            "doc_id",
+            F.round(
+                1.0 - F.size(F.array_distinct("grams")) / F.size("grams"), 6
+            ).alias("rep_ratio"),
+        )
+    )

@@ -126,6 +126,9 @@ DRIVER_ORDER: list[str] = [
     "q_set_intersect",
     # --- r04 rotation queue (driver-unseen, after the 50-key window) ---
     "q_stream_rocksdb",
+    "q_scan_orc",
+    "q_sink_partitioned",
+    "q_join_bucketed",
     "q_set_intersect_all",
     "q_set_except",
     "q_set_except_all",
@@ -164,6 +167,8 @@ DRIVER_ORDER: list[str] = [
     "q_llm_token_count",
     "q_llm_multimodal",
     "q_llm_frames",
+    "q_llm_dup_clusters",
+    "q_llm_repetition",
     "q_udf_python",
     "q_udf_pandas_scalar",
     "q_udf_pandas_agg",
@@ -248,6 +253,7 @@ def load_all_modules() -> None:
     import token_burn_listener_spark.operators.setops  # noqa: F401
     import token_burn_listener_spark.operators.subqueries  # noqa: F401
     import token_burn_listener_spark.operators.tpch  # noqa: F401
+    import token_burn_listener_spark.operators.storage  # noqa: F401
     import token_burn_listener_spark.functions.scalar  # noqa: F401
     import token_burn_listener_spark.streaming.queries  # noqa: F401
     import token_burn_listener_spark.llm.dedup  # noqa: F401
