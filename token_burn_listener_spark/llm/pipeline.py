@@ -1,0 +1,114 @@
+"""End-to-end corpus preparation (SURVEY.md §2.B10 flagship composition).
+
+The point of the individual B10 operators is that they COMPOSE into the
+pipeline a training-data team actually runs; this module registers that
+composition as one oracle-checked query, proving the stages stack without
+impedance mismatches:
+
+    documents
+      → quality gate   (q_llm_text_filter's predicate stack)
+      → repetition gate (q_llm_repetition's trigram signal, unrounded)
+      → exact dedup     (q_llm_exact_dedup's min-doc_id survivor rule)
+      → prepared corpus (per-doc row: id, slice keys, token count, scores)
+
+At 100 TB the same plan shape holds: the two gates are scan-side
+map-only predicates (pushdown-friendly, no shuffle), dedup is the one
+shuffle (uniform sha256 key), and the near-dup stage — elided here
+because the fixture's near-dup signal lives on the embeddings table —
+slots between dedup and output as LSH candidate generation
+(q_llm_near_dedup) → connected components (q_llm_dup_clusters) →
+keep component minimum, adding two more bounded shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from token_burn_listener_spark.registry import query
+from token_burn_listener_spark.tables import load_table
+
+
+@query(
+    "q_llm_corpus_prep",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               1.0 - len(list_distinct(
+                       [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                        for i in range(1, len(t) - 1)]))::DOUBLE
+                   / (len(t) - 2)
+             ELSE 0.0 END AS rep,
+             sha256(text) AS sha
+      FROM (SELECT *, string_split(text, ' ') AS t FROM documents)
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE lang <> 'zh'
+        AND n_chars BETWEEN 80 AND 500
+        AND n_tokens >= 15
+        AND n_chars::DOUBLE / n_tokens <= 8.0
+        AND rep <= 0.05
+    ),
+    kept AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY sha) AS keep_id FROM gated
+    )
+    SELECT doc_id, lang, source, n_tokens, round(rep, 6) AS rep_ratio
+    FROM kept WHERE doc_id = keep_id
+    """,
+)
+def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prepared corpus: every document surviving quality gate +
+    repetition gate + exact dedup, with its slice keys and scores.
+
+    Gates filter on the UNROUNDED repetition ratio (an exact rational —
+    bit-identical across engines, SURVEY.md §5.3); the survivor rule is
+    the deterministic min-doc_id-per-sha256 argmin, expressed as a window
+    over the sha key (one shuffle; at fixture scale the dedup stage is a
+    verified pass-through — 0 exact dups at sf0.01 — which is itself the
+    correct answer, and 8 dups collapse at sf0.1).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    grams = F.expr(
+        "zip_with("
+        "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
+        "  zip_with("
+        "    slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 2, 0)),"
+        "    slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0)),"
+        "    (b, c) -> concat(b, ' ', c)),"
+        "  (a, bc) -> concat(a, ' ', bc))"
+    )
+    rep = F.when(
+        n_tokens >= 3,
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(F.lit(0.0))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        n_tokens.cast("long").alias("n_tokens"),
+        rep.alias("rep"),
+        F.sha2("text", 256).alias("sha"),
+    )
+    gated = scored.filter(
+        (F.col("lang") != "zh")
+        & F.col("n_chars").between(80, 500)
+        & (F.col("n_tokens") >= 15)
+        & (F.col("n_chars") / F.col("n_tokens") <= 8.0)
+        & (F.col("rep") <= 0.05)
+    )
+    from pyspark.sql.window import Window
+
+    keep = F.min("doc_id").over(Window.partitionBy("sha"))
+    return (
+        gated.withColumn("keep_id", keep)
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select(
+            "doc_id", "lang", "source", "n_tokens",
+            F.round("rep", 6).alias("rep_ratio"),
+        )
+    )

@@ -169,6 +169,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_frames",
     "q_llm_dup_clusters",
     "q_llm_repetition",
+    "q_llm_corpus_prep",
     "q_udf_python",
     "q_udf_pandas_scalar",
     "q_udf_pandas_agg",
@@ -261,3 +262,4 @@ def load_all_modules() -> None:
     import token_burn_listener_spark.llm.text  # noqa: F401
     import token_burn_listener_spark.llm.multimodal  # noqa: F401
     import token_burn_listener_spark.llm.udfs  # noqa: F401
+    import token_burn_listener_spark.llm.pipeline  # noqa: F401
