@@ -32,6 +32,8 @@ HEADLINE_KEYS = [
     "q_stream_tumbling",    # same rollup through real Structured Streaming
     "q_win_topk_group",     # top-3 orders per customer
     "q_agg_count_distinct", # distinct users per event_type
+    "q_llm_exact_dedup",    # sha256 hash-groupBy dedup (BASELINE: DuckDB 35 ms)
+    "q_llm_corpus_prep",    # end-to-end prepared corpus (BASELINE: DuckDB 390 ms)
 ]
 
 
@@ -58,7 +60,7 @@ def main() -> int:
     # region left lineitem/orders footer I/O inside q_join_star's timing —
     # a protocol delta vs BASELINE, not a plan regression; VERDICT r2 #3.)
     t0 = time.perf_counter()
-    for table in ("region", "customer", "orders", "lineitem", "events"):
+    for table in ("region", "customer", "orders", "lineitem", "events", "documents"):
         spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
     print(f"bench: warmup {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 

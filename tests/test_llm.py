@@ -65,3 +65,49 @@ def test_exact_dedup_covers_all_docs(spark, sf_dir):
     total = out.agg(F.sum("n_copies")).collect()[0][0]
     docs = QUERIES["q_hash_sha2"](spark, sf_dir).count()
     assert total == docs
+
+
+def test_corpus_prep_composes_with_stage_operators(spark, sf_dir):
+    """Pipeline consistency: the prepared corpus is exactly the quality-gated
+    docs minus repetition-gated and non-survivor rows — each stage agreeing
+    with its standalone operator."""
+    prep = QUERIES["q_llm_corpus_prep"](spark, sf_dir)
+    quality = QUERIES["q_llm_text_filter"](spark, sf_dir)
+    # every kept doc passed the standalone quality filter
+    kept = prep.select("doc_id")
+    assert kept.exceptAll(quality.select("doc_id")).count() == 0
+    # every kept doc's repetition score agrees with the standalone signal
+    rep = QUERIES["q_llm_repetition"](spark, sf_dir).withColumnRenamed(
+        "rep_ratio", "standalone_rep"
+    )
+    joined = prep.join(rep, "doc_id")
+    assert joined.count() == prep.count()
+    assert joined.filter(F.col("rep_ratio") != F.col("standalone_rep")).count() == 0
+    assert joined.filter(F.col("rep_ratio") > 0.05).count() == 0
+    # survivor rule: no two kept docs share a text hash
+    sha = prep.join(
+        QUERIES["q_hash_sha2"](spark, sf_dir).select("doc_id", "sha"),
+        "doc_id",
+    )
+    assert sha.select("sha").distinct().count() == prep.count()
+
+
+def test_dup_clusters_are_consistent_with_pairs(spark, sf_dir):
+    """Components agree with the pair graph: paired vectors share a label;
+    the component id is a member of its own component."""
+    labels = QUERIES["q_llm_dup_clusters"](spark, sf_dir)
+    pairs = QUERIES["q_llm_emb_near_dup"](spark, sf_dir)
+    la = labels.select(
+        F.col("vec_id").alias("vec_a"), F.col("component_id").alias("ca")
+    )
+    lb = labels.select(
+        F.col("vec_id").alias("vec_b"), F.col("component_id").alias("cb")
+    )
+    j = pairs.join(la, "vec_a").join(lb, "vec_b")
+    assert j.filter(F.col("ca") != F.col("cb")).count() == 0
+    # labels are members: every component_id is itself a vec_id with that label
+    ids = labels.select(F.col("component_id").alias("vec_id")).distinct()
+    self_labeled = labels.join(ids, "vec_id").filter(
+        F.col("vec_id") == F.col("component_id")
+    )
+    assert self_labeled.count() == ids.count()
