@@ -170,6 +170,8 @@ DRIVER_ORDER: list[str] = [
     "q_llm_dup_clusters",
     "q_llm_repetition",
     "q_llm_corpus_prep",
+    "q_src_python_batch",
+    "q_src_python_stream",
     "q_udf_python",
     "q_udf_pandas_scalar",
     "q_udf_pandas_agg",
@@ -263,3 +265,4 @@ def load_all_modules() -> None:
     import token_burn_listener_spark.llm.multimodal  # noqa: F401
     import token_burn_listener_spark.llm.udfs  # noqa: F401
     import token_burn_listener_spark.llm.pipeline  # noqa: F401
+    import token_burn_listener_spark.sources.feed  # noqa: F401

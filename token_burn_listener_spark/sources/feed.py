@@ -1,0 +1,237 @@
+"""Custom Python data source: the listener's event-feed subscription
+(SURVEY.md §2.A A1/A8), on Spark 4's Python DataSource API.
+
+The reference subscribed to an external event provider over RPC and kept a
+resume cursor so a restart continued from the last delivered event. That
+contract — poll(cursor) → (new events, next cursor) — is EXACTLY the
+``SimpleDataSourceStreamReader`` interface, so the parity slice gets a real
+custom source instead of only the built-in file replay:
+
+- **Batch reader** (`format("event_feed")`): splits the JSONL feed into
+  contiguous line-range ``InputPartition``s — the full-backfill path, read
+  in parallel.
+- **Streaming reader** (`readStream.format("event_feed")`): the offset IS
+  the listener's cursor (`{"pos": n}` = lines delivered so far);
+  ``rows_per_batch`` bounds each poll exactly like A10's rate limit;
+  ``readBetweenOffsets`` replays a committed range verbatim after restart
+  (A8/A9 exactly-once semantics).
+
+Python-in-the-scan-path note: a custom source IS the ingest boundary (the
+reference's RPC client was JavaScript for the same reason) — UDF policy
+(SURVEY.md §2.B11) governs transforms AFTER ingest, which stay relational
+here. At 100 TB the equivalent source is Kafka/cloud-log (JVM connectors);
+this demonstrates the API contract, sized for feed ingest, not for
+re-scanning a lake.
+
+The feed file itself is the events fixture as JSON-lines with epoch-µs
+timestamps (a raw provider feed shape; µs longs avoid timestamp-format
+parsing drift between writer and reader).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+from token_burn_listener_spark.registry import query
+from token_burn_listener_spark.scratch import materialize, scratch_dir
+from token_burn_listener_spark.tables import load_table
+
+FEED_SCHEMA = (
+    "event_id long, ts_us long, user_id long, event_type string, value double"
+)
+_COLS = ("event_id", "ts_us", "user_id", "event_type", "value")
+
+
+def _feed_file(path: str) -> str:
+    """The single JSONL part file inside a feed dir."""
+    parts = sorted(glob.glob(os.path.join(path, "part-*")))
+    if not parts:
+        raise FileNotFoundError(f"no feed part file under {path}")
+    return parts[0]
+
+
+def _parse(line: str) -> tuple:
+    rec = json.loads(line)
+    return tuple(rec.get(c) for c in _COLS)
+
+
+class _LineRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class _FeedBatchReader(DataSourceReader):
+    """Backfill: contiguous line ranges read in parallel (A2 analog)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.n_splits = int(options.get("n_splits", "4"))
+
+    def partitions(self):
+        with open(_feed_file(self.path)) as f:
+            n = sum(1 for _ in f)
+        step = max(1, -(-n // self.n_splits))
+        return [_LineRange(i, min(i + step, n)) for i in range(0, n, step)]
+
+    def read(self, partition: _LineRange):
+        with open(_feed_file(self.path)) as f:
+            for i, line in enumerate(f):
+                if i >= partition.end:
+                    break
+                if i >= partition.start:
+                    yield _parse(line)
+
+
+class _FeedStreamReader(SimpleDataSourceStreamReader):
+    """The listener's poll loop: offset = {"pos": lines delivered so far}."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.rows_per_batch = int(options.get("rows_per_batch", "2500"))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = start["pos"]
+        out = []
+        with open(_feed_file(self.path)) as f:
+            for i, line in enumerate(f):
+                if i < pos:
+                    continue
+                if len(out) >= self.rows_per_batch:
+                    break
+                out.append(_parse(line))
+        return iter(out), {"pos": pos + len(out)}
+
+    def readBetweenOffsets(self, start, end):
+        # Restart replay (A8/A9): deliver the committed range verbatim.
+        with open(_feed_file(self.path)) as f:
+            for i, line in enumerate(f):
+                if i >= end["pos"]:
+                    break
+                if i >= start["pos"]:
+                    yield _parse(line)
+
+
+class EventFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "event_feed"
+
+    def schema(self) -> str:
+        return FEED_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _FeedBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _FeedStreamReader(self.options)
+
+
+def ensure_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events fixture as a single JSONL feed file."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    return materialize(
+        ev,
+        scratch_dir(sf_dir, "events_feed", source=f"{sf_dir}/events.parquet"),
+        lambda d, p: d.coalesce(1).write.json(p),
+    )
+
+
+def register_feed_source(spark: SparkSession) -> None:
+    spark.dataSource.register(EventFeedDataSource)
+
+
+_FEED_ORACLE_ROWS = """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+"""
+
+
+@query("q_src_python_batch", oracle=_FEED_ORACLE_ROWS)
+def q_src_python_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 parity: full backfill through the custom Python batch source —
+    every event row, read via parallel line-range partitions, value-exact
+    against the parquet-backed oracle (JSON double round-trip is
+    shortest-repr exact)."""
+    register_feed_source(spark)
+    path = ensure_feed(spark, sf_dir)
+    return spark.read.format("event_feed").option("path", path).load()
+
+
+@query(
+    "q_src_python_stream",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_src_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A8/A10 parity: the subscription loop as a custom STREAMING source.
+
+    The cursor offset advances ``rows_per_batch`` lines per poll, so the
+    backfill drains in ≥4 bounded micro-batches (asserted); the aggregate
+    over the fully-drained stream equals the batch answer — proof the
+    cursor neither dropped nor double-delivered rows.
+
+    Trigger note: availableNow collapses a Simple stream reader's whole
+    backlog into one batch (it resolves the end offset first, then reads
+    the full committed range), so the poll-loop shape needs the
+    processing-time path: run micro-batches until ``processAllAvailable``
+    sees the cursor stop advancing, then stop — which is also exactly how
+    the listener's poll loop terminated a backfill.
+    """
+    import uuid
+
+    from token_burn_listener_spark.scratch import fresh_run_dir
+
+    register_feed_source(spark)
+    path = ensure_feed(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    per_batch = max(1, n_events // 4)
+    src = (
+        spark.readStream.format("event_feed")
+        .option("path", path)
+        .option("rows_per_batch", str(per_batch))
+        .load()
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+    name = f"feed_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", fresh_run_dir("feed_cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    if n_batches < 4:
+        raise AssertionError(
+            f"cursor rate limit not applied: {n_batches} non-empty"
+            " micro-batches, expected >= 4"
+        )
+    return spark.table(name)

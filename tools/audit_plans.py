@@ -57,7 +57,12 @@ ALLOW_NESTED_LOOP = {
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
+# The q_src_* keys are the custom Python DataSource (sources/feed.py):
+# Python at the INGEST BOUNDARY (the reference's RPC client analog), not a
+# transform in the hot path — transforms downstream stay relational.
 ALLOW_PYTHON = {
+    "q_src_python_batch",
+    "q_src_python_stream",
     "q_udf_python",
     "q_udf_pandas_scalar",
     "q_udf_pandas_agg",
@@ -72,7 +77,13 @@ ALLOW_PYTHON = {
     "q_llm_ann_lsh",     # ml BucketedRandomProjectionLSH
 }
 
-PYTHON_OPS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+PYTHON_OPS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "PythonScan",  # custom Python data source (allowed only at ingest)
+)
 
 
 def main() -> int:
