@@ -172,6 +172,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_corpus_prep",
     "q_src_python_batch",
     "q_src_python_stream",
+    "q_src_python_sink",
     "q_udf_python",
     "q_udf_pandas_scalar",
     "q_udf_pandas_agg",

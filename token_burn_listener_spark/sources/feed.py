@@ -39,8 +39,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from token_burn_listener_spark.registry import query
@@ -53,11 +55,20 @@ FEED_SCHEMA = (
 _COLS = ("event_id", "ts_us", "user_id", "event_type", "value")
 
 
-def _feed_file(path: str) -> str:
-    """The single JSONL part file inside a feed dir."""
+def _feed_files(path: str) -> list[str]:
+    """All JSONL part files inside a feed dir (sorted for determinism)."""
     parts = sorted(glob.glob(os.path.join(path, "part-*")))
     if not parts:
         raise FileNotFoundError(f"no feed part file under {path}")
+    return parts
+
+
+def _feed_file(path: str) -> str:
+    """The single part file of a replay feed (streaming cursor contract:
+    ensure_feed() writes exactly one, so a line index is a total order)."""
+    parts = _feed_files(path)
+    if len(parts) != 1:
+        raise ValueError(f"stream feed must be one file, found {len(parts)}")
     return parts[0]
 
 
@@ -67,25 +78,30 @@ def _parse(line: str) -> tuple:
 
 
 class _LineRange(InputPartition):
-    def __init__(self, start: int, end: int):
-        self.start, self.end = start, end
+    def __init__(self, file: str, start: int, end: int):
+        self.file, self.start, self.end = file, start, end
 
 
 class _FeedBatchReader(DataSourceReader):
-    """Backfill: contiguous line ranges read in parallel (A2 analog)."""
+    """Backfill: per-file contiguous line ranges read in parallel (A2)."""
 
     def __init__(self, options):
         self.path = options["path"]
         self.n_splits = int(options.get("n_splits", "4"))
 
     def partitions(self):
-        with open(_feed_file(self.path)) as f:
-            n = sum(1 for _ in f)
-        step = max(1, -(-n // self.n_splits))
-        return [_LineRange(i, min(i + step, n)) for i in range(0, n, step)]
+        out = []
+        for file in _feed_files(self.path):
+            with open(file) as f:
+                n = sum(1 for _ in f)
+            step = max(1, -(-n // self.n_splits))
+            out.extend(
+                _LineRange(file, i, min(i + step, n)) for i in range(0, n, step)
+            )
+        return out
 
     def read(self, partition: _LineRange):
-        with open(_feed_file(self.path)) as f:
+        with open(partition.file) as f:
             for i, line in enumerate(f):
                 if i >= partition.end:
                     break
@@ -125,6 +141,56 @@ class _FeedStreamReader(SimpleDataSourceStreamReader):
                     yield _parse(line)
 
 
+class _FeedCommit(WriterCommitMessage):
+    def __init__(self, staged: str, n_rows: int):
+        self.staged, self.n_rows = staged, n_rows
+
+
+class _FeedWriter(DataSourceWriter):
+    """The external-store upsert (A7) as a two-phase commit:
+
+    each task stages its rows to ``_stage/<uuid>.jsonl`` and returns the
+    staged path as its commit message; only when EVERY task succeeded does
+    the driver publish — rename each staged file to ``part-…`` and write
+    the ``_FEEDCOMMIT`` manifest (the idempotency fence the listener
+    needed against its REST store: readers accept only fenced data, a
+    crashed job leaves staging garbage but never a half-visible commit).
+    """
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _FeedCommit:
+        import uuid as _uuid  # executor-side import
+
+        stage_dir = os.path.join(self.path, "_stage")
+        os.makedirs(stage_dir, exist_ok=True)
+        staged = os.path.join(stage_dir, f"{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps({c: row[c] for c in _COLS}) + "\n")
+                n += 1
+        return _FeedCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        for i, m in enumerate(messages):
+            if m is not None and m.n_rows > 0:
+                os.rename(
+                    m.staged, os.path.join(self.path, f"part-{i:05d}.jsonl")
+                )
+            elif m is not None:
+                os.remove(m.staged)
+        total = sum(m.n_rows for m in messages if m is not None)
+        with open(os.path.join(self.path, "_FEEDCOMMIT"), "w") as f:
+            json.dump({"n_rows": total, "n_tasks": len(messages)}, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
 class EventFeedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -138,6 +204,9 @@ class EventFeedDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return _FeedStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _FeedWriter(self.options)
 
 
 def ensure_feed(spark: SparkSession, sf_dir: str) -> str:
@@ -235,3 +304,38 @@ def q_src_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             " micro-batches, expected >= 4"
         )
     return spark.table(name)
+
+
+@query("q_src_python_sink", oracle=_FEED_ORACLE_ROWS)
+def q_src_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 parity: write the event feed THROUGH the custom Python sink's
+    two-phase commit, then read it back through the batch reader —
+    full-row exact means no task's rows were lost, duplicated, or
+    published before the commit fence.
+
+    The `_FEEDCOMMIT` manifest existence is asserted (a reader trusting
+    unfenced data would also pass the row check on a happy path — the
+    fence is the part that matters on a crashed one).
+    """
+    from token_burn_listener_spark.scratch import fresh_run_dir
+
+    register_feed_source(spark)
+    target = fresh_run_dir("feed_sink")
+    os.makedirs(target, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    (
+        ev.repartition(4)
+        .write.format("event_feed")
+        .option("path", target)
+        .mode("append")
+        .save()
+    )
+    if not os.path.exists(os.path.join(target, "_FEEDCOMMIT")):
+        raise AssertionError("sink commit fence missing: no _FEEDCOMMIT")
+    return spark.read.format("event_feed").option("path", target).load()

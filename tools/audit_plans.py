@@ -63,6 +63,7 @@ ALLOW_NESTED_LOOP = {
 ALLOW_PYTHON = {
     "q_src_python_batch",
     "q_src_python_stream",
+    "q_src_python_sink",
     "q_udf_python",
     "q_udf_pandas_scalar",
     "q_udf_pandas_agg",
