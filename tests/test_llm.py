@@ -111,3 +111,63 @@ def test_dup_clusters_are_consistent_with_pairs(spark, sf_dir):
         F.col("vec_id") == F.col("component_id")
     )
     assert self_labeled.count() == ids.count()
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Greedy packing: budget respected (except single oversized docs),
+    packs are contiguous in doc_id order, and every doc appears once."""
+    from token_burn_listener_spark.llm.prep import _PACK_BUDGET
+
+    packed = QUERIES["q_llm_pack_sequences"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(packed) == docs.count()
+    by_src: dict = {}
+    for r in packed:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.doc_id)
+        # pack ids are non-decreasing along doc order and start at 0
+        ids = [r.pack_id for r in rows]
+        assert ids[0] == 0 and all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
+        fills: dict = {}
+        for r in rows:
+            fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tokens
+        for pid, fill in fills.items():
+            members = [r for r in rows if r.pack_id == pid]
+            # a pack over budget must be a single oversized doc
+            assert fill <= _PACK_BUDGET or len(members) == 1, (src, pid, fill)
+
+
+def test_decontaminate_removes_all_overlap(spark, sf_dir):
+    """No surviving doc shares an 8-gram with the eval slice (and eval
+    docs themselves never survive)."""
+    from token_burn_listener_spark.llm.prep import _grams8
+
+    survivors = QUERIES["q_llm_decontaminate"](spark, sf_dir)
+    assert survivors.filter(F.col("doc_id") % 37 == 0).count() == 0
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(_grams8()).alias("gram"))
+    eval_grams = grams.filter(F.col("doc_id") % 37 == 0).select("gram").distinct()
+    leaked = (
+        grams.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .join(eval_grams, "gram", "left_semi")
+        .count()
+    )
+    assert leaked == 0
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized vectors must sit within half a quantization step of the
+    original — the defining property of affine int8 quantization."""
+    q = QUERIES["q_llm_quantize"](spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    joined = q.join(e, "vec_id").select(
+        F.expr(
+            "aggregate(zip_with(q, embedding,"
+            " (qi, x) -> abs(zero_point + qi * scale - cast(x as double))),"
+            " cast(0.0 as double), (acc, err) -> greatest(acc, err))"
+        ).alias("max_err"),
+        (F.col("scale") * 0.5 + 1e-6).alias("bound"),
+    )
+    violations = joined.filter(F.col("max_err") > F.col("bound")).count()
+    assert violations == 0

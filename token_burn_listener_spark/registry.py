@@ -145,6 +145,17 @@ DRIVER_ORDER: list[str] = [
     "q_tpch_q14ish",
     "q_tpch_q18ish",
     "q_tpch_q19ish",
+    "q_tpch_q2ish",
+    "q_tpch_q8ish",
+    "q_tpch_q9ish",
+    "q_tpch_q11ish",
+    "q_tpch_q13ish",
+    "q_tpch_q15ish",
+    "q_tpch_q16ish",
+    "q_tpch_q17ish",
+    "q_tpch_q20ish",
+    "q_tpch_q21ish",
+    "q_tpch_q22ish",
     "q_llm_exact_dedup",
     "q_llm_near_dedup",
     "q_llm_jaccard_pairs",
@@ -170,6 +181,10 @@ DRIVER_ORDER: list[str] = [
     "q_llm_dup_clusters",
     "q_llm_repetition",
     "q_llm_corpus_prep",
+    "q_llm_decontaminate",
+    "q_llm_pack_sequences",
+    "q_llm_sample_stratified",
+    "q_llm_quantize",
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
@@ -266,4 +281,5 @@ def load_all_modules() -> None:
     import token_burn_listener_spark.llm.multimodal  # noqa: F401
     import token_burn_listener_spark.llm.udfs  # noqa: F401
     import token_burn_listener_spark.llm.pipeline  # noqa: F401
+    import token_burn_listener_spark.llm.prep  # noqa: F401
     import token_burn_listener_spark.sources.feed  # noqa: F401

@@ -54,6 +54,8 @@ ALLOW_NESTED_LOOP = {
     "q_win_ntile",         # broadcast crossJoin of a 1-row total-count agg
     "q_win_pct",           # same (ranking.py with_total_count)
     "q_llm_lang_id",       # broadcast crossJoin of 5-row lang dim + 1-row vocab
+    "q_tpch_q11ish",       # broadcast crossJoin of the 1-row threshold agg
+    "q_tpch_q22ish",       # broadcast crossJoin of the 1-row avg-balance agg
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
@@ -76,6 +78,8 @@ ALLOW_PYTHON = {
     "q_llm_tfidf",       # ml HashingTF/IDF pipeline
     "q_llm_near_dedup",  # ml MinHashLSH
     "q_llm_ann_lsh",     # ml BucketedRandomProjectionLSH
+    "q_llm_pack_sequences",  # applyInPandas: the one sequential-fold stage;
+                             # only (doc_id, source, n_tokens) rows cross Arrow
 }
 
 PYTHON_OPS = (
