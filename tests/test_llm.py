@@ -171,3 +171,65 @@ def test_quantize_roundtrip_error_bound(spark, sf_dir):
     )
     violations = joined.filter(F.col("max_err") > F.col("bound")).count()
     assert violations == 0
+
+
+def test_redact_pii_removes_every_pattern(spark, sf_dir):
+    """After redaction no PII pattern remains, and every doc reports ≥3
+    injected matches (email + phone + IP)."""
+    out = QUERIES["q_llm_redact_pii"](spark, sf_dir)
+    assert out.filter(F.col("n_pii") < 3).count() == 0
+    # rebuild the redacted text the same way and scan for leftovers
+    from token_burn_listener_spark.llm.prep import _PII_EMAIL, _PII_PHONE, _PII_IP
+
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(dirty, _PII_EMAIL, "<EMAIL>"),
+                         _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>",
+    )
+    leftovers = d.select(red.alias("t")).filter(
+        F.col("t").rlike(_PII_EMAIL) | F.col("t").rlike(_PII_PHONE)
+        | F.col("t").rlike(_PII_IP)
+    )
+    assert leftovers.count() == 0
+
+
+def test_chunk_covers_every_token(spark, sf_dir):
+    """Chunk lengths per doc must cover the token count: the last chunk is
+    short, all others are exactly CHUNK_SIZE, and consecutive chunks
+    overlap by size - stride."""
+    from token_burn_listener_spark.llm.prep import _CHUNK_SIZE, _CHUNK_STRIDE
+
+    chunks = QUERIES["q_llm_chunk"](spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    n_by_doc = {r.doc_id: r.n for r in d.collect()}
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_by_doc)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        n = n_by_doc[doc_id]
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        # every chunk has the exact expected length (stride < size means the
+        # final TWO chunks can both be end-truncated)
+        for r in rows:
+            start = r.chunk_id * _CHUNK_STRIDE  # 0-based token offset
+            assert r.chunk_len == min(_CHUNK_SIZE, n - start), (doc_id, r)
+        # full coverage: the last chunk reaches the final token
+        last_start = (len(rows) - 1) * _CHUNK_STRIDE
+        assert last_start + rows[-1].chunk_len == n
+
+
+def test_global_shuffle_is_a_permutation(spark, sf_dir):
+    rows = QUERIES["q_llm_global_shuffle"](spark, sf_dir).collect()
+    positions = sorted(r.position for r in rows)
+    assert positions == list(range(1, len(rows) + 1))

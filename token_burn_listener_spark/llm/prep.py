@@ -259,3 +259,212 @@ def q_llm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("mx") - F.col("mn")) / 255.0, 9).alias("scale"),
         q.alias("q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Second prep batch: redaction, chunking, mixture sampling, global shuffle.
+# ---------------------------------------------------------------------------
+
+# The fixture corpus is clean word salad — no PII to find — so the redaction
+# key INJECTS deterministic synthetic PII (email/phone/IP derived from
+# doc_id) and then proves the scrubber removes every occurrence. Patterns
+# are written in the common Java-regex/RE2 subset (no lookarounds, no \b).
+_PII_EMAIL = "[a-z0-9.]+@[a-z.]+"
+_PII_PHONE = "[+]1-555-[0-9]{4}"
+_PII_IP = "10[.]0[.][0-9]+[.]1"
+
+
+@query(
+    "q_llm_redact_pii",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.example.com or' ||
+             ' +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+             ' ip 10.0.' || (doc_id % 256) || '.1' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           (len(regexp_extract_all(text, '[a-z0-9.]+@[a-z.]+'))
+            + len(regexp_extract_all(text, '[+]1-555-[0-9]{4}'))
+            + len(regexp_extract_all(text, '10[.]0[.][0-9]+[.]1')))::BIGINT
+             AS n_pii,
+           sha256(regexp_replace(regexp_replace(regexp_replace(text,
+                    '[a-z0-9.]+@[a-z.]+', '<EMAIL>', 'g'),
+                    '[+]1-555-[0-9]{4}', '<PHONE>', 'g'),
+                    '10[.]0[.][0-9]+[.]1', '<IP>', 'g')) AS redacted_sha
+    FROM dirty
+    """,
+)
+def q_llm_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: inject deterministic synthetic email/phone/IP per doc
+    (the fixture has none — SURVEY.md §0 honesty rule), then scrub with a
+    regexp_replace chain and emit the match count plus a hash of the
+    scrubbed text so the oracle verifies byte-identical redaction.
+
+    100 TB plan: pure map-side string work inside whole-stage codegen — no
+    UDF, no shuffle, no state; the regex set is a compile-time constant
+    per task. This is exactly how a production scrubber runs: one pass,
+    pattern count as the audit metric, content hash as the proof.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    n_pii = (
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+        + F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0)))
+        + F.size(F.regexp_extract_all("text", F.lit(_PII_IP), F.lit(0)))
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>",
+        ),
+        _PII_IP, "<IP>",
+    )
+    return (
+        d.select("doc_id", dirty.alias("text"))
+        .select(
+            "doc_id",
+            n_pii.cast("long").alias("n_pii"),
+            F.sha2(redacted, 256).alias("redacted_sha"),
+        )
+    )
+
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+@query(
+    "q_llm_chunk",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), starts AS (
+      SELECT doc_id, w, unnest(range(1, len(w) + 1, {_CHUNK_STRIDE})) AS s
+      FROM w
+    )
+    SELECT doc_id,
+           ((s - 1) // {_CHUNK_STRIDE})::BIGINT AS chunk_id,
+           len(w[s:s+{_CHUNK_SIZE - 1}])::BIGINT AS chunk_len,
+           sha256(array_to_string(w[s:s+{_CHUNK_SIZE - 1}], ' ')) AS chunk_sha
+    FROM starts
+    """,
+)
+def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: {_CHUNK_SIZE}-token chunks every
+    {_CHUNK_STRIDE} tokens (16-token overlap) — the standard long-document
+    treatment before embedding or context-window training.
+
+    100 TB plan: explode over a stepped sequence() of chunk starts — pure
+    map-side array work, output rows ≈ input tokens / stride, no shuffle.
+    The chunk content crosses to the oracle as a sha256, keeping the
+    compared payload small while still proving byte-identical slicing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_STRIDE))
+    chunk = F.expr(f"slice(split(text, ' '), s, {_CHUNK_SIZE})")
+    return (
+        d.select("doc_id", F.explode(starts).alias("s"))
+        .join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.floor((F.col("s") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("chunk_len"),
+            F.sha2(F.array_join(chunk, " "), 256).alias("chunk_sha"),
+        )
+    )
+
+
+_MIX_TOKEN_BUDGET = 250
+
+
+@query(
+    "q_llm_mix_domains",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY sha256(doc_id::VARCHAR), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM ranked WHERE cum_tokens <= {_MIX_TOKEN_BUDGET}
+    """,
+)
+def q_llm_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: every source contributes at most
+    {_MIX_TOKEN_BUDGET} tokens, filled in deterministic hash order — the
+    token-budget form of "equalize the training mixture across domains"
+    (hash order ⇒ an unbiased, reproducible subsample of each domain).
+
+    100 TB plan: one shuffle on the domain key, then a running sum inside
+    each domain partition; the budget cut-off means downstream only ever
+    sees ~budget × #domains tokens regardless of corpus size. Domains are
+    bounded and the hash order is uniform, so no skew amplification; at
+    real scale the same shape runs per (domain, shard) with per-shard
+    budgets, exactly like the packing operator.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.sha2(F.col("doc_id").cast("string"), 256), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _MIX_TOKEN_BUDGET)
+    )
+
+
+@query(
+    "q_llm_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sha256(doc_id::VARCHAR), doc_id)
+             AS position
+    FROM documents
+    """,
+)
+def q_llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    unique position in a pseudorandom (hash-ordered) total order — the
+    reproducible alternative to orderBy(rand()) for fixing an epoch's
+    sample order.
+
+    100 TB plan: built on ranking.global_row_number (repartitionByRange on
+    the hash + per-partition row_number + broadcast prefix offsets), so
+    there is NO single-task global sort anywhere — the exact pattern that
+    replaced round 1's bare Window.orderBy. The hash key is uniform by
+    construction, which makes the range partitioning perfectly balanced.
+    (Also a live regression probe for ranking.py's exchange-reuse fix: this
+    caller projects a column — doc_id — that is not the leading sort key.)
+    """
+    from token_burn_listener_spark.operators.ranking import global_row_number
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("doc_id").cast("string"), 256).alias("_h")
+    )
+    ranked = global_row_number(
+        d, [F.col("_h").asc(), F.col("doc_id").asc()], "position"
+    )
+    return ranked.select("doc_id", F.col("position").cast("long").alias("position"))

@@ -185,6 +185,10 @@ DRIVER_ORDER: list[str] = [
     "q_llm_pack_sequences",
     "q_llm_sample_stratified",
     "q_llm_quantize",
+    "q_llm_redact_pii",
+    "q_llm_chunk",
+    "q_llm_mix_domains",
+    "q_llm_global_shuffle",
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
