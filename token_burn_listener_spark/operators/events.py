@@ -1,0 +1,180 @@
+"""Event-stream analytics shapes (round 3): sessionization, funnels,
+retention cohorts.
+
+The reference's domain is an event listener; these are the three batch
+analyses every event pipeline grows: gap-based sessionization (the batch
+twin of q_stream_session's session window), funnel stage conversion, and
+weekly cohort retention. All three run on the `events` table (ts already
+ns→µs-normalized by tables.load_table) and are oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from token_burn_listener_spark.registry import query
+from token_burn_listener_spark.tables import load_table
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+@query(
+    "q_evt_sessionize",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), y AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM x
+    )
+    SELECT user_id, session_idx::BIGINT AS session_idx,
+           count(*) AS n_events, min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM y GROUP BY user_id, session_idx
+    """,
+)
+def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30 min of
+    user inactivity; sessions numbered per user by a running sum of
+    session-start flags (lag + cumulative sum — the canonical batch
+    sessionize).
+
+    100 TB plan: both windows partition by user_id — per-user event counts
+    are bounded (human behavior), so no partition outgrows a task; one
+    shuffle on user_id serves the lag, the running sum, AND the final
+    per-session aggregation (same key domain, Catalyst reuses the
+    partitioning). This is the batch twin of q_stream_session's
+    session_window, verified against the same semantics.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.withColumn("new_s", new_s)
+        .withColumn("session_idx", F.sum("new_s").over(run).cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "q_evt_funnel",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), cl AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'click' AND e.ts > su.s_ts
+      GROUP BY e.user_id
+    ), pu AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN cl ON e.user_id = cl.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > cl.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, count(*) AS users FROM su
+    UNION ALL
+    SELECT 'click_after_signup', count(*) FROM cl
+    UNION ALL
+    SELECT 'purchase_after_click', count(*) FROM pu
+    """,
+)
+def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: users who signed up → later clicked → later
+    purchased, each stage anchored at the earliest qualifying event after
+    the previous stage (strict event-order funnel, not mere co-occurrence).
+
+    100 TB plan: three passes over an event_type-pruned scan, each
+    aggregated per user BEFORE the next join — every join is
+    aggregate⋈aggregate on user_id (bounded, uniform), never
+    event⋈event. Each stage's scan pushes its event_type predicate to the
+    parquet reader. The stage counts are 1-row aggregates unioned at the
+    end — coordination cost is nil.
+    """
+    e = load_table(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    cl = (
+        e.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    row = lambda name, df: df.agg(  # noqa: E731
+        F.lit(name).alias("stage"), F.count("*").alias("users")
+    )
+    return (
+        row("signup", su)
+        .unionAll(row("click_after_signup", cl))
+        .unionAll(row("purchase_after_click", pu))
+    )
+
+
+@query(
+    "q_evt_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS active_week
+      FROM events
+    )
+    SELECT cohort_week, active_week, count(*) AS users
+    FROM cohort JOIN active USING (user_id)
+    GROUP BY cohort_week, active_week
+    """,
+)
+def q_evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted in every week they return — the classic retention triangle.
+
+    100 TB plan: cohort assignment and the distinct (user, week) activity
+    set both aggregate on user_id first, so the join is
+    aggregate⋈aggregate on the user key (one shuffle each side, reused by
+    the join); the final rollup groups on two week keys — a few hundred
+    cells regardless of scale. count(*) suffices because the activity side
+    is already distinct per (user, week).
+    """
+    e = load_table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        cohort.join(active, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("users"))
+    )

@@ -185,6 +185,9 @@ DRIVER_ORDER: list[str] = [
     "q_llm_pack_sequences",
     "q_llm_sample_stratified",
     "q_llm_quantize",
+    "q_evt_sessionize",
+    "q_evt_funnel",
+    "q_evt_retention",
     "q_llm_redact_pii",
     "q_llm_chunk",
     "q_llm_mix_domains",
@@ -277,6 +280,7 @@ def load_all_modules() -> None:
     import token_burn_listener_spark.operators.subqueries  # noqa: F401
     import token_burn_listener_spark.operators.tpch  # noqa: F401
     import token_burn_listener_spark.operators.storage  # noqa: F401
+    import token_burn_listener_spark.operators.events  # noqa: F401
     import token_burn_listener_spark.functions.scalar  # noqa: F401
     import token_burn_listener_spark.streaming.queries  # noqa: F401
     import token_burn_listener_spark.llm.dedup  # noqa: F401
