@@ -178,3 +178,45 @@ def q_evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "active_week")
         .agg(F.count("*").alias("users"))
     )
+
+
+@query(
+    "q_evt_anomaly",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, round(value, 6) AS value,
+           round((value - mu) / sd, 6) AS zscore
+    FROM events e JOIN stats ON e.event_type = stats.event_type
+    WHERE value > mu + 2.5 * sd
+    """,
+)
+def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type anomaly detection: events whose value exceeds the type's
+    mean by >2.5 sample standard deviations — the alerting query an event
+    listener grows first (for the reference's domain: abnormal burn
+    amounts).
+
+    100 TB plan: the stats side is a 5-row aggregate (one partial+final
+    pass) broadcast back onto the scan — the second pass is map-only, so
+    the whole query is two scans + zero fact shuffles. The 2.5σ threshold
+    sits in continuous float territory; both engines fold the same
+    Welford-style variance, and candidates at the exact boundary have
+    measure zero.
+    """
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy(F.col("event_type").alias("et")).agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        e.join(F.broadcast(stats), e["event_type"] == F.col("et"))
+        .filter(F.col("value") > F.col("mu") + 2.5 * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("zscore"),
+        )
+    )

@@ -188,6 +188,9 @@ DRIVER_ORDER: list[str] = [
     "q_evt_sessionize",
     "q_evt_funnel",
     "q_evt_retention",
+    "q_evt_anomaly",
+    "q_cdc_snapshot_diff",
+    "q_cdc_scd2",
     "q_llm_redact_pii",
     "q_llm_chunk",
     "q_llm_mix_domains",
@@ -281,6 +284,7 @@ def load_all_modules() -> None:
     import token_burn_listener_spark.operators.tpch  # noqa: F401
     import token_burn_listener_spark.operators.storage  # noqa: F401
     import token_burn_listener_spark.operators.events  # noqa: F401
+    import token_burn_listener_spark.operators.cdc  # noqa: F401
     import token_burn_listener_spark.functions.scalar  # noqa: F401
     import token_burn_listener_spark.streaming.queries  # noqa: F401
     import token_burn_listener_spark.llm.dedup  # noqa: F401
