@@ -34,6 +34,8 @@ HEADLINE_KEYS = [
     "q_agg_count_distinct", # distinct users per event_type
     "q_llm_exact_dedup",    # sha256 hash-groupBy dedup (BASELINE: DuckDB 35 ms)
     "q_llm_corpus_prep",    # end-to-end prepared corpus (BASELINE: DuckDB 390 ms)
+    "q_evt_sessionize",     # gap sessionization, window cascade (new in r3)
+    "q_llm_decontaminate",  # 8-gram decontamination, broadcast semi (new in r3)
 ]
 
 

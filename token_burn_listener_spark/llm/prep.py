@@ -468,3 +468,56 @@ def q_llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, [F.col("_h").asc(), F.col("doc_id").asc()], "position"
     )
     return ranked.select("doc_id", F.col("position").cast("long").alias("position"))
+
+
+@query(
+    "q_llm_inverted_index",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), p AS (
+      SELECT doc_id,
+             unnest([{'tok': w[i], 'pos': i} for i in range(1, len(w)+1)]) AS u
+      FROM w
+    )
+    SELECT u.tok AS term,
+           count(*) AS tf,
+           count(DISTINCT doc_id) AS df,
+           string_agg(lpad(doc_id::VARCHAR, 6, '0') || ':' ||
+                      lpad((u.pos)::VARCHAR, 4, '0'),
+                      ',' ORDER BY doc_id, u.pos) AS postings
+    FROM p GROUP BY u.tok
+    """,
+)
+def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term → (term freq, doc freq, positional
+    posting list) — the search-engine core structure, built relationally:
+    posexplode positions, one group-by on the term, posting lists as
+    zero-padded `doc:pos` strings so lexicographic sort ≡ (doc_id, pos)
+    numeric order (making the list oracle-comparable byte-for-byte).
+
+    100 TB plan: one shuffle keyed on the term. Hot terms (stopwords) make
+    posting lists that cannot live in one aggregation buffer at corpus
+    scale — the production layout shards the key to (term, doc_id range)
+    so each shard's list is bounded, and readers merge shards lazily;
+    same plan shape, bounded state. df via count(DISTINCT doc_id) folds
+    into the same aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    entry = F.concat(
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.lit(":"),
+        F.lpad((F.col("pos") + 1).cast("string"), 4, "0"),
+    )
+    return (
+        p.select(F.col("tok").alias("term"), "doc_id", entry.alias("e"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+            F.array_join(F.array_sort(F.collect_list("e")), ",").alias("postings"),
+        )
+    )

@@ -159,3 +159,47 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (expected 1: the aggregation's)"
         )
     return out
+
+
+@query(
+    "q_sink_compaction",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented sink (64 files) rewritten to 4
+    right-sized files, content-identical — the maintenance job every
+    streaming/incremental sink needs (each micro-batch writes
+    files-per-trigger × shuffle-partitions small files; scan cost at
+    100 TB is dominated by file COUNT once files drop under a row group).
+
+    Both layouts are asserted by direct file listing, and the oracle
+    proves the rewrite lost nothing. At scale the repartition target comes
+    from bytes/OPTIMAL_FILE_SIZE (with maxRecordsPerFile as the guard);
+    the fixed 64→4 here keeps the fixture deterministic.
+    """
+    import glob
+
+    frag = materialize(
+        load_table(spark, sf_dir, "orders"),
+        scratch_dir(sf_dir, "orders_frag", source=f"{sf_dir}/orders.parquet"),
+        lambda df, p: df.repartition(64).write.parquet(p),
+    )
+    comp = materialize(
+        spark.read.parquet(frag),
+        scratch_dir(sf_dir, "orders_compact", source=f"{sf_dir}/orders.parquet"),
+        lambda df, p: df.repartition(4).write.parquet(p),
+    )
+    n_frag = len(glob.glob(f"{frag}/part-*"))
+    n_comp = len(glob.glob(f"{comp}/part-*"))
+    if not (n_frag >= 32 and n_comp == 4):
+        raise AssertionError(
+            f"compaction layout wrong: {n_frag} fragmented / {n_comp} compacted files"
+        )
+    return spark.read.parquet(comp).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )

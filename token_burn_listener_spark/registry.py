@@ -63,9 +63,12 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #            (9) + sorts (3) + streaming (16, incl. the new A10 rate-limit
 #            key) + setops head (3). Cheap keys sit ahead of streaming as a
 #            hedge in case the cap ever turns out to be time-based.
-#   r04+:    rotate in setops tail, subqueries, LLM (22), UDFs (7), and any
-#            extras added in r03 — all currently queued right after the
-#            window, ahead of the proven block.
+#   r04+:    rotate in setops tail, subqueries, the full TPC-H shape
+#            catalog (17 keys), LLM core + corpus-prep extras (31), event
+#            analytics + CDC (6), sources (3), UDFs (7) — all queued right
+#            after the window, ahead of the proven block. ~87 unseen keys
+#            remain after r03, so full driver coverage needs rotation
+#            through ~r05; check_parity.py covers everything every round.
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
     # --- r03 driver window (positions 1-50) ---
@@ -128,6 +131,7 @@ DRIVER_ORDER: list[str] = [
     "q_stream_rocksdb",
     "q_scan_orc",
     "q_sink_partitioned",
+    "q_sink_compaction",
     "q_join_bucketed",
     "q_set_intersect_all",
     "q_set_except",
@@ -195,6 +199,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_chunk",
     "q_llm_mix_domains",
     "q_llm_global_shuffle",
+    "q_llm_inverted_index",
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
