@@ -220,3 +220,104 @@ def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("zscore"),
         )
     )
+
+
+@query(
+    "q_evt_resample",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts))::TIMESTAMP AS lo,
+             date_trunc('hour', max(ts))::TIMESTAMP AS hi
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start,
+             event_type
+      FROM bounds, (SELECT DISTINCT event_type FROM events)
+    ), actual AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.hour_start, g.event_type, coalesce(a.n, 0) AS n
+    FROM grid g LEFT JOIN actual a
+      ON g.hour_start = a.hour_start AND g.event_type = a.event_type
+    """,
+)
+def q_evt_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: the hourly rollup densified to
+    a complete (hour × event_type) grid, absent cells zero-filled — what
+    every monitoring/chart consumer needs (a missing hour must read as 0,
+    not as no row).
+
+    100 TB plan: the grid is sequence()-generated from a 1-row bounds
+    aggregate — hours × types is tiny regardless of event volume, so the
+    grid side BROADCASTS into the left join against the (already
+    aggregated) hourly counts; the fact is touched exactly once, by the
+    rollup. Zero-fill never rescans events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_start")
+        )
+        .crossJoin(types)
+    )
+    actual = e.groupBy(
+        F.date_trunc("hour", "ts").alias("ah"), F.col("event_type").alias("at")
+    ).agg(F.count("*").alias("n"))
+    return (
+        F.broadcast(grid)
+        .join(
+            actual,
+            (grid["hour_start"] == actual["ah"])
+            & (grid["event_type"] == actual["at"]),
+            "left",
+        )
+        .select(
+            "hour_start",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+_HIST_BIN = 25.0
+
+
+@query(
+    "q_evt_histogram",
+    oracle=f"""
+    SELECT event_type,
+           floor(value / {_HIST_BIN})::BIGINT AS bin,
+           floor(value / {_HIST_BIN}) * {_HIST_BIN} AS bin_lo,
+           count(*) AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_evt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type ({_HIST_BIN}-wide bins):
+    the distribution summary behind every dashboard panel and the input to
+    skew diagnosis.
+
+    100 TB plan: binning is a map-side floor-divide in codegen; the
+    aggregation keys (type × ~20 bins) are tiny, so partial aggregation
+    collapses virtually all rows before the one exchange. Bin boundaries
+    are exact: both engines fold the same double division and floor.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / _HIST_BIN)
+    return (
+        e.groupBy(
+            "event_type",
+            bin_.cast("long").alias("bin"),
+            (bin_ * _HIST_BIN).alias("bin_lo"),
+        )
+        .agg(F.count("*").alias("n"))
+    )

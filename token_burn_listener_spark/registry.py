@@ -193,6 +193,8 @@ DRIVER_ORDER: list[str] = [
     "q_evt_funnel",
     "q_evt_retention",
     "q_evt_anomaly",
+    "q_evt_resample",
+    "q_evt_histogram",
     "q_cdc_snapshot_diff",
     "q_cdc_scd2",
     "q_llm_redact_pii",

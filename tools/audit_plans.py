@@ -56,6 +56,7 @@ ALLOW_NESTED_LOOP = {
     "q_llm_lang_id",       # broadcast crossJoin of 5-row lang dim + 1-row vocab
     "q_tpch_q11ish",       # broadcast crossJoin of the 1-row threshold agg
     "q_tpch_q22ish",       # broadcast crossJoin of the 1-row avg-balance agg
+    "q_evt_resample",      # grid build: 1-row bounds × 5-row type dim
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
