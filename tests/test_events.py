@@ -1,0 +1,95 @@
+"""Spec-level invariants for the event-analytics and CDC operators.
+
+These keys are oracle-exact, but the oracle replays the SAME windowing
+logic — a mis-specified gap rule would pass parity on both engines. The
+asserts here check the SEMANTICS directly: session boundaries really
+respect the 30-minute gap, SCD2 intervals really tile each user's
+timeline, the funnel really monotonically narrows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from token_burn_listener_spark.registry import QUERIES, load_all_modules
+from token_burn_listener_spark.tables import load_table
+
+load_all_modules()
+
+
+def test_sessionize_gap_semantics(spark, sf_dir):
+    from token_burn_listener_spark.operators.events import _GAP_US
+
+    sessions = QUERIES["q_evt_sessionize"](spark, sf_dir).collect()
+    by_user: dict = {}
+    for s in sessions:
+        by_user.setdefault(s.user_id, []).append(s)
+    n_events_total = 0
+    for user, ss in by_user.items():
+        ss.sort(key=lambda s: s.session_start)
+        for s in ss:
+            assert s.session_start <= s.session_end
+            n_events_total += s.n_events
+        for a, b in zip(ss, ss[1:]):
+            # consecutive sessions are separated by MORE than the gap …
+            delta_us = (b.session_start - a.session_end).total_seconds() * 1e6
+            assert delta_us > _GAP_US, (user, a, b)
+    # … and every event landed in exactly one session
+    e = load_table(spark, sf_dir, "events")
+    assert n_events_total == e.count()
+
+
+def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
+    rows = QUERIES["q_cdc_scd2"](spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        # versions are dense from 1, exactly one open (current) version
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        opens = [r for r in vs if r.valid_to is None]
+        assert len(opens) == 1 and opens[0] is vs[-1]
+        for a, b in zip(vs, vs[1:]):
+            # intervals chain: next version starts exactly where this ends
+            assert a.valid_to == b.valid_from, (user, a, b)
+            # consecutive versions differ in state (else they'd be one run)
+            assert a.event_type != b.event_type, (user, a, b)
+
+
+def test_funnel_monotonically_narrows(spark, sf_dir):
+    rows = {r.stage: r.users for r in QUERIES["q_evt_funnel"](spark, sf_dir).collect()}
+    assert set(rows) == {"signup", "click_after_signup", "purchase_after_click"}
+    assert rows["signup"] >= rows["click_after_signup"] >= rows["purchase_after_click"]
+    assert rows["signup"] > 0
+
+
+def test_resample_grid_is_dense_and_consistent(spark, sf_dir):
+    out = QUERIES["q_evt_resample"](spark, sf_dir)
+    # dense: every (hour, type) cell present exactly once
+    n_hours = out.select("hour_start").distinct().count()
+    n_types = out.select("event_type").distinct().count()
+    assert out.count() == n_hours * n_types
+    # consistent: zero-filled totals equal the raw event count
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_snapshot_diff_classes_are_disjoint_and_complete(spark, sf_dir):
+    out = QUERIES["q_cdc_snapshot_diff"](spark, sf_dir)
+    rows = out.collect()
+    kinds = {}
+    for r in rows:
+        kinds.setdefault(r.change_type, 0)
+        kinds[r.change_type] += 1
+        if r.change_type == "insert":
+            assert r.old_v is None and r.new_v is not None
+        elif r.change_type == "delete":
+            assert r.old_v is not None and r.new_v is None
+        else:
+            assert r.old_v is not None and r.new_v is not None
+            assert r.old_v != r.new_v
+    # the derivation guarantees all three classes exist at fixture scale
+    assert set(kinds) == {"insert", "delete", "update"}
+    # keys are unique in the diff
+    assert len({r.k for r in rows}) == len(rows)
