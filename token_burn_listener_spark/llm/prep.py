@@ -521,3 +521,134 @@ def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("e")), ",").alias("postings"),
         )
     )
+
+
+@query(
+    "q_llm_winnow",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             [ord(substring(text, i, 1))::BIGINT
+              for i in range(1, length(text) + 1)] AS codes
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             [list_reduce([0::BIGINT] || codes[i:i+4],
+                          (a, b) -> (a * 31 + b) % 2147483647)
+              for i in range(1, greatest(len(codes) - 3, 2))] AS h
+      FROM c
+    )
+    SELECT doc_id, len(h)::BIGINT AS n_grams,
+           list_sort(list_distinct(
+             [list_min(h[j:j+3])
+              for j in range(1, greatest(len(h) - 2, 2))])) AS winnow
+    FROM h
+    """,
+)
+def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (the MOSS algorithm): hash every 5-gram with
+    the deterministic polynomial hash, slide a window of 4 hashes, keep
+    each window's minimum — the guaranteed-coverage robust fingerprint
+    (any match of ≥ window+gram-1 chars shares a selected hash).
+
+    Complements q_llm_fingerprint (whole-doc hash: exact dup only) and
+    q_llm_simhash (seeded, rows-only): winnowing is positional, local, and
+    oracle-exact because the hash is the same integer fold on both engines.
+
+    100 TB plan: map-only array work; the two .repartition() barriers
+    pin the codes/hash arrays as materialized columns — without them,
+    Catalyst's projection collapse re-inlines the codes array into every
+    gram's lambda (the measured 64× SimHash blowup, llm/dedup.py:205),
+    turning O(chars·gram) into O(chars²).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    codes = F.expr(
+        "transform(sequence(1, length(text)),"
+        " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"
+    )
+    with_codes = d.select("doc_id", codes.alias("codes")).repartition(32)
+    hashes = F.expr(
+        "transform(sequence(1, greatest(size(codes) - 4, 1)),"
+        " i -> aggregate(slice(codes, i, 5), 0L,"
+        "                (a, b) -> (a * 31 + b) % 2147483647))"
+    )
+    with_h = with_codes.select("doc_id", hashes.alias("h")).repartition(32)
+    winnow = F.expr(
+        "array_sort(array_distinct("
+        " transform(sequence(1, greatest(size(h) - 3, 1)),"
+        "           j -> array_min(slice(h, j, 4)))))"
+    )
+    return with_h.select(
+        "doc_id",
+        F.size("h").cast("long").alias("n_grams"),
+        winnow.alias("winnow"),
+    )
+
+
+_PRUNE_SIM = 0.35
+
+
+@query(
+    "q_llm_semantic_prune",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, pos, round(avg(val), 6) AS c FROM (
+        SELECT label, unnest(range(len(embedding))) AS pos,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings) x
+      GROUP BY 1, 2
+    ), v AS (
+      SELECT vec_id, label, unnest(range(len(embedding))) AS pos,
+             unnest(embedding::DOUBLE[]) AS val
+      FROM embeddings
+    )
+    SELECT vec_id, v.label,
+           round(sum(val * c) / (sqrt(sum(val * val)) * sqrt(sum(c * c))), 6)
+             AS centroid_sim,
+           (sum(val * c) / (sqrt(sum(val * val)) * sqrt(sum(c * c)))
+            >= {_PRUNE_SIM}) AS pruned
+    FROM v JOIN cent ON v.label = cent.label AND v.pos = cent.pos
+    GROUP BY 1, 2
+    """,
+)
+def q_llm_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: score every embedding by cosine to
+    its own cluster centroid and flag near-centroid vectors (≥ {_PRUNE_SIM})
+    as redundant — the "drop semantically duplicated training points"
+    technique, here with the fixture's label column as the cluster
+    assignment (the k-means step at scale).
+
+    100 TB plan: fully relational — vectors posexplode to 64 skinny rows,
+    join the 640-row centroid table (broadcast), and fold back to one row
+    per vector in a single aggregation; no UDF, no driver-side vectors.
+    Centroids are rounded to 6 dp on BOTH engines (the q_llm_centroids
+    convention) so the downstream float products start from identical
+    inputs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias(
+            "pos", "val"
+        ),
+    )
+    cent = (
+        v.groupBy(F.col("label").alias("cl"), F.col("pos").alias("cp"))
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+    )
+    sim = F.sum(F.col("val") * F.col("c")) / (
+        F.sqrt(F.sum(F.col("val") * F.col("val")))
+        * F.sqrt(F.sum(F.col("c") * F.col("c")))
+    )
+    return (
+        v.join(
+            F.broadcast(cent),
+            (v["label"] == F.col("cl")) & (v["pos"] == F.col("cp")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(sim, 6).alias("centroid_sim"),
+            (sim >= _PRUNE_SIM).alias("pruned"),
+        )
+    )

@@ -202,6 +202,8 @@ DRIVER_ORDER: list[str] = [
     "q_llm_mix_domains",
     "q_llm_global_shuffle",
     "q_llm_inverted_index",
+    "q_llm_winnow",
+    "q_llm_semantic_prune",
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
