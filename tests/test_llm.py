@@ -233,3 +233,20 @@ def test_global_shuffle_is_a_permutation(spark, sf_dir):
     rows = QUERIES["q_llm_global_shuffle"](spark, sf_dir).collect()
     positions = sorted(r.position for r in rows)
     assert positions == list(range(1, len(rows) + 1))
+
+
+def test_dedup_survivors_one_per_component(spark, sf_dir):
+    """Exactly one kept doc per component, and it is the max-quality
+    (min-doc_id tiebreak) member; singleton components keep themselves."""
+    rows = QUERIES["q_llm_dedup_survivors"](spark, sf_dir).collect()
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp, members in by_comp.items():
+        kept = [r for r in members if r.kept]
+        assert len(kept) == 1, (comp, members)
+        best = max(members, key=lambda r: (r.quality, -r.doc_id))
+        assert kept[0].doc_id == best.doc_id
+        # component label is the component's minimum doc_id
+        assert comp == min(r.doc_id for r in members)

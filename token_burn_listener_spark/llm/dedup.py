@@ -301,21 +301,36 @@ def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.45)
         .select("va", "vb")
     )
+    return min_label_components(e.select("vec_id"), pairs, "vec_id")
+
+
+def min_label_components(
+    nodes: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``nodes``: one row per vertex (column ``id_col``); ``pairs``: one row
+    per undirected edge as (va, vb). Returns (id_col, component_id) with
+    component_id = the component's minimum vertex id. Semantics and scale
+    notes as documented on q_llm_dup_clusters (the original inline form);
+    extracted so survivor selection (q_llm_dedup_survivors) runs the same
+    propagation over a different edge set.
+    """
     edges = pairs.unionAll(
         pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
     ).localCheckpoint()  # materialized once, re-read every round
-    labels = e.select("vec_id", F.col("vec_id").alias("component_id"))
+    labels = nodes.select(id_col, F.col(id_col).alias("component_id"))
     prev = None
     for _ in range(32):
         nbr = (
-            edges.join(labels, edges["vb"] == labels["vec_id"])
+            edges.join(labels, edges["vb"] == labels[id_col])
             .groupBy("va")
             .agg(F.min("component_id").alias("nbr_min"))
         )
         labels = (
-            labels.join(nbr, labels["vec_id"] == nbr["va"], "left")
+            labels.join(nbr, labels[id_col] == nbr["va"], "left")
             .select(
-                "vec_id",
+                id_col,
                 F.least(
                     "component_id", F.coalesce("nbr_min", "component_id")
                 ).alias("component_id"),
@@ -327,3 +342,110 @@ def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev = cur
     return labels
+
+
+@query(
+    "q_llm_dedup_survivors",
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             list_distinct([substring(text, i, 5)
+                            for i in range(1, greatest(length(text) - 3, 2))]) AS sh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS va, b.doc_id AS vb
+      FROM s a JOIN s b
+        ON a.doc_id < b.doc_id
+       AND least(len(a.sh), len(b.sh))::DOUBLE
+           / greatest(len(a.sh), len(b.sh)) >= 0.4
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(a.sh || b.sh)) >= 0.4
+    ),
+    edges AS (SELECT va, vb FROM pairs
+              UNION SELECT vb AS va, va AS vb FROM pairs),
+    reach(src, dst) AS (
+      SELECT va, vb FROM edges
+      UNION
+      SELECT r.src, e.vb FROM reach r JOIN edges e ON r.dst = e.va
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component_id
+      FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    q AS (
+      SELECT doc_id,
+             floor((0.5 * least(n_chars / 500.0, 1.0)
+                    + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens)
+                    + 0.2 * least(n_tokens / 100.0, 1.0)) * 1000000 + 0.5)
+               / 1000000 AS quality
+      FROM (SELECT doc_id, n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len([w for w in string_split(text, ' ')
+                        if w = 'a' OR w = 'the']) AS n_stop
+            FROM documents)
+    )
+    SELECT c.doc_id, component_id, quality,
+           row_number() OVER (PARTITION BY component_id
+                              ORDER BY quality DESC, c.doc_id) = 1 AS kept
+    FROM comp c JOIN q USING (doc_id)
+    """,
+)
+def q_llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup dedup DELIVERABLE: pair generation (exact Jaccard ≥ 0.4
+    with the length prefilter) → connected components → keep the
+    highest-quality document per component (tie → min doc_id). Every doc
+    comes back labeled (component_id, quality, kept), so downstream both
+    filters survivors AND audits what was dropped and why.
+
+    Composes three already-verified pieces — shingles()/the jaccard pair
+    predicate (q_llm_jaccard_pairs), min_label_components
+    (q_llm_dup_clusters), and the quality blend (q_llm_quality_score) —
+    into the pipeline a training-data team actually ships.
+
+    100 TB plan: pairs come from LSH (q_llm_near_dedup) instead of the
+    documented O(n²) exact join used at fixture scale; components and the
+    per-component argmax (a bounded-partition window — near-dup components
+    are tiny) run unchanged on those edges.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text").alias("sh")
+    )
+    a = d.select(F.col("doc_id").alias("va"), F.col("sh").alias("sa"))
+    b = d.select(F.col("doc_id").alias("vb"), F.col("sh").alias("sb"))
+    ratio = F.least(F.size("sa"), F.size("sb")) / F.greatest(
+        F.size("sa"), F.size("sb")
+    )
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter((F.col("va") < F.col("vb")) & (ratio >= 0.4))
+        .filter(jac >= 0.4)
+        .select("va", "vb")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    comp = min_label_components(docs.select("doc_id"), pairs, "doc_id")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: (w == "a") | (w == "the")))
+    score = (
+        0.5 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+        + 0.3 * (1.0 - n_stop.cast("double") / n_tokens)
+        + 0.2 * F.least(n_tokens / 100.0, F.lit(1.0))
+    )
+    quality = (F.floor(score * 1000000 + 0.5) / 1000000).alias("quality")
+    scored = docs.select("doc_id", quality)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        comp.join(scored, "doc_id")
+        .withColumn("kept", F.row_number().over(w) == 1)
+        .select("doc_id", "component_id", "quality", "kept")
+    )

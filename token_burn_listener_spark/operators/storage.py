@@ -203,3 +203,50 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority",
     )
+
+
+@query(
+    "q_scan_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source, 1::BIGINT AS batch
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, source, 2::BIGINT AS batch
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written with DIFFERENT
+    schemas (batch 2 adds the `source` column) unified by mergeSchema —
+    old rows surface the new column as NULL. This is how a long-lived
+    100 TB dataset actually looks: columns arrive mid-history, and readers
+    must merge footer schemas instead of failing or silently dropping.
+
+    The merged schema is asserted, not assumed. At scale mergeSchema=true
+    costs a footer read per file — production pins the merged schema in a
+    catalog/metastore after one inference pass; the read path is the same.
+    """
+    base_dir = scratch_dir(
+        sf_dir, "docs_evolving", source=f"{sf_dir}/documents.parquet"
+    )
+
+    def write_batches(df: DataFrame, p: str) -> None:
+        old = df.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", F.lit(1).cast("long").alias("batch")
+        )
+        new = df.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "source", F.lit(2).cast("long").alias("batch")
+        )
+        old.write.parquet(f"{p}/b1")
+        new.write.parquet(f"{p}/b2")
+
+    path = materialize(load_table(spark, sf_dir, "documents"), base_dir, write_batches)
+    out = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    got = set(out.columns)
+    if not {"doc_id", "lang", "source", "batch"} <= got:
+        raise AssertionError(f"merged schema missing columns: {got}")
+    return out.select("doc_id", "lang", "source", "batch")

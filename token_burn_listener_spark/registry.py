@@ -132,6 +132,7 @@ DRIVER_ORDER: list[str] = [
     "q_scan_orc",
     "q_sink_partitioned",
     "q_sink_compaction",
+    "q_scan_schema_evolution",
     "q_join_bucketed",
     "q_set_intersect_all",
     "q_set_except",
@@ -183,6 +184,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_multimodal",
     "q_llm_frames",
     "q_llm_dup_clusters",
+    "q_llm_dedup_survivors",
     "q_llm_repetition",
     "q_llm_corpus_prep",
     "q_llm_decontaminate",

@@ -48,6 +48,8 @@ ALLOW_NESTED_LOOP = {
     "q_join_theta",        # banded inequality join demo (broadcast side small)
     "q_llm_cosine_topk",   # brute-force oracle baseline
     "q_llm_jaccard_pairs", # exact-Jaccard oracle baseline
+    "q_llm_dedup_survivors",  # same exact pair join (LSH is the scale path)
+    "q_llm_dup_clusters",  # exact cosine pair join feeding components
     "q_llm_emb_near_dup",  # exact-cosine oracle baseline
     "q_sub_scalar",        # scalar-subquery reuse joins as BNLJ on 1-row side
     "q_agg_global",        # 1-row agg × anything
