@@ -128,6 +128,7 @@ DRIVER_ORDER: list[str] = [
     "q_set_union",
     "q_set_intersect",
     # --- r04 rotation queue (driver-unseen, after the 50-key window) ---
+    "q_stream_union",
     "q_stream_rocksdb",
     "q_scan_orc",
     "q_sink_partitioned",

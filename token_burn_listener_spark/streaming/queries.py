@@ -637,3 +637,38 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("ts") >= mx).coalesce(1).write.mode("append").parquet(replay)
     run_once()
     return read_upsert_target(spark, target)
+
+
+@query(
+    "q_stream_union",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM (SELECT event_type, value FROM events
+          UNION ALL SELECT event_type, value FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream multiplexing: two independent file-stream sources (separate
+    directories, separate source offsets in the one checkpoint) unioned
+    into a single stateful rollup — the multi-subscription shape of A1
+    (a listener following several feeds into one pipeline). Both feeds
+    replay the same events here, so the oracle is the doubled batch rollup.
+
+    100 TB plan: union of streams is plan-level concatenation — each
+    source keeps its own progress tracking and rate limits, and the
+    downstream shuffle sees one merged flow; this is exactly how
+    multi-topic/multi-region Kafka ingestion composes, with per-source
+    maxOffsetsPerTrigger throttles.
+    """
+    feed_a = read_events_stream(spark, ensure_events_replay(spark, sf_dir))
+    feed_b = read_events_stream(
+        spark, ensure_events_replay_multi(spark, sf_dir, n_files=4)
+    )
+    agg = (
+        feed_a.select("event_type", "value")
+        .union(feed_b.select("event_type", "value"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    return run_to_memory(agg, "complete")
