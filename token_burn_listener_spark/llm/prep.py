@@ -24,8 +24,6 @@ they disagree on exact .5; floor(+0.5) is engine-identical).
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
