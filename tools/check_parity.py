@@ -23,7 +23,12 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from token_burn_listener_spark.registry import QUERIES, ORACLES, load_all_modules
+from token_burn_listener_spark.registry import (
+    QUERIES,
+    ORACLES,
+    load_all_modules,
+    ordered_keys,
+)
 from token_burn_listener_spark.session import get_spark
 from token_burn_listener_spark.tables import TABLE_NAMES
 
@@ -91,11 +96,19 @@ def compare(key: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[s
 def main() -> int:
     prefixes = sys.argv[1:]
     load_all_modules()
+    # DRIVER_ORDER sequence, so a full run exercises the exact ordering the
+    # external driver will use (streaming keys mid-sequence and all).
+    # ``--head N`` limits to the first N keys of that order — the faithful
+    # simulation of the driver's 50-key correctness window.
+    head = None
+    if prefixes and prefixes[0] == "--head":
+        head = int(prefixes[1])
+        prefixes = prefixes[2:]
     keys = [
         k
-        for k in QUERIES
+        for k in ordered_keys()
         if not prefixes or any(k.startswith(p) for p in prefixes)
-    ]
+    ][: head if head is not None else len(QUERIES)]
     print(f"checking {len(keys)} queries at {SF_DIR}")
     spark = get_spark("parity-check")
     con = duck_connection(SF_DIR)
