@@ -448,3 +448,48 @@ def q_hash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xxhash64 — Spark's shuffle/bloom hash; no DuckDB twin (SURVEY.md §2.B8)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", F.xxhash64("text").alias("xx"))
+
+
+@query(
+    "q_struct_ops",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      FROM orders
+    )
+    SELECT o_custkey,
+           round(o_totalprice, 2) AS cheapest_price,
+           o_orderkey AS cheapest_okey,
+           n_orders
+    FROM r WHERE rn = 1
+    """,
+)
+def q_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct column surface (B8 completion): construct a named struct,
+    aggregate with struct ORDERING (min over (price, okey) structs is
+    lexicographic — Spark's native argmin idiom), then project nested
+    fields back out. The oracle states the same semantics with a window,
+    proving the struct path yields the relational answer.
+
+    100 TB plan: min(struct) folds in partial aggregation exactly like any
+    min — one shuffle on the group key, constant state per group; no
+    window, no sort. This is the cheap deterministic argmin pattern the
+    engine uses wherever "the row that achieves the extreme" is needed.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_totalprice").alias("price"), F.col("o_orderkey").alias("okey")
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.min(s).alias("m"), F.count("*").alias("n_orders"))
+        .select(
+            "o_custkey",
+            F.round(F.col("m.price"), 2).alias("cheapest_price"),
+            F.col("m.okey").alias("cheapest_okey"),
+            "n_orders",
+        )
+    )

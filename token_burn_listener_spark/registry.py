@@ -135,6 +135,7 @@ DRIVER_ORDER: list[str] = [
     "q_sink_compaction",
     "q_scan_schema_evolution",
     "q_join_bucketed",
+    "q_struct_ops",
     "q_set_intersect_all",
     "q_set_except",
     "q_set_except_all",
