@@ -267,19 +267,26 @@ def q_math_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(string_split(text, ' '))                    AS n_tokens,
            list_contains(string_split(text, ' '), 'spark') AS has_spark,
-           list_sort(string_split(text, ' '))              AS sorted_tokens
+           array_to_string(list_sort(string_split(text, ' ')), ' ')
+                                                           AS sorted_tokens
     FROM documents
     """,
 )
 def q_arr_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """size / array_contains / sort_array over tokenized document text."""
+    """size / array_contains / sort_array over tokenized document text.
+
+    The sorted token list is emitted as a space-joined STRING, not a raw
+    ArrayType column: the driver's pandas canonicalizer sorts result rows and
+    list cells are unhashable/unsortable there (r03 RED row). Same values,
+    driver-sortable type.
+    """
     d = load_table(spark, sf_dir, "documents")
     tokens = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(tokens).cast("long").alias("n_tokens"),
         F.array_contains(tokens, "spark").alias("has_spark"),
-        F.sort_array(tokens).alias("sorted_tokens"),
+        F.array_join(F.sort_array(tokens), " ").alias("sorted_tokens"),
     )
 
 

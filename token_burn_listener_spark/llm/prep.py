@@ -212,10 +212,11 @@ def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            round(mn, 6) AS zero_point,
            round((mx - mn) / 255.0, 9) AS scale,
-           CASE WHEN mx = mn THEN [0 FOR x IN e]::BIGINT[]
-                ELSE [floor((x - mn) * 255.0 / (mx - mn) + 0.5)::BIGINT
-                      FOR x IN e]
-           END AS q
+           array_to_string(
+             CASE WHEN mx = mn THEN [0 FOR x IN e]::BIGINT[]
+                  ELSE [floor((x - mn) * 255.0 / (mx - mn) + 0.5)::BIGINT
+                        FOR x IN e]
+             END, ',') AS q
     FROM (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              list_min(embedding::DOUBLE[]) AS mn,
@@ -237,6 +238,11 @@ def q_llm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Floats upcast to double BEFORE arithmetic so both engines fold the
     identical IEEE sequence; mx = mn (constant vector) degenerates to
     all-zero codes on both sides.
+
+    The code vector is emitted as a comma-joined STRING (not ArrayType):
+    the driver's pandas canonicalizer cannot sort list cells (r03
+    q_arr_basic RED row). Lossless — bigint→string is identical in both
+    engines.
     """
     e = load_table(spark, sf_dir, "embeddings")
     d = F.expr("transform(embedding, x -> cast(x as double))")
@@ -255,7 +261,7 @@ def q_llm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("mn", 6).alias("zero_point"),
         F.round((F.col("mx") - F.col("mn")) / 255.0, 9).alias("scale"),
-        q.alias("q"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q"),
     )
 
 
@@ -481,8 +487,8 @@ def q_llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT u.tok AS term,
            count(*) AS tf,
            count(DISTINCT doc_id) AS df,
-           string_agg(lpad(doc_id::VARCHAR, 6, '0') || ':' ||
-                      lpad((u.pos)::VARCHAR, 4, '0'),
+           string_agg(lpad(doc_id::VARCHAR, 12, '0') || ':' ||
+                      lpad((u.pos)::VARCHAR, 7, '0'),
                       ',' ORDER BY doc_id, u.pos) AS postings
     FROM p GROUP BY u.tok
     """,
@@ -505,10 +511,13 @@ def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
+    # Pad widths 12/7 keep the encoding injective (lpad TRUNCATES overlong
+    # strings, silently breaking lexicographic==numeric order) up to 1e12
+    # docs / 1e7 token positions — far beyond any 100 TB corpus partition.
     entry = F.concat(
-        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
         F.lit(":"),
-        F.lpad((F.col("pos") + 1).cast("string"), 4, "0"),
+        F.lpad((F.col("pos") + 1).cast("string"), 7, "0"),
     )
     return (
         p.select(F.col("tok").alias("term"), "doc_id", entry.alias("e"))
@@ -537,9 +546,9 @@ def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT doc_id, len(h)::BIGINT AS n_grams,
-           list_sort(list_distinct(
+           array_to_string(list_sort(list_distinct(
              [list_min(h[j:j+3])
-              for j in range(1, greatest(len(h) - 2, 2))])) AS winnow
+              for j in range(1, greatest(len(h) - 2, 2))])), ',') AS winnow
     FROM h
     """,
 )
@@ -579,7 +588,11 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_h.select(
         "doc_id",
         F.size("h").cast("long").alias("n_grams"),
-        winnow.alias("winnow"),
+        # Comma-joined string, not ArrayType: driver canonicalizer cannot
+        # sort list cells (r03 q_arr_basic RED row).
+        F.array_join(
+            F.transform(winnow, lambda x: x.cast("string")), ","
+        ).alias("winnow"),
     )
 
 

@@ -57,23 +57,126 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # to the back.
 #
 # Rotation plan (keep this comment current each round):
-#   r01+r02 proved: scans, projections, joins, aggregations, q_win_row_number
-#            (the registration-order head — now rotated to the back).
-#   r03 window (first 50): canary q_scan_parquet + B8 scalar (18) + windows
-#            (9) + sorts (3) + streaming (16, incl. the new A10 rate-limit
-#            key) + setops head (3). Cheap keys sit ahead of streaming as a
-#            hedge in case the cap ever turns out to be time-based.
-#   r04+:    rotate in setops tail, subqueries, the full TPC-H shape
-#            catalog (17 keys), LLM core + corpus-prep extras (31), event
-#            analytics + CDC (6), sources (3), UDFs (7) — all queued right
-#            after the window, ahead of the proven block. ~87 unseen keys
-#            remain after r03, so full driver coverage needs rotation
-#            through ~r05; check_parity.py covers everything every round.
+#   r01+r02 proved: scans, projections, joins, aggregations, q_win_row_number.
+#   r03 proved: B8 scalars (18), windows (9), sorts (3), streaming (16),
+#            setops head (3) — 46 green, 3 no-oracle, 1 red (q_arr_basic,
+#            ArrayType output; fixed this round, back in the r04 window).
+#   r04 window (first 50): canary q_scan_parquet + q_arr_basic (red→green
+#            probe) + storage (5) + q_struct_ops + setops tail (4) +
+#            subqueries (3) + all 20 TPC-H shapes + streaming leftovers (2) +
+#            LLM head (13: dedup/ANN core + text head). Cheap keys first as
+#            the usual time-cap hedge.
+#   r05 queue (right after the window, ~40 keys): LLM tail (text stats,
+#            corpus prep, multimodal, index/winnow/prune), event analytics +
+#            CDC, Python sources, UDF surface. Ordered cheap-first today so
+#            r05 is a pure head-chop rotation. After r05 every key has a
+#            driver row; check_parity.py covers everything every round.
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r03 driver window (positions 1-50) ---
-    "q_scan_parquet",  # canary: driver-proven twice, cheapest possible probe
-    # B8 scalar functions (18)
+    # --- r04 driver window (positions 1-50) ---
+    "q_scan_parquet",  # canary: driver-proven three times, cheapest probe
+    "q_arr_basic",  # r03 RED (ArrayType output) → fixed: array_join'd string
+    # B1 storage extras, never driver-checked (5)
+    "q_scan_orc",
+    "q_sink_partitioned",
+    "q_sink_compaction",
+    "q_scan_schema_evolution",
+    "q_join_bucketed",
+    # B8 struct ops (1)
+    "q_struct_ops",
+    # B7 setops tail (4)
+    "q_set_intersect_all",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_distinct",
+    # subqueries (3)
+    "q_sub_scalar",
+    "q_sub_in",
+    "q_sub_correlated",
+    # TPC-H shape catalog (20)
+    "q_tpch_q2ish",
+    "q_tpch_q4ish",
+    "q_tpch_q5ish",
+    "q_tpch_q6ish",
+    "q_tpch_q7ish",
+    "q_tpch_q8ish",
+    "q_tpch_q9ish",
+    "q_tpch_q10ish",
+    "q_tpch_q11ish",
+    "q_tpch_q12ish",
+    "q_tpch_q13ish",
+    "q_tpch_q14ish",
+    "q_tpch_q15ish",
+    "q_tpch_q16ish",
+    "q_tpch_q17ish",
+    "q_tpch_q18ish",
+    "q_tpch_q19ish",
+    "q_tpch_q20ish",
+    "q_tpch_q21ish",
+    "q_tpch_q22ish",
+    # B9 streaming leftovers (2)
+    "q_stream_union",
+    "q_stream_rocksdb",
+    # B10 LLM head: dedup/ANN core + text head (13) — window ends here
+    "q_llm_exact_dedup",
+    "q_llm_near_dedup",
+    "q_llm_jaccard_pairs",
+    "q_llm_emb_near_dup",
+    "q_llm_simhash",
+    "q_llm_cosine_topk",
+    "q_llm_knn_query",
+    "q_llm_ann_lsh",
+    "q_llm_centroids",
+    "q_llm_ivf_search",
+    "q_llm_tokenize",
+    "q_llm_term_stats",
+    "q_llm_tfidf",
+    # --- r05 rotation queue (driver-unseen, after the 50-key window) ---
+    # cheap text/scalar keys first, then pipeline composites, then the
+    # stateful/UDF tail — same time-cap hedge as every round.
+    "q_llm_ngrams",
+    "q_llm_text_filter",
+    "q_llm_doc_stats",
+    "q_llm_quality_score",
+    "q_llm_fingerprint",
+    "q_llm_lang_id",
+    "q_llm_token_count",
+    "q_llm_repetition",
+    "q_llm_quantize",
+    "q_llm_winnow",
+    "q_llm_inverted_index",
+    "q_llm_redact_pii",
+    "q_llm_chunk",
+    "q_llm_mix_domains",
+    "q_llm_sample_stratified",
+    "q_llm_global_shuffle",
+    "q_llm_pack_sequences",
+    "q_llm_decontaminate",
+    "q_llm_dup_clusters",
+    "q_llm_dedup_survivors",
+    "q_llm_semantic_prune",
+    "q_llm_corpus_prep",
+    "q_llm_multimodal",
+    "q_llm_frames",
+    "q_evt_sessionize",
+    "q_evt_funnel",
+    "q_evt_retention",
+    "q_evt_anomaly",
+    "q_evt_resample",
+    "q_evt_histogram",
+    "q_cdc_snapshot_diff",
+    "q_cdc_scd2",
+    "q_src_python_batch",
+    "q_src_python_stream",
+    "q_src_python_sink",
+    "q_udf_python",
+    "q_udf_pandas_scalar",
+    "q_udf_pandas_agg",
+    "q_udf_grouped_map",
+    "q_udf_map_iter",
+    "q_udtf",
+    "q_udf_cogroup",
+    # --- driver-proven in r03 (rotated to the back of the unproven tail) ---
     "q_str_basic",
     "q_str_split",
     "q_str_regex",
@@ -82,7 +185,6 @@ DRIVER_ORDER: list[str] = [
     "q_date_unix",
     "q_math_fns",
     "q_math_conv",
-    "q_arr_basic",
     "q_arr_hof",
     "q_arr_explode",
     "q_arr_zip",
@@ -92,7 +194,6 @@ DRIVER_ORDER: list[str] = [
     "q_hash_sha2",
     "q_hash_md5",
     "q_hash_xxhash",
-    # B5 windows never driver-checked (9)
     "q_win_rank",
     "q_win_ntile",
     "q_win_pct",
@@ -102,11 +203,9 @@ DRIVER_ORDER: list[str] = [
     "q_win_sliding",
     "q_win_first_last",
     "q_win_topk_group",
-    # B6 sorts/limits (3)
     "q_sort_multi",
     "q_limit",
     "q_topk_global",
-    # B9 streaming — the reference-parity slice (16)
     "q_stream_source_replay",
     "q_stream_rate_smoke",
     "q_stream_availablenow",
@@ -123,101 +222,9 @@ DRIVER_ORDER: list[str] = [
     "q_stream_foreachbatch",
     "q_stream_checkpoint",
     "q_stream_outer_join",
-    # B7 setops head (3) — window position 48-50
     "q_set_union_all",
     "q_set_union",
     "q_set_intersect",
-    # --- r04 rotation queue (driver-unseen, after the 50-key window) ---
-    "q_stream_union",
-    "q_stream_rocksdb",
-    "q_scan_orc",
-    "q_sink_partitioned",
-    "q_sink_compaction",
-    "q_scan_schema_evolution",
-    "q_join_bucketed",
-    "q_struct_ops",
-    "q_set_intersect_all",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_distinct",
-    "q_sub_scalar",
-    "q_sub_in",
-    "q_sub_correlated",
-    "q_tpch_q5ish",
-    "q_tpch_q7ish",
-    "q_tpch_q10ish",
-    "q_tpch_q4ish",
-    "q_tpch_q6ish",
-    "q_tpch_q12ish",
-    "q_tpch_q14ish",
-    "q_tpch_q18ish",
-    "q_tpch_q19ish",
-    "q_tpch_q2ish",
-    "q_tpch_q8ish",
-    "q_tpch_q9ish",
-    "q_tpch_q11ish",
-    "q_tpch_q13ish",
-    "q_tpch_q15ish",
-    "q_tpch_q16ish",
-    "q_tpch_q17ish",
-    "q_tpch_q20ish",
-    "q_tpch_q21ish",
-    "q_tpch_q22ish",
-    "q_llm_exact_dedup",
-    "q_llm_near_dedup",
-    "q_llm_jaccard_pairs",
-    "q_llm_emb_near_dup",
-    "q_llm_simhash",
-    "q_llm_cosine_topk",
-    "q_llm_knn_query",
-    "q_llm_ann_lsh",
-    "q_llm_centroids",
-    "q_llm_ivf_search",
-    "q_llm_tokenize",
-    "q_llm_term_stats",
-    "q_llm_tfidf",
-    "q_llm_ngrams",
-    "q_llm_text_filter",
-    "q_llm_doc_stats",
-    "q_llm_quality_score",
-    "q_llm_fingerprint",
-    "q_llm_lang_id",
-    "q_llm_token_count",
-    "q_llm_multimodal",
-    "q_llm_frames",
-    "q_llm_dup_clusters",
-    "q_llm_dedup_survivors",
-    "q_llm_repetition",
-    "q_llm_corpus_prep",
-    "q_llm_decontaminate",
-    "q_llm_pack_sequences",
-    "q_llm_sample_stratified",
-    "q_llm_quantize",
-    "q_evt_sessionize",
-    "q_evt_funnel",
-    "q_evt_retention",
-    "q_evt_anomaly",
-    "q_evt_resample",
-    "q_evt_histogram",
-    "q_cdc_snapshot_diff",
-    "q_cdc_scd2",
-    "q_llm_redact_pii",
-    "q_llm_chunk",
-    "q_llm_mix_domains",
-    "q_llm_global_shuffle",
-    "q_llm_inverted_index",
-    "q_llm_winnow",
-    "q_llm_semantic_prune",
-    "q_src_python_batch",
-    "q_src_python_stream",
-    "q_src_python_sink",
-    "q_udf_python",
-    "q_udf_pandas_scalar",
-    "q_udf_pandas_agg",
-    "q_udf_grouped_map",
-    "q_udf_map_iter",
-    "q_udtf",
-    "q_udf_cogroup",
     # --- driver-proven in r01/r02 (rotated to the back) ---
     "q_scan_projection_pushdown",
     "q_scan_filter_pushdown",

@@ -7,7 +7,13 @@ passes, any order-insensitive hash of the same values passes).
 
 Usage:
     python tools/check_parity.py [key_prefix ...]   # default: all keys
+    python tools/check_parity.py --head 50          # simulate driver window
+    python tools/check_parity.py --strict-types     # also diff dtype kinds
     SF_DIR=/root/testdata/sf0.01 python tools/check_parity.py q_join
+
+Strictness matches the driver (r03 lesson): a Spark result column holding
+list/struct cells is a hard FAIL here because the driver's pandas
+canonicalizer cannot sort such cells.
 """
 
 from __future__ import annotations
@@ -66,8 +72,57 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return ndf.reset_index(drop=True)
 
 
-def compare(key: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+def complex_cells(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells the driver's canonicalizer cannot sort.
+
+    The driver sorts result rows with pandas ``sort_values``; list / ndarray /
+    dict cells raise ``TypeError: unhashable type`` there (r03 q_arr_basic RED
+    row). check_parity used to tuple-ize them (masking the failure) — now any
+    such column is a hard FAIL so the local gate predicts the driver gate.
+    Queries must emit arrays as joined strings / JSON instead.
+    """
+    bad = []
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            head = s.dropna().head(50)
+            if any(isinstance(v, (list, np.ndarray, dict, set)) for v in head):
+                bad.append(c)
+    return bad
+
+
+def compare(
+    key: str,
+    spark_pdf: pd.DataFrame,
+    duck_pdf: pd.DataFrame,
+    strict_types: bool = False,
+) -> list[str]:
     problems = []
+    for c in complex_cells(spark_pdf):
+        problems.append(
+            f"col {c}: list/struct-typed cells — driver canonicalizer cannot "
+            "sort these (emit array_join/to_json instead)"
+        )
+    if problems:
+        return problems
+    if strict_types:
+        kind = lambda s: (  # noqa: E731
+            "datetime"
+            if pd.api.types.is_datetime64_any_dtype(s)
+            else "int"
+            if pd.api.types.is_integer_dtype(s)
+            else "float"
+            if pd.api.types.is_float_dtype(s)
+            else "bool"
+            if pd.api.types.is_bool_dtype(s)
+            else "object"
+        )
+        for c in sorted(set(spark_pdf.columns) & set(duck_pdf.columns)):
+            ks, kd = kind(spark_pdf[c]), kind(duck_pdf[c])
+            if ks != kd:
+                problems.append(f"col {c}: dtype kind spark={ks} duck={kd}")
+        if problems:
+            return problems
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(
             f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
@@ -100,6 +155,10 @@ def main() -> int:
     # external driver will use (streaming keys mid-sequence and all).
     # ``--head N`` limits to the first N keys of that order — the faithful
     # simulation of the driver's 50-key correctness window.
+    strict_types = False
+    if "--strict-types" in prefixes:
+        strict_types = True
+        prefixes = [p for p in prefixes if p != "--strict-types"]
     head = None
     if prefixes and prefixes[0] == "--head":
         head = int(prefixes[1])
@@ -127,7 +186,11 @@ def main() -> int:
             # Match the driver's rows>0 smoke semantics: empty output fails.
             if len(sdf) > 0:
                 n_rows_only += 1
-                print(f"rows {k}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+                note = ""
+                cc = complex_cells(sdf)
+                if cc:
+                    note = f"  [warn: list/struct cells in {cc}]"
+                print(f"rows {k}: {len(sdf)} rows ({time.time()-t0:.1f}s){note}")
             else:
                 n_fail += 1
                 failures.append(k)
@@ -140,7 +203,7 @@ def main() -> int:
             failures.append(k)
             print(f"FAIL {k}: duckdb raised\n{traceback.format_exc()}")
             continue
-        problems = compare(k, sdf, ddf)
+        problems = compare(k, sdf, ddf, strict_types=strict_types)
         if problems:
             n_fail += 1
             failures.append(k)
