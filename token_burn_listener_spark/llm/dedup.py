@@ -321,7 +321,9 @@ def min_label_components(
     ).localCheckpoint()  # materialized once, re-read every round
     labels = nodes.select(id_col, F.col(id_col).alias("component_id"))
     prev = None
-    for _ in range(32):
+    converged = False
+    max_rounds = 32
+    for _ in range(max_rounds):
         nbr = (
             edges.join(labels, edges["vb"] == labels[id_col])
             .groupBy("va")
@@ -339,8 +341,17 @@ def min_label_components(
         )
         cur = labels.agg(F.sum("component_id")).collect()[0][0]
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # No-silent-caps convention: a component whose diameter exceeds the
+        # round budget would get WRONG labels (and downstream survivor
+        # selection wrong keep/drop decisions) if we returned here quietly.
+        raise RuntimeError(
+            f"min_label_components: no fixed point after {max_rounds} "
+            "rounds — graph diameter exceeds the budget; raise max_rounds"
+        )
     return labels
 
 

@@ -26,7 +26,7 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
     WITH x AS (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_GAP_US}
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -43,8 +43,11 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
     """,
 )
 def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization: a new session starts after >30 min of
-    user inactivity; sessions numbered per user by a running sum of
+    """Gap-based sessionization: a new session starts when ≥30 min pass
+    with no user activity (gap >= threshold — the same boundary convention
+    as Spark's session_window / q_stream_session, where a window is
+    [start, start+gap) and an event landing exactly on the close boundary
+    opens a NEW session); sessions numbered per user by a running sum of
     session-start flags (lag + cumulative sum — the canonical batch
     sessionize).
 
@@ -58,7 +61,7 @@ def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    new_s = F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0)
+    new_s = F.when(gap.isNull() | (gap >= _GAP_US), 1).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -249,11 +252,14 @@ def q_evt_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     every monitoring/chart consumer needs (a missing hour must read as 0,
     not as no row).
 
-    100 TB plan: the grid is sequence()-generated from a 1-row bounds
-    aggregate — hours × types is tiny regardless of event volume, so the
-    grid side BROADCASTS into the left join against the (already
-    aggregated) hourly counts; the fact is touched exactly once, by the
-    rollup. Zero-fill never rescans events.
+    100 TB plan: BOTH join inputs are tiny aggregates regardless of event
+    volume — the grid is sequence()-generated from a 1-row bounds
+    aggregate, and `actual` is the hourly rollup (hours × types rows). The
+    rollup side BROADCASTS as the build side of the left join; the
+    grid side cannot (Spark never builds a broadcast hash map on the
+    outer-PRESERVED side — unmatched probe rows must stream). The fact
+    table is touched exactly once, by the rollup; zero-fill never rescans
+    events.
     """
     e = load_table(spark, sf_dir, "events")
     bounds = e.agg(
@@ -273,9 +279,8 @@ def q_evt_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("ah"), F.col("event_type").alias("at")
     ).agg(F.count("*").alias("n"))
     return (
-        F.broadcast(grid)
-        .join(
-            actual,
+        grid.join(
+            F.broadcast(actual),
             (grid["hour_start"] == actual["ah"])
             & (grid["event_type"] == actual["at"]),
             "left",

@@ -39,18 +39,21 @@ def global_row_number(
     local = with_pid.withColumn(
         "_lrank", F.row_number().over(Window.partitionBy("_pid").orderBy(*order))
     )
-    # Persisted because BOTH consumers below (the ranked rows and the
+    # Materialized because BOTH consumers below (the ranked rows and the
     # counts→offsets branch) read this plan: without a materialization
     # point, each branch would plant its own repartitionByRange exchange,
     # and two independent range SAMPLINGS can place boundary rows in
     # different partitions — silently duplicating or skipping global ranks
     # whenever Catalyst's canonical-plan exchange reuse doesn't kick in
     # (it breaks as soon as a caller projects columns beyond the order
-    # keys). The cache pins one exchange; even on eviction both branches
-    # recompute from the SAME RDD lineage (same sampling seed), so the
-    # boundaries stay consistent. Cost at scale: one extra materialization
-    # of the ranked input — the price of a correct distributed global rank.
-    local = local.persist()
+    # keys). localCheckpoint (not .persist()) pins one exchange WITHOUT
+    # registering a session-lifetime CacheManager entry — r3 ADVICE: the
+    # old persist() was never unpersisted, so every caller leaked a cached
+    # plan for the session's lifetime. Checkpoint blocks are freed by the
+    # ContextCleaner once the DataFrame is garbage-collected. Cost at
+    # scale: one extra materialization of the ranked input — the price of
+    # a correct distributed global rank.
+    local = local.localCheckpoint(eager=False)
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
