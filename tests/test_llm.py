@@ -161,9 +161,12 @@ def test_quantize_roundtrip_error_bound(spark, sf_dir):
     original — the defining property of affine int8 quantization."""
     q = QUERIES["q_llm_quantize"](spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # q ships as a comma-joined string (driver canonicalizer compat) —
+    # parse it back to bigint codes before dequantizing.
     joined = q.join(e, "vec_id").select(
         F.expr(
-            "aggregate(zip_with(q, embedding,"
+            "aggregate(zip_with("
+            "   transform(split(q, ','), s -> cast(s as bigint)), embedding,"
             " (qi, x) -> abs(zero_point + qi * scale - cast(x as double))),"
             " cast(0.0 as double), (acc, err) -> greatest(acc, err))"
         ).alias("max_err"),
