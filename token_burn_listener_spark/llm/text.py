@@ -447,3 +447,62 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rep_ratio"),
         )
     )
+
+
+@query(
+    "q_llm_bigram_lm",
+    oracle="""
+    WITH bi AS (
+      SELECT doc_id,
+             unnest([substring(text, i, 2) for i in range(1, length(text))])
+               AS bg
+      FROM documents WHERE length(text) >= 2
+    ), c AS (
+      SELECT bg, count(*) AS c FROM bi GROUP BY bg
+    ), t AS (
+      SELECT count(*)::DOUBLE AS total FROM bi
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(log10(c / total)), 6) AS lm_score
+    FROM bi JOIN c USING (bg), t
+    GROUP BY doc_id
+    """,
+)
+def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram language-model scoring (extra, beyond §2.B10): train a
+    corpus-level character-bigram frequency model, then score every
+    document by its mean log10 bigram probability — the KenLM-style
+    perplexity filter that corpus pipelines run to drop gibberish and
+    off-distribution text, reduced to its self-trained bigram core (no
+    external model files in the container).
+
+    100 TB plan: the model side is BOUNDED by charset² regardless of
+    corpus size, so the trained counts BROADCAST into the scoring join —
+    the exploded corpus never shuffles for the join; the per-doc score
+    aggregation partial-combines the ~|text| bigram rows back to one row
+    per document map-side (bigrams of a doc are colocated with the doc).
+    The 1-row total crossJoins as a broadcast, never a driver collect.
+    Both engines average the identical log10 terms; round(6) absorbs
+    FP summation-order noise (|score| ≈ 4, tail error ≈ 1e-12).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1),"
+                   " i -> substring(text, i, 2))")
+        ).alias("bg"),
+    )
+    counts = bi.groupBy("bg").agg(F.count("*").alias("c"))
+    total = bi.agg(F.count("*").cast("double").alias("total"))
+    return (
+        bi.join(F.broadcast(counts), "bg")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log10(F.col("c") / F.col("total"))), 6)
+              .alias("lm_score"),
+        )
+    )

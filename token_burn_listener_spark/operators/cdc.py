@@ -154,3 +154,110 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(vw).alias("valid_to"),
         "n_events",
     )
+
+
+@query(
+    "q_cdc_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, round(o_totalprice, 2) AS v
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), log AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             round(o_totalprice + 1.0, 2) AS v
+      FROM orders WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'U', round(o_totalprice * 2.0, 2)
+      FROM orders WHERE o_orderkey % 11 = 0
+    ), latest AS (
+      SELECT k, op, v FROM (
+        SELECT k, op, v,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM log) x
+      WHERE rn = 1
+    )
+    SELECT coalesce(b.k, l.k) AS k,
+           coalesce(l.v, b.v) AS v,
+           CASE WHEN l.k IS NULL THEN 'kept'
+                WHEN b.k IS NULL THEN 'inserted'
+                ELSE 'updated' END AS provenance
+    FROM base b FULL JOIN latest l ON b.k = l.k
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a CDC change log
+    (upserts + deletes, sequence-ordered, possibly several ops per key) to
+    a base snapshot and emit the post-merge state with per-row provenance.
+    Latest-op-wins per key, exactly the resolution Delta/Iceberg MERGE and
+    Paimon/Hudi compaction perform.
+
+    Base and log are deterministic in-query derivations of orders (the
+    fixture ships no real changelog): every non-multiple-of-5 key gets an
+    upsert, multiples of 7 a later delete, multiples of 11 a final
+    re-upsert — so keys exercise all of kept / inserted / updated /
+    deleted / delete-then-reinsert.
+
+    100 TB plan: the log collapses to latest-per-key FIRST (window over
+    the log only — delta-sized, partial row_number after one shuffle on
+    k), then ONE full-outer sort-merge join against the snapshot on the
+    uniform primary key. In production the collapsed delta is usually far
+    smaller than the snapshot, so AQE will flip the join to
+    broadcast/shuffled-hash when it fits; expressed declaratively, both
+    strategies stay available. Deletes drop AFTER the join (an anti-join
+    would lose the 'kept' provenance of unmatched base rows).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 2).alias("v"),
+    )
+    log = (
+        o.filter(F.col("o_orderkey") % 5 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            F.round(F.col("o_totalprice") + 1.0, 2).alias("v"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("v"),
+            )
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(3).alias("seq"),
+                F.lit("U").alias("op"),
+                F.round(F.col("o_totalprice") * 2.0, 2).alias("v"),
+            )
+        )
+    )
+    rn = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "v")
+    )
+    b, l = base.alias("b"), latest.alias("l")
+    merged = b.join(l, F.col("b.k") == F.col("l.k"), "full")
+    provenance = (
+        F.when(F.col("l.k").isNull(), "kept")
+        .when(F.col("b.k").isNull(), "inserted")
+        .otherwise("updated")
+    )
+    return (
+        merged.filter(F.col("l.op").isNull() | (F.col("l.op") != "D"))
+        .select(
+            F.coalesce(F.col("b.k"), F.col("l.k")).alias("k"),
+            F.coalesce(F.col("l.v"), F.col("b.v")).alias("v"),
+            provenance.alias("provenance"),
+        )
+    )

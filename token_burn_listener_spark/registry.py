@@ -166,6 +166,8 @@ DRIVER_ORDER: list[str] = [
     "q_evt_histogram",
     "q_cdc_snapshot_diff",
     "q_cdc_scd2",
+    "q_cdc_merge",  # new r4: MERGE INTO semantics (latest-op-wins upsert/delete)
+    "q_llm_bigram_lm",  # new r4: char-bigram LM perplexity filter
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
