@@ -59,6 +59,7 @@ ALLOW_NESTED_LOOP = {
     "q_tpch_q11ish",       # broadcast crossJoin of the 1-row threshold agg
     "q_tpch_q22ish",       # broadcast crossJoin of the 1-row avg-balance agg
     "q_evt_resample",      # grid build: 1-row bounds × 5-row type dim
+    "q_llm_bigram_lm",     # broadcast crossJoin of the 1-row corpus total
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
