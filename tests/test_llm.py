@@ -253,3 +253,50 @@ def test_dedup_survivors_one_per_component(spark, sf_dir):
         assert kept[0].doc_id == best.doc_id
         # component label is the component's minimum doc_id
         assert comp == min(r.doc_id for r in members)
+
+
+def test_kmeans_wcss_monotone_descent(spark, sf_dir):
+    """Lloyd's invariant: within-cluster sum of squares never increases
+    across iterations (each assignment step and each update step minimizes
+    it). Verified by recomputing WCSS against each iteration's output."""
+    from token_burn_listener_spark.llm.similarity import (
+        as_double,
+        kmeans_iterate,
+    )
+
+    def wcss(cent_long):
+        e = load_table(spark, sf_dir, "embeddings")
+        expl = e.select(
+            "vec_id", F.posexplode(as_double("embedding")).alias("pos", "val")
+        )
+        # nearest-centroid distance per vector from the long-form centroids
+        cents = cent_long.select(
+            "cluster", F.col("pos").cast("int").alias("pos"), "c"
+        )
+        d2 = (
+            expl.join(F.broadcast(cents), "pos")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum((F.col("val") - F.col("c")) ** 2).alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("d2"))
+        )
+        return d2.agg(F.sum("d2")).collect()[0][0]
+
+    w1 = wcss(kmeans_iterate(spark, sf_dir, 1))
+    w2 = wcss(kmeans_iterate(spark, sf_dir, 2))
+    assert w2 <= w1 + 1e-9, (w1, w2)
+    assert w1 > 0
+
+
+def test_knn_classify_votes_are_bounded(spark, sf_dir):
+    """Majority vote of 5 neighbors: 1 <= n_votes <= 5, every probe id
+    classified, predicted labels drawn from the real label domain."""
+    out = QUERIES["q_llm_knn_classify"](spark, sf_dir).collect()
+    assert len(out) == 20
+    labels = {
+        r.label
+        for r in load_table(spark, sf_dir, "embeddings").select("label").distinct().collect()
+    }
+    for r in out:
+        assert 1 <= r.n_votes <= 5
+        assert r.predicted_label in labels

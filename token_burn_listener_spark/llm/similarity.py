@@ -259,3 +259,221 @@ def q_llm_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = cand.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
     w = Window.orderBy(F.desc("cos_sim"), "vec_id")
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 2
+
+
+def _centroid_literals(rows, k: int):
+    """(cluster, pos, c) rows → list of k literal array Columns (bounded:
+    k × dim doubles — the broadcast-centroids step of distributed Lloyd)."""
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["c"]
+    out = []
+    for c in range(k):
+        d = by_cluster[c]
+        out.append(F.array(*[F.lit(d[p]) for p in sorted(d)]))
+    return out
+
+
+def _assign(e: DataFrame, cents: list) -> DataFrame:
+    """Map-side cluster assignment: argmin over k centroid literals.
+
+    d² per centroid is an in-row left fold (index order, matching the
+    oracle's list_sum); the argmin is array_min over (d2, cluster) structs
+    — lexicographic struct ordering gives the deterministic
+    lowest-cluster-wins tiebreak on exact distance ties.
+    """
+    v = as_double("embedding")
+    d2s = [
+        F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in cents
+    ]
+    choice = F.array_min(
+        F.array(*[F.struct(d.alias("d2"), F.lit(i).alias("cluster"))
+                  for i, d in enumerate(d2s)])
+    )
+    return e.select("vec_id", "embedding", choice["cluster"].alias("cluster"))
+
+
+def kmeans_iterate(spark: SparkSession, sf_dir: str, n_iters: int) -> DataFrame:
+    """Lloyd's k-means, deterministic init (the K lowest vec_ids), returning
+    long-form centroids (cluster, pos, c) + member counts after n_iters."""
+    e = load_table(spark, sf_dir, "embeddings")
+    init = e.orderBy("vec_id").limit(_KMEANS_K).select("embedding").collect()
+    cents = [
+        F.array(*[F.lit(float(x)) for x in r["embedding"]]) for r in init
+    ]
+    assign = _assign(e, cents)
+    for _ in range(n_iters - 1):
+        cent_rows = (
+            assign.select(
+                "cluster", F.posexplode(as_double("embedding")).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("c"))
+            .collect()  # bounded: k × dim rows — the broadcast step
+        )
+        assign = _assign(e, _centroid_literals(cent_rows, _KMEANS_K))
+    sizes = assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    cent = (
+        assign.select(
+            "cluster", F.posexplode(as_double("embedding")).alias("pos", "val")
+        )
+        .groupBy("cluster", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+    )
+    return cent.join(F.broadcast(sizes), "cluster").select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "pos",
+        "c",
+        "n_members",
+    )
+
+
+@query(
+    "q_llm_kmeans",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    init AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster, v
+      FROM e ORDER BY vec_id LIMIT {_KMEANS_K}
+    ),
+    d1 AS (
+      SELECT e.vec_id, i.cluster,
+             list_sum([(e.v[p] - i.v[p]) ** 2
+                       FOR p IN range(1, len(e.v) + 1)]) AS d2
+      FROM e CROSS JOIN init i
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+                 AS rn
+        FROM d1) x WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cluster, list(c ORDER BY pos) AS v FROM (
+        SELECT a1.cluster, pos, avg(val) AS c FROM (
+          SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS val FROM e
+        ) x JOIN a1 USING (vec_id)
+        GROUP BY a1.cluster, pos
+      ) GROUP BY cluster
+    ),
+    d2_ AS (
+      SELECT e.vec_id, c1.cluster,
+             list_sum([(e.v[p] - c1.v[p]) ** 2
+                       FOR p IN range(1, len(e.v) + 1)]) AS d2
+      FROM e CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+                 AS rn
+        FROM d2_) x WHERE rn = 1
+    ),
+    sizes AS (SELECT cluster, count(*) AS n_members FROM a2 GROUP BY cluster)
+    SELECT a2.cluster, pos::BIGINT AS pos, round(avg(val), 6) AS c,
+           any_value(n_members) AS n_members
+    FROM (
+      SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS val FROM e
+    ) x JOIN a2 USING (vec_id) JOIN sizes ON a2.cluster = sizes.cluster
+    GROUP BY a2.cluster, pos
+    """,
+)
+def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd's) over the embedding corpus: deterministic init (the
+    K lowest vec_ids), 2 iterations, long-form final centroids + cluster
+    sizes (extra, beyond §2.B10) — the REAL coarse-quantizer trainer for
+    the IVF path (q_llm_ivf_search currently routes on the fixture label;
+    this trains such an assignment from raw vectors).
+
+    100 TB plan: each iteration is one map-side assignment pass (centroids
+    are k × dim doubles — ALWAYS driver-bounded, inlined as literals: the
+    broadcast-centroids step every distributed k-means uses) plus one
+    partial+final (cluster, pos) average — one skinny shuffle per
+    iteration, O(n·k·dim) compute all inside whole-stage codegen, no UDF.
+    The iteration count is a fixed hyperparameter (2 here, so the DuckDB
+    oracle can unroll it exactly); convergence-driven stopping adds the
+    same per-round bounded collect q_llm_dup_clusters already uses.
+    Tie-breaks are exact on both engines: argmin by (d2, cluster) struct
+    ordering, identical index-order distance folds.
+    """
+    return kmeans_iterate(spark, sf_dir, _KMEANS_ITERS)
+
+
+@query(
+    "q_llm_knn_classify",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY round(list_cosine_similarity(e.v, q.qv), 6)
+                                         DESC, e.vec_id) AS rnk
+      FROM q JOIN e ON e.vec_id <> q.qid
+    ),
+    votes AS (
+      SELECT qid, label, count(*) AS n_votes
+      FROM scored WHERE rnk <= 5 GROUP BY qid, label
+    )
+    SELECT vec_id, predicted_label, n_votes FROM (
+      SELECT qid AS vec_id, label AS predicted_label, n_votes,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY n_votes DESC, label) AS rn
+      FROM votes) x WHERE rn = 1
+    """,
+)
+def q_llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch 5-NN majority-vote label prediction for a 20-vector probe
+    batch (extra, beyond §2.B10) — the label-propagation primitive behind
+    classifier-based quality filtering (fastText-style: label a small seed
+    set, kNN-classify the corpus).
+
+    100 TB plan: the probe batch BROADCASTS against the corpus scan
+    (probe × corpus is a map-side nested loop over a bounded broadcast
+    side — the same shape as q_llm_knn_query, batched); per-query top-5 is
+    a rank window partitioned by the probe id (bounded partitions), and
+    the vote is a tiny two-level aggregate. Corpus is scanned exactly
+    once regardless of batch size. Tie-break: most votes, then lowest
+    label — Spark via min_by on a (-votes, label) struct, the oracle via
+    an equivalent rank window (DuckDB's min_by lacks struct ordering).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qside = (
+        e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("qid"), as_double("embedding").alias("qv"))
+    )
+    corpus = e.select("vec_id", "label", as_double("embedding").alias("v"))
+    scored = (
+        F.broadcast(qside)
+        .join(corpus, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(dot("v", "qv") / (l2("v") * l2("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .groupBy("qid", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    return votes.groupBy(F.col("qid").alias("vec_id")).agg(
+        F.min_by(
+            "label", F.struct((-F.col("n_votes")).alias("neg"), F.col("label"))
+        ).alias("predicted_label"),
+        F.max("n_votes").alias("n_votes"),
+    )
