@@ -36,6 +36,8 @@ HEADLINE_KEYS = [
     "q_llm_corpus_prep",    # end-to-end prepared corpus (BASELINE: DuckDB 390 ms)
     "q_evt_sessionize",     # gap sessionization, window cascade (new in r3)
     "q_llm_decontaminate",  # 8-gram decontamination, broadcast semi (new in r3)
+    "q_cdc_merge",          # latest-op-wins MERGE apply (new in r4)
+    "q_llm_bigram_lm",      # self-trained bigram LM scoring (new in r4)
 ]
 
 

@@ -672,3 +672,79 @@ def q_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
     )
     return run_to_memory(agg, "complete")
+
+
+@query(
+    "q_stream_upsert_latest",
+    oracle="""
+    SELECT user_id, last_ts, last_event_id, last_value FROM (
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+             value AS last_value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) x WHERE rn = 1
+    """,
+)
+def q_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed streaming upsert — the merge-on-read materialized view
+    (extra, beyond A7's row-idempotent sink): the feed drains in 4
+    rate-limited micro-batches; foreachBatch writes each batch's per-key
+    LATEST rows as an idempotent delta (``batch=<id>`` overwrite), and the
+    READER compacts deltas latest-wins — exactly the Hudi/Paimon MOR
+    pattern, and the keyed current-state table (latest value per user)
+    the reference's mutable external store actually held.
+
+    Deterministic regardless of how rows split across replay files: the
+    reader's global (ts DESC, event_id DESC) pick is split-independent,
+    and event_id makes the order total.
+
+    100 TB plan: per-batch reduction is a window over the micro-batch
+    only (delta-sized); the compaction window shuffles once on the
+    uniform user key at read time. Production swaps the reader for
+    periodic delta⋈snapshot compaction — the batch twin of which is
+    q_cdc_merge's latest-op-wins collapse; state never lives in the
+    stream (restart-safe via source offsets alone, no state store).
+    """
+    from pyspark.sql.window import Window
+
+    base = fresh_run_dir("upl")
+    target, cp = f"{base}/target", f"{base}/cp"
+    replay = ensure_events_replay_multi(spark, sf_dir, n_files=4)
+    stream = read_events_stream(spark, replay, maxFilesPerTrigger="1")
+
+    def delta_writer(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        latest.write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(delta_writer)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    if n_batches < 4:
+        raise AssertionError(
+            f"rate limit not applied: {n_batches} non-empty micro-batches"
+        )
+    full = read_upsert_target(spark, target)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+    )
