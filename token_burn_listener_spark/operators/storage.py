@@ -250,3 +250,42 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not {"doc_id", "lang", "source", "batch"} <= got:
         raise AssertionError(f"merged schema missing columns: {got}")
     return out.select("doc_id", "lang", "source", "batch")
+
+
+@query(
+    "q_scan_text",
+    oracle="""
+    SELECT count(*) AS n_lines,
+           sum(length(text))::BIGINT  AS n_chars,
+           min(length(text))::BIGINT  AS min_len,
+           max(length(text))::BIGINT  AS max_len
+    FROM documents
+    """,
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source (the raw-corpus ingestion format): the
+    documents fixture exported one doc per line, re-read with
+    ``spark.read.text`` and summarized — content equality vs the
+    parquet-backed oracle proves the round trip.
+
+    The fixture corpus is single-line by construction (whitespace word
+    salad); a real corpus with embedded newlines uses this same reader
+    with ``lineSep``/``wholetext`` or escapes at export. At 100 TB text
+    splits by line boundaries within HDFS blocks — fully parallel, but
+    no column pruning/pushdown (why parquet wins downstream; this op is
+    the ingest boundary, not the query path).
+    """
+    path = materialize(
+        load_table(spark, sf_dir, "documents").select("text"),
+        scratch_dir(
+            sf_dir, "documents_text", source=f"{sf_dir}/documents.parquet"
+        ),
+        lambda df, p: df.coalesce(1).write.text(p),
+    )
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("n_chars"),
+        F.min(F.length("value")).cast("long").alias("min_len"),
+        F.max(F.length("value")).cast("long").alias("max_len"),
+    )
