@@ -60,3 +60,14 @@ def test_materialize_reuses_complete_dirs(tmp_path):
     materialize(None, final, write)
     materialize(None, final, write)
     assert len(calls) == 1
+
+
+def test_hll_union_estimate_error_bound(spark, sf_dir):
+    """Merged HLL estimates must sit within 2% of the exact distinct count
+    (lgConfigK=12 default: ~1.6% RSE; the fixture cardinalities are far
+    below saturation so the estimate is typically exact)."""
+    rows = QUERIES["q_agg_hll_union"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        err = abs(r.est_users - r.exact_users) / max(r.exact_users, 1)
+        assert err <= 0.02, (r.event_type, r.est_users, r.exact_users)

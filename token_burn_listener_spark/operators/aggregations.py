@@ -434,3 +434,43 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+@query("q_agg_hll_union")  # rows-only: Apache DataSketches HLL binary
+# sketches are Spark-specific (DuckDB has no compatible implementation);
+# the estimate-vs-exact error bound is asserted in tests/test_contract.py
+def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (extra, beyond §2.B4):
+    per-(day, event_type) HLL sketches of user_id, union-merged up to
+    per-type totals — the RE-AGGREGATABLE rollup pattern that makes
+    count-distinct composable at 100 TB (approx_count_distinct collapses
+    to a number; a stored SKETCH column can be re-merged across any
+    dimension later without rescanning the fact table).
+
+    Emits the daily-sketch count, the merged estimate, and the exact
+    distinct alongside (the fixture is small enough) so the rows-only
+    driver check carries its own sanity anchor; the ≤2 % error bound is
+    pinned in tests.
+
+    100 TB plan: sketches partial-aggregate map-side like any agg buffer
+    (KB each, constant size regardless of cardinality); the union
+    re-aggregation touches only (days × types) sketch rows — the fact is
+    scanned once, ever, and every later rollup is sketch-sized work.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_daily_sketches"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+        .join(
+            e.groupBy("event_type").agg(
+                F.count_distinct("user_id").alias("exact_users")
+            ),
+            "event_type",
+        )
+    )

@@ -172,6 +172,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_knn_classify",  # new r4: batch 5-NN majority-vote labeling
     "q_stream_upsert_latest",  # new r4: keyed merge-on-read materialization
     "q_scan_text",  # new r4: line-oriented text source round-trip
+    "q_agg_hll_union",  # new r4: mergeable HLL distinct sketches (rows-only)
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
