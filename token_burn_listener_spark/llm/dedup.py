@@ -460,3 +460,65 @@ def q_llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", F.row_number().over(w) == 1)
         .select("doc_id", "component_id", "quality", "kept")
     )
+
+
+# Same cosine threshold q_llm_emb_near_dup uses for its pair graph
+# (calibrated to the fixture: max pairwise cosine ≈ 0.51).
+_EMB_THRESHOLD = 0.45
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    edges AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= {_EMB_THRESHOLD}
+    )
+    SELECT count(*) AS n_triangles,
+           (SELECT count(*) FROM edges) AS n_edges
+    FROM edges e1
+    JOIN edges e2 ON e1.vb = e2.va
+    JOIN edges e3 ON e1.va = e3.va AND e2.vb = e3.vb
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup similarity graph (extra): the
+    standard cluster-cohesion diagnostic — near-dup components with few
+    triangles are chains (risky transitive merges: A~B~C with A!~C), ones
+    rich in triangles are genuine duplicate cliques.
+
+    Node-iterator formulation: every triangle a<b<c is counted exactly
+    once via the ordered two-hop join (a,b)⋈(b,c) closed by (a,c).
+
+    100 TB plan: edges at scale come from the LSH candidate pairs (this
+    fixture derivation is the documented exact-cosine oracle twin, as for
+    q_llm_dup_clusters). The two-hop join shuffles the edge list twice on
+    vertex keys; the standard skew guard — cap or sample hub vertices'
+    adjacency (degree ≥ d → sampled closure estimate) — bounds the b-key
+    explosion the same way production triangle counters (e.g. Cohen's
+    MapReduce scheme) do.
+    """
+    from token_burn_listener_spark.llm.similarity import as_double, dot, l2
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"), as_double("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), as_double("embedding").alias("eb"))
+    cos = dot("ea", "eb") / (l2("ea") * l2("eb"))
+    edges = (
+        a.crossJoin(b)
+        .filter(F.col("va") < F.col("vb"))
+        .filter(cos >= _EMB_THRESHOLD)
+        .select("va", "vb")
+        .localCheckpoint()  # reused three times in the closure join
+    )
+    e1 = edges.select(F.col("va").alias("a"), F.col("vb").alias("b"))
+    e2 = edges.select(F.col("va").alias("b"), F.col("vb").alias("c"))
+    e3 = edges.select(F.col("va").alias("a"), F.col("vb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    n_edges = edges.count()
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+    )
