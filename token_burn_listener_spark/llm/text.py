@@ -482,10 +482,15 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded corpus never shuffles for the join; the per-doc score
     aggregation partial-combines the ~|text| bigram rows back to one row
     per document map-side (bigrams of a doc are colocated with the doc).
-    The 1-row total crossJoins as a broadcast, never a driver collect.
-    Both engines average the identical log10 terms; round(6) absorbs
-    FP summation-order noise (|score| ≈ 4, tail error ≈ 1e-12).
+    The corpus total folds out of the count table itself (a global window
+    over the BOUNDED model rows — never a rescan of the exploded corpus,
+    never a driver collect): the corpus is read exactly twice, once to
+    train and once to score. Both engines average the identical log10
+    terms; round(6) absorbs FP summation-order noise (|score| ≈ 4, tail
+    error ≈ 1e-12).
     """
+    from pyspark.sql.window import Window
+
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
     bi = d.select(
         "doc_id",
@@ -494,11 +499,13 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " i -> substring(text, i, 2))")
         ).alias("bg"),
     )
-    counts = bi.groupBy("bg").agg(F.count("*").alias("c"))
-    total = bi.agg(F.count("*").cast("double").alias("total"))
+    # Global window is safe here: it runs over the model table (charset²
+    # rows, bounded), not over any corpus-sized input.
+    model = bi.groupBy("bg").agg(F.count("*").alias("c")).withColumn(
+        "total", F.sum("c").over(Window.partitionBy()).cast("double")
+    )
     return (
-        bi.join(F.broadcast(counts), "bg")
-        .crossJoin(F.broadcast(total))
+        bi.join(F.broadcast(model), "bg")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

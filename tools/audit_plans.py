@@ -59,7 +59,6 @@ ALLOW_NESTED_LOOP = {
     "q_tpch_q11ish",       # broadcast crossJoin of the 1-row threshold agg
     "q_tpch_q22ish",       # broadcast crossJoin of the 1-row avg-balance agg
     "q_evt_resample",      # grid build: 1-row bounds × 5-row type dim
-    "q_llm_bigram_lm",     # broadcast crossJoin of the 1-row corpus total
     "q_llm_kmeans",        # init: TakeOrdered k rows; centroids are literals
     "q_llm_knn_classify",  # bounded 20-row probe batch broadcasts vs corpus
 }
