@@ -66,10 +66,13 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #            subqueries (3) + all 20 TPC-H shapes + streaming leftovers (2) +
 #            LLM head (13: dedup/ANN core + text head). Cheap keys first as
 #            the usual time-cap hedge.
-#   r05 queue (right after the window, ~40 keys): LLM tail (text stats,
+#   r05 queue (right after the window, exactly 50 keys — one full window):
+#            LLM tail (text stats,
 #            corpus prep, multimodal, index/winnow/prune), event analytics +
-#            CDC, Python sources, UDF surface. Ordered cheap-first today so
-#            r05 is a pure head-chop rotation. After r05 every key has a
+#            CDC, Python sources, UDF surface, plus the 8 new r4 extras
+#            (merge, bigram LM, kmeans, knn-classify, stream upsert, text
+#            scan, HLL union, triangles). Ordered cheap-first today so r05
+#            is a pure head-chop rotation. After r05 every key has a
 #            driver row; check_parity.py covers everything every round.
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
