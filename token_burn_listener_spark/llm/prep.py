@@ -569,9 +569,11 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     turning O(chars·gram) into O(chars²).
     """
     d = load_table(spark, sf_dir, "documents")
+    # split('') not per-position substring: substring(text, i, 1) re-scans
+    # the UTF8 string to offset i each call — O(len²) per doc (measured 4×
+    # slower at sf0.1 on the same fold).
     codes = F.expr(
-        "transform(sequence(1, length(text)),"
-        " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"
+        "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"
     )
     with_codes = d.select("doc_id", codes.alias("codes")).repartition(32)
     hashes = F.expr(

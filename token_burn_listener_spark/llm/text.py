@@ -273,9 +273,12 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_llm_simhash), which is why this one is oracle-checked.
     """
     d = load_table(spark, sf_dir, "documents")
+    # Char codes via split('') — per-position substring(text, i, 1) would
+    # re-scan the UTF8 string to each offset (O(len²) per doc; measured 4×
+    # slower at sf0.1).
     fp = F.expr(
-        "aggregate(transform(sequence(1, length(text)),"
-        "                    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),"
+        "aggregate(transform(split(text, ''),"
+        "                    c -> CAST(ascii(c) AS BIGINT)),"
         " 0L, (a, b) -> (a * 31 + b) % 2147483647)"
     )
     return d.select("doc_id", fp.alias("fp"))
@@ -492,11 +495,21 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    # Bigrams via zip_with over two shifted char-array slices, NOT
+    # substring(text, i, 2) per position: each substring call re-scans the
+    # UTF8 string to its offset (O(pos) each → O(len²) per doc); the
+    # one-time split('') + shifted zip_with is O(len) and measured 2×
+    # faster at sf0.1. Both split() calls sit OUTSIDE the lambda, where
+    # codegen's subexpression elimination evaluates them once per row
+    # (the q_llm_repetition lesson).
     bi = d.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, length(text) - 1),"
-                   " i -> substring(text, i, 2))")
+            F.expr(
+                "zip_with(slice(split(text, ''), 1, length(text) - 1),"
+                "         slice(split(text, ''), 2, length(text) - 1),"
+                "         (a, b) -> concat(a, b))"
+            )
         ).alias("bg"),
     )
     # Global window is safe here: it runs over the model table (charset²
