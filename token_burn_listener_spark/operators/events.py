@@ -326,3 +326,49 @@ def q_evt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q_evt_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM t
+    """,
+)
+def q_evt_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (extra): per-user consecutive event
+    pairs aggregated into Markov transition counts and row-normalized
+    probabilities — the user-path / next-action analysis behind funnels
+    that aren't known in advance.
+
+    100 TB plan: the lag window partitions by user_id (bounded per-user
+    history, uniform key — the sessionize shuffle, reused verbatim); the
+    transition aggregation collapses to |types|² rows at the map side, and
+    the normalizing window runs over that bounded matrix, never over
+    events. One fact shuffle total.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    norm = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
+    )

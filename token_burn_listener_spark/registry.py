@@ -177,6 +177,7 @@ DRIVER_ORDER: list[str] = [
     "q_scan_text",  # new r4: line-oriented text source round-trip
     "q_agg_hll_union",  # new r4: mergeable HLL distinct sketches (rows-only)
     "q_graph_triangles",  # new r4: triangle count on the near-dup graph
+    "q_evt_transitions",  # new r4: event-type Markov transition matrix
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
