@@ -405,7 +405,7 @@ _MIX_TOKEN_BUDGET = 250
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
       FROM toks
     )
-    SELECT doc_id, source, n_tokens, cum_tokens
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM ranked WHERE cum_tokens <= {_MIX_TOKEN_BUDGET}
     """,
 )

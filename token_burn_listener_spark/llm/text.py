@@ -192,7 +192,7 @@ def q_llm_text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_doc_stats",
     oracle="""
     SELECT lang, source, count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(avg(n_chars), 6) AS avg_chars,
            round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
     FROM documents GROUP BY lang, source

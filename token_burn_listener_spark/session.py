@@ -26,6 +26,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # TIMESTAMP(NANOS) without this (SURVEY.md §7.5#1). The column then
     # reads as LongType nanos-since-epoch; tables.load_table converts.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The r4-regenerated fixtures write timestamp[us] WITHOUT the
+    # isAdjustedToUTC flag; Spark 4 would infer TIMESTAMP_NTZ, which breaks
+    # unix_micros()/window() and diverges from DuckDB's naive-as-TIMESTAMP
+    # read. Read them as TIMESTAMP_LTZ (session TZ is UTC, so wall-clock
+    # values are identical). tables.load_table also casts any NTZ column
+    # for sessions where this conf cannot be applied.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Deterministic timestamp rendering regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
     # Runtime re-planning: coalesce small shuffle partitions, split skewed

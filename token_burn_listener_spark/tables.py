@@ -41,6 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Fixture timestamps are naive (no isAdjustedToUTC); if the session
+    # could not apply inferTimestampNTZ=false (static conf in some
+    # deployments), normalize here: under session TZ UTC the NTZ->LTZ cast
+    # is value-preserving and matches DuckDB's naive-as-TIMESTAMP read.
+    for cname, ctype in df.dtypes:
+        if ctype == "timestamp_ntz":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
     return df
 
 
