@@ -300,3 +300,93 @@ def test_knn_classify_votes_are_bounded(spark, sf_dir):
     for r in out:
         assert 1 <= r.n_votes <= 5
         assert r.predicted_label in labels
+
+
+def test_fuzzy_dup_prefix_filter_is_lossless(spark, sf_dir):
+    """q_llm_fuzzy_dup's q-gram prefix filtering must find EXACTLY the
+    all-pairs levenshtein(title) <= 2 result — no candidate misses."""
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in QUERIES["q_llm_fuzzy_dup"](spark, sf_dir).collect()
+    }
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.substring("text", 1, 40).alias("title"))
+        .filter(F.length("title") >= 20)
+    )
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("title").alias("ta"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("title").alias("tb"))
+    want = {
+        (r.doc_a, r.doc_b, r.ed)
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.levenshtein("ta", "tb").cast("long").alias("ed")
+        )
+        .filter(F.col("ed") <= 2)
+        .collect()
+    }
+    assert got == want
+
+
+def test_cms_estimates_never_undercount(spark, sf_dir):
+    """Count-min guarantee: every point estimate >= the exact count, and
+    the top-k anchor rows are the true exact top-k tokens."""
+    rows = QUERIES["q_llm_cms_topk"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.est_cnt >= r.exact_cnt, r
+    exact_topk = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.lower("tok").alias("token"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+        .collect()
+    )
+    assert {r.token for r in rows} == {r.token for r in exact_topk}
+
+
+def test_random_projection_matches_numpy(spark, sf_dir):
+    """The JL projection must equal an independent numpy re-computation of
+    p_j = sum_i v_i * sign(i, j) with the documented sign mix."""
+    import numpy as np
+
+    got = {
+        r.vec_id: [r[f"p{j}"] for j in range(8)]
+        for r in QUERIES["q_llm_random_projection"](spark, sf_dir).collect()
+    }
+    src = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    sign = np.array(
+        [
+            [1 if ((i * 2654435761 + j * 40503) % 7919) % 2 == 0 else -1 for j in range(8)]
+            for i in range(64)
+        ],
+        dtype=np.float64,
+    )
+    for r in src:
+        v = np.array(r.embedding, dtype=np.float64)
+        want = v @ sign
+        np.testing.assert_allclose(got[r.vec_id], np.round(want, 6), atol=2e-6)
+
+
+def test_bloom_join_equals_exact_semi_join(spark, sf_dir):
+    """The bloom prefilter must not drop true matches: result set equals
+    the plain broadcast semi join it accelerates."""
+    got = {
+        (r.o_orderkey, r.o_custkey)
+        for r in QUERIES["q_join_bloom"](spark, sf_dir).collect()
+    }
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    want = {
+        (r.o_orderkey, r.o_custkey)
+        for r in o.join(
+            c, o.o_custkey == c.c_custkey, "semi"
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from token_burn_listener_spark.registry import query
 from token_burn_listener_spark.tables import load_table
@@ -521,4 +522,87 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(
         F.count("*").alias("n_triangles"),
         F.lit(n_edges).cast("long").alias("n_edges"),
+    )
+
+
+@query(
+    "q_llm_fuzzy_dup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, substr(text, 1, 40) AS title
+      FROM documents WHERE length(substr(text, 1, 40)) >= 20
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS edit_dist
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE abs(length(a.title) - length(b.title)) <= 2
+      AND levenshtein(a.title, b.title) <= 2
+    """,
+)
+def q_llm_fuzzy_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy-duplicate pairs via ED-Join q-gram prefix
+    filtering (Xiao et al., VLDB'08): titles (first 40 chars) within
+    Levenshtein distance d=2, WITHOUT an all-pairs comparison.
+
+    Candidate generation is lossless: ed(a,b) <= d implies the positional
+    3-gram multisets overlap in >= max(|Ga|,|Gb|) - d*q elements, so after
+    ordering every doc's (gram, occurrence) elements by ascending global
+    document frequency, two within-threshold docs MUST share an element in
+    their first d*q+1 = 7 ("prefix"); the equi-join on prefix elements
+    therefore finds every true pair, and exact levenshtein verification
+    discards the false candidates. Multiset semantics are preserved by
+    keying elements as (gram, k-th occurrence), not distinct grams — the
+    overlap bound is a multiset bound. The length(title) >= 20 guard keeps
+    the overlap bound positive (docs that short have no meaningful title).
+
+    100 TB plan: df computation and the candidate join shuffle on the
+    element key (7 rows/doc, uniform — rare grams by construction);
+    verification is map-side levenshtein over candidate pairs only. The
+    all-pairs O(n^2) exists only in the oracle. The per-doc prefix window
+    partitions by doc_id — no global window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select("doc_id", F.substring("text", 1, 40).alias("title"))
+        .filter(F.length("title") >= 20)
+    )
+    grams = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(title) - 2), i -> substring(title, i, 3))")
+        ).alias("pos", "gram"),
+    )
+    occ_w = Window.partitionBy("doc_id", "gram").orderBy("pos")
+    elems = grams.withColumn("occ", F.row_number().over(occ_w)).select(
+        "doc_id", "gram", "occ"
+    )
+    dfreq = elems.groupBy("gram", "occ").agg(F.count("*").alias("df"))
+    pref_w = Window.partitionBy("doc_id").orderBy("df", "gram", "occ")
+    prefix = (
+        elems.join(dfreq, ["gram", "occ"])
+        .withColumn("rn", F.row_number().over(pref_w))
+        .filter(F.col("rn") <= 7)
+        .select("doc_id", "gram", "occ")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "gram", "occ")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "gram", "occ"), ["gram", "occ"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("title").alias("title_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("title").alias("title_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            (F.abs(F.length("title_a") - F.length("title_b")) <= 2)
+            & (F.levenshtein("title_a", "title_b") <= 2)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("title_a", "title_b").cast("long").alias("edit_dist"),
+        )
     )

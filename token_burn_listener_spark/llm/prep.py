@@ -665,3 +665,87 @@ def q_llm_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sim >= _PRUNE_SIM).alias("pruned"),
         )
     )
+
+
+@query(
+    "q_llm_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 230 THEN 'train'
+                WHEN b < 243 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(sha256(doc_id::VARCHAR), 1, 2)) AS BIGINT) AS b
+          FROM documents)
+    """,
+)
+def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~90/5/5) from the first
+    byte of sha256(doc_id): the split of a document never changes as the
+    corpus grows or is re-partitioned — the property that keeps eval sets
+    leak-free across pipeline re-runs (random splits re-shuffle membership
+    every run and silently contaminate eval).
+
+    100 TB plan: pure map-side projection — no shuffle, no state; the split
+    can be consumed as a partition column by the sink.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2), 16, 10).cast("long")
+    return d.select(
+        "doc_id",
+        F.when(b < 230, "train").when(b < 243, "val").otherwise("test").alias("split"),
+    )
+
+
+_BUCKET_TOKENS = 64  # length-bucket width (tokens)
+_BATCH_DOCS = 16  # docs per training batch within a bucket
+
+
+@query(
+    "q_llm_length_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           n_tokens // {_BUCKET_TOKENS} AS bucket,
+           CAST((row_number() OVER (
+              PARTITION BY n_tokens // {_BUCKET_TOKENS}
+              ORDER BY sha256(doc_id::VARCHAR), doc_id) - 1)
+             // {_BATCH_DOCS} AS BIGINT) AS batch_id
+    FROM toks
+    """,
+)
+def q_llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment: docs are grouped into fixed-width
+    token-length buckets (floor(n_tokens / 64)), then packed into training
+    batches of 16 docs in deterministic hash order within each bucket —
+    the standard padding-minimization trick (batching similar lengths cuts
+    pad-token waste) with reproducible batch membership.
+
+    100 TB plan: bucketing is map-only (fixed-width, no quantile pass);
+    the per-bucket window shuffles once on the bucket key. Buckets are
+    bounded (max doc length / 64) but individually large — at scale the
+    within-bucket rank swaps to ranking.global_row_number applied per
+    bucket (repartitionByRange on (bucket, hash)), same composition as
+    q_llm_global_shuffle; the window form is kept where the driver
+    compares full output.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    bucket = (F.col("n_tokens") / _BUCKET_TOKENS).cast("long")
+    w = Window.partitionBy("bucket").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), F.col("doc_id")
+    )
+    return (
+        toks.withColumn("bucket", bucket)
+        .withColumn(
+            "batch_id",
+            ((F.row_number().over(w) - 1) / _BATCH_DOCS).cast("long"),
+        )
+    )

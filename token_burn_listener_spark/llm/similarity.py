@@ -477,3 +477,57 @@ def q_llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("predicted_label"),
         F.max("n_votes").alias("n_votes"),
     )
+
+
+# Johnson-Lindenstrauss sign-matrix parameters for q_llm_random_projection:
+# entry (i, j) of the 64x8 projection is +-1 from a deterministic integer
+# mix both engines compute identically in exact BIGINT arithmetic.
+_RP_OUT_DIMS = 8
+_RP_SIGN = "((({i}) * 2654435761 + {j} * 40503) % 7919) % 2 = 0"
+
+
+@query(
+    "q_llm_random_projection",
+    oracle="""
+    SELECT vec_id, """
+    + ", ".join(
+        "round(list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * CASE WHEN {_RP_SIGN.format(i='i - 1', j=j)} "
+        f"THEN 1 ELSE -1 END)), 6) AS p{j}"
+        for j in range(_RP_OUT_DIMS)
+    )
+    + """
+    FROM embeddings
+    """,
+)
+def q_llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection (Johnson-Lindenstrauss) dimensionality reduction:
+    64-dim embeddings -> 8 dims through a deterministic +-1 sign matrix,
+    p_j = sum_i v_i * sign(i, j).
+
+    The sign matrix is never materialized: each output dim is a conditional
+    sum over the posexploded (vec_id, i, v_i) rows, all 8 computed in ONE
+    partial+final aggregation pass (map-side combine on vec_id, whole-stage
+    codegen, no UDF, no matrix join). The mix is demo-grade (linear
+    congruential parity), swap for xxhash64 signs when cross-engine oracle
+    parity is not required.
+
+    100 TB plan: one shuffle on vec_id (uniform key); input is 64 rows per
+    vector from posexplode, output is 1 row per vector — the aggregation
+    reduces 64:1 map-side. Embeddings never leave the JVM.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    )
+    sums = [
+        F.round(
+            F.sum(
+                F.col("v").cast("double")
+                * F.when(F.expr(_RP_SIGN.format(i="i", j=j)), 1).otherwise(-1)
+            ),
+            6,
+        ).alias(f"p{j}")
+        for j in range(_RP_OUT_DIMS)
+    ]
+    return exploded.groupBy("vec_id").agg(*sums)

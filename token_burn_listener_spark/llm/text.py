@@ -526,3 +526,137 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("lm_score"),
         )
     )
+
+
+@query(
+    "q_llm_zipf",
+    oracle="""
+    WITH freq AS (
+      SELECT lower(tok) AS token, CAST(count(*) AS BIGINT) AS freq
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      WHERE tok <> '' GROUP BY 1
+    ), ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+      FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+           CAST(sum(freq) AS BIGINT) AS total_tokens,
+           round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope
+    FROM ranked WHERE rank <= 500
+    """,
+)
+def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency law check: the Zipf slope — the log-log
+    linear-regression slope of frequency against rank over the top 500
+    token types (natural text sits near -1; a corpus that drifts far off
+    signals boilerplate or spam contamination, so this is a cheap
+    whole-corpus quality gate).
+
+    100 TB plan: token counting is the standard explode + partial/final
+    agg (one shuffle on the token, map-side combine absorbs the heavy
+    hitters); the rank is computed by ranking.global_row_number over the
+    VOCABULARY (sublinear in corpus size, and truncated to 500 before the
+    regression) — no corpus-sized data ever crosses a single-partition
+    boundary. regr_slope is a built-in streaming aggregate on both engines.
+    """
+    from token_burn_listener_spark.operators.ranking import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.lower("tok").alias("token"))
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = global_row_number(
+        freq, [F.desc("freq"), F.col("token")], "rank"
+    ).filter(F.col("rank") <= 500)
+    return ranked.agg(
+        F.count("*").alias("n_vocab"),
+        F.sum("freq").alias("total_tokens"),
+        F.round(F.expr("regr_slope(ln(freq), ln(rank))"), 4).alias("zipf_slope"),
+    )
+
+
+_CMS_W = 512  # slots per row
+_CMS_D = 4  # hash rows (disjoint 8-hex-char windows of sha256)
+
+
+@query(
+    "q_llm_cms_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lower(tok) AS token
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      WHERE tok <> ''
+    ), cnt AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY 1
+    ), pairs AS (
+      SELECT token, exact_cnt, h,
+             CAST(('0x' || substr(sha256(token), 1 + 8 * h, 8)) AS BIGINT)
+               % {_CMS_W} AS slot
+      FROM cnt CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS h)
+    ), sketch AS (
+      SELECT h, slot, sum(exact_cnt) AS c FROM pairs GROUP BY 1, 2
+    ), top AS (
+      SELECT token, exact_cnt FROM cnt ORDER BY exact_cnt DESC, token LIMIT 20
+    )
+    SELECT t.token, t.exact_cnt, CAST(min(s.c) AS BIGINT) AS est_cnt
+    FROM top t
+    JOIN pairs p USING (token)
+    JOIN sketch s ON p.h = s.h AND p.slot = s.slot
+    GROUP BY 1, 2
+    """,
+)
+def q_llm_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: a {_CMS_D}×{_CMS_W} CMS over corpus
+    tokens, then point-estimates (min over rows of the hashed slot's
+    counter) for the top-20 tokens next to their exact counts — est_cnt >=
+    exact_cnt always (counters only over-count), the CMS guarantee the
+    parity check exercises on every row.
+
+    Unlike binary-sketch builtins (q_agg_hll_union), this CMS is pure
+    relational algebra on a deterministic hash (disjoint sha256 windows),
+    so BOTH engines build bit-identical sketch tables and the key is
+    exactly oracle-checked, not rows-only.
+
+    100 TB plan: the sketch build is one partial+final agg into d×w = 2048
+    counters — constant size regardless of vocabulary; per-shard sketches
+    ADD (sum per (h, slot)), which is why production pipelines keep CMS
+    columns per partition and merge at read. Candidate top-k via
+    sort+limit (TakeOrdered); estimates join the KB-sized broadcast
+    sketch.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.lower("tok").alias("token"))
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    sha = F.sha2("token", 256)
+    hs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(h).alias("h"),
+                    (
+                        F.conv(F.substring(sha, 1 + 8 * h, 8), 16, 10).cast("long")
+                        % _CMS_W
+                    ).alias("slot"),
+                )
+                for h in range(_CMS_D)
+            ]
+        )
+    )
+    pairs = cnt.select("token", "exact_cnt", hs.alias("p")).select(
+        "token", "exact_cnt", F.col("p.h").alias("h"), F.col("p.slot").alias("slot")
+    )
+    sketch = pairs.groupBy("h", "slot").agg(F.sum("exact_cnt").alias("c"))
+    top = cnt.orderBy(F.desc("exact_cnt"), "token").limit(20)
+    return (
+        top.join(pairs.select("token", "h", "slot"), "token")
+        .join(F.broadcast(sketch), ["h", "slot"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+    )

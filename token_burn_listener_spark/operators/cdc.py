@@ -261,3 +261,49 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             provenance.alias("provenance"),
         )
     )
+
+
+@query(
+    "q_cdc_incr_agg",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_cdc_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a per-customer aggregate: merge a
+    pre-materialized base aggregate with a delta batch's partial aggregate
+    instead of rescanning history.
+
+    The base is orders before 1997-01-01 (the "materialized view"), the
+    delta is everything after (the "new load"); both are aggregated
+    independently and merged by summing partials — count and sum are
+    self-mergeable, which is exactly why production IVM keeps (count, sum)
+    and derives avg downstream. Result is oracle-identical to the full
+    recompute over all orders.
+
+    100 TB plan: the delta side is load-sized, not history-sized — the
+    history scan is replaced by a read of the (much smaller) materialized
+    aggregate; the merge shuffles |distinct keys| rows, not |orders| rows.
+    Rounding happens ONCE, after the merge, so partial sums stay exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue_raw"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("revenue_raw"), 2).alias("revenue"),
+        )
+    )

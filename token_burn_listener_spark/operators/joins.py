@@ -412,3 +412,89 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * F.col("type_weight"), 6).alias("weighted"),
         )
     )
+
+
+@query(
+    "q_join_bloom",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: a Bloom filter built from the filtered dimension
+    prefilters the fact scan before the exact semi join (the manual form of
+    Spark's InjectRuntimeFilter / bloom_filter_agg, which Spark exposes only
+    to the optimizer, not to SQL).
+
+    Construction (all DataFrame ops, no UDF):
+    - dim keys -> k=3 bit positions in an m=65536-bit filter via independent
+      odd-multiplier mixes; distinct positions -> 64-bit words via
+      bit_or(shiftleft(1, pos % 64)) — a ~1 KiB bitmap DataFrame.
+    - the fact side computes its 3 positions and LEFT-joins the broadcast
+      bitmap three times (map-only; no shuffle, no explode of the fact);
+      a row is a candidate iff all 3 probed bits are set.
+    - candidates then pass the exact broadcast semi join, so false
+      positives are eliminated and the result is oracle-identical to the
+      plain semi join.
+
+    100 TB plan: the bitmap is KB-sized regardless of fact size, so the
+    prefilter is a broadcast map-side operation that drops ~4/5 of the
+    fact before any shuffle/join work — exactly what a runtime filter buys
+    when the dim predicate is selective. FP rate at these parameters:
+    (1 - e^(-3*300/65536))^3 ~ 2e-6 — candidates ≈ true matches.
+    """
+    M = 1 << 16  # bits in the filter
+    MIX = [(2654435761, 97), (2246822519, 51), (3266489917, 13)]
+
+    def positions(key: str) -> list:
+        return [
+            ((F.col(key) * F.lit(a) + F.lit(b)) % M).alias(f"pos{h}")
+            for h, (a, b) in enumerate(MIX)
+        ]
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    dim_keys = c.select("c_custkey")
+    bits = dim_keys.select(
+        F.explode(F.array(*positions("c_custkey"))).alias("pos")
+    ).distinct()
+    words = bits.groupBy((F.col("pos") / 64).cast("long").alias("widx")).agg(
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")).alias(
+            "word"
+        )
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", *positions("o_custkey")
+    )
+    cand = o
+    for h in range(3):
+        w = words.select(
+            F.col("widx").alias(f"widx{h}"), F.col("word").alias(f"word{h}")
+        )
+        cand = cand.join(
+            F.broadcast(w),
+            (F.col(f"pos{h}") / 64).cast("long") == F.col(f"widx{h}"),
+            "left",
+        )
+    probe_ok = None
+    for h in range(3):
+        bit = (
+            F.expr(f"shiftright(word{h}, cast(pos{h} % 64 as int)) & 1") == 1
+        )
+        ok = F.col(f"word{h}").isNotNull() & bit
+        probe_ok = ok if probe_ok is None else (probe_ok & ok)
+    cand = cand.filter(probe_ok)
+
+    return (
+        cand.join(F.broadcast(dim_keys), cand.o_custkey == F.col("c_custkey"), "semi")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )

@@ -66,14 +66,16 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #            subqueries (3) + all 20 TPC-H shapes + streaming leftovers (2) +
 #            LLM head (13: dedup/ANN core + text head). Cheap keys first as
 #            the usual time-cap hedge.
-#   r05 queue (right after the window, exactly 50 keys — one full window):
-#            LLM tail (text stats,
+#   r05 queue (right after the window): LLM tail (text stats,
 #            corpus prep, multimodal, index/winnow/prune), event analytics +
 #            CDC, Python sources, UDF surface, plus the 8 new r4 extras
 #            (merge, bigram LM, kmeans, knn-classify, stream upsert, text
-#            scan, HLL union, triangles). Ordered cheap-first today so r05
-#            is a pure head-chop rotation. After r05 every key has a
-#            driver row; check_parity.py covers everything every round.
+#            scan, HLL union, triangles) and the 9 r4b extras (bloom join,
+#            incr-agg IVM, fuzzy dup, random projection, split, length
+#            buckets, zipf, CMS top-k, chained streaming). Ordered
+#            cheap-first today so r05 is a pure head-chop rotation; the
+#            59-key unseen pool drains over r05+r06 while check_parity.py
+#            covers everything every round.
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
     # --- r04 driver window (positions 1-50) ---
@@ -178,6 +180,15 @@ DRIVER_ORDER: list[str] = [
     "q_agg_hll_union",  # new r4: mergeable HLL distinct sketches (rows-only)
     "q_graph_triangles",  # new r4: triangle count on the near-dup graph
     "q_evt_transitions",  # new r4: event-type Markov transition matrix
+    "q_join_bloom",  # new r4b: bloom-filter runtime-prefilter semi join
+    "q_cdc_incr_agg",  # new r4b: incremental view maintenance (partial-agg merge)
+    "q_llm_fuzzy_dup",  # new r4b: edit-distance dup pairs via q-gram prefix filter
+    "q_llm_random_projection",  # new r4b: JL sign-matrix dim reduction 64->8
+    "q_llm_split",  # new r4b: deterministic train/val/test assignment
+    "q_llm_length_buckets",  # new r4b: length-bucketed batch packing
+    "q_llm_zipf",  # new r4b: Zipf slope corpus-quality gate (regr_slope)
+    "q_llm_cms_topk",  # new r4b: count-min-sketch heavy hitters (exact oracle)
+    "q_stream_chained",  # new r4b: chained stateful ops (hourly->daily windows)
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",

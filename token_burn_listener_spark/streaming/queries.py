@@ -748,3 +748,72 @@ def q_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@query(
+    "q_stream_chained",
+    oracle="""
+    WITH bounds AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
+    ontime AS (
+      SELECT ts, event_type FROM events
+      WHERE ts > (SELECT mn + INTERVAL 1 DAY FROM bounds)
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hs, event_type, count(*) AS n
+      FROM ontime GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT (date_trunc('day', hs) + INTERVAL 1 DAY)::TIMESTAMP AS de,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_type_hours
+      FROM hourly GROUP BY 1
+    )
+    SELECT de, n_events, n_type_hours FROM daily
+    WHERE de <= (SELECT mx - INTERVAL 30 MINUTE FROM bounds)
+    """,
+)
+def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 3.4+/4.x):
+    a watermarked hourly window agg per event_type feeds a SECOND windowed
+    aggregation that rolls the hourly results into daily totals — two
+    state stores in one append-mode query, no intermediate sink.
+
+    Before multi-stateful-operator support this required materializing the
+    hourly level and running a second job; chaining keeps the rollup
+    pipeline in one checkpoint with one consistent watermark. Uses the
+    proven two-phase replay harness (q_stream_watermark): phase 1 streams
+    the on-time slice, phase 2 appends the held-back first day — those
+    rows are late past the persisted watermark, so they are dropped while
+    their batches drive the final emission of closed day windows.
+
+    100 TB plan: level-1 state is (hour × type) keys, level-2 is day keys
+    — both bounded by time, evicted at watermark; the level-2 shuffle
+    moves hourly AGGREGATES (thousands of rows), not events. RocksDB
+    (q_stream_rocksdb) carries the same plan at production key counts.
+    """
+    mn, _mx = _ts_bounds(spark, sf_dir)
+    t0 = mn + datetime.timedelta(days=1)
+    ev = events_df(spark, sf_dir)
+    base = fresh_run_dir("chain")
+    replay, target, cp = f"{base}/replay", f"{base}/target", f"{base}/cp"
+    ev.filter(F.col("ts") > t0).coalesce(1).write.parquet(replay)
+
+    def run_once() -> None:
+        src = read_events_stream(spark, replay)
+        hourly = (
+            src.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        daily = hourly.groupBy(F.window(F.col("w1"), "1 day").alias("w2")).agg(
+            F.sum("n").alias("n_events"), F.count("*").alias("n_type_hours")
+        )
+        out = daily.select(
+            F.col("w2.end").alias("de"), "n_events", "n_type_hours"
+        )
+        run_foreach_upsert(out, target, cp)
+
+    run_once()
+    ev.filter(F.col("ts") <= t0).coalesce(1).write.mode("append").parquet(replay)
+    run_once()
+    return read_upsert_target(spark, target)
