@@ -531,3 +531,63 @@ def q_llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_RP_OUT_DIMS)
     ]
     return exploded.groupBy("vec_id").agg(*sums)
+
+
+@query(
+    "q_llm_hard_negatives",
+    oracle="""
+    WITH p AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neg_id, b.label AS neg_label,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label <> b.label AND a.vec_id < 50
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, neg_id) AS rk
+      FROM p
+    )
+    SELECT vec_id, neg_id, neg_label, cos_sim FROM ranked WHERE rk = 1
+    """,
+)
+def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each of
+    the first 50 anchor vectors, the single most-similar vector with a
+    DIFFERENT label — the pairs that carry the most gradient signal in
+    triplet/InfoNCE losses.
+
+    100 TB plan: the anchor slice is query-sized and BROADCASTS; the corpus
+    side streams map-side through the cosine + per-anchor top-1 (the
+    window prunes to rank 1 via WindowGroupLimit). At full-corpus anchor
+    counts this becomes the IVF/LSH candidate path of q_llm_ivf_search —
+    mine negatives only among same-cluster candidates — which trades exact
+    hardest-negative for probe-bounded work; the exact broadcast form is
+    the oracle-checkable fixture-scale twin.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        as_double("embedding").alias("av"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        as_double("embedding").alias("nv"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(corpus, F.col("a_label") != F.col("neg_label"))
+        .select(
+            F.col("a_id").alias("vec_id"),
+            "neg_id",
+            "neg_label",
+            F.round(dot("av", "nv") / (l2("av") * l2("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neg_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )

@@ -289,3 +289,102 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("value")).cast("long").alias("min_len"),
         F.max(F.length("value")).cast("long").alias("max_len"),
     )
+
+
+@query(
+    "q_sink_zorder",
+    oracle="""
+    WITH b AS (
+      SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+             min(l_suppkey) AS smn, max(l_suppkey) AS smx
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+    FROM lineitem, b
+    WHERE l_partkey <= pmn + (pmx - pmn) // 8
+      AND l_suppkey <= smn + (smx - smn) // 8
+    """,
+)
+def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered sink + two-dimensional data skipping.
+
+    lineitem is rewritten clustered by the Morton (Z-order) interleaving of
+    its 16-bit-quantized (l_partkey, l_suppkey): repartitionByRange on the
+    z-value + sortWithinPartitions gives every file a tight min/max box in
+    BOTH dimensions — a linear sort gets skipping on one column only. The
+    layout is asserted from the parquet footers (pyarrow, driver-side
+    metadata read): a 1/8-domain probe on EITHER column must overlap at
+    most half the files. The returned rows are the 2-D probe-box read off
+    the clustered copy, oracle-checked against the original table.
+
+    100 TB plan: this is the Delta/Iceberg OPTIMIZE ZORDER trade — one
+    range shuffle at write time buys every subsequent selective scan
+    file-level pruning on two predicates; the z-value is 32 bit ops in
+    whole-stage codegen, and quantization bounds come from a 1-row agg
+    (bounded scalar, the repo's collect() convention).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    pmn, pmx, smn, smx = b[0], b[1], b[2], b[3]
+
+    def quant(col: str, mn: int, mx: int) -> str:
+        return f"cast(({col} - {mn}) * 65535.0 / {max(mx - mn, 1)} as bigint)"
+
+    z_expr = " + ".join(
+        f"(((xq >> {k}) & 1) << {2 * k}) + (((yq >> {k}) & 1) << {2 * k + 1})"
+        for k in range(16)
+    )
+
+    def write(df: DataFrame, path: str) -> None:
+        (
+            df.withColumn("xq", F.expr(quant("l_partkey", pmn, pmx)))
+            .withColumn("yq", F.expr(quant("l_suppkey", smn, smx)))
+            .withColumn("z", F.expr(z_expr))
+            .repartitionByRange(16, "z")
+            .sortWithinPartitions("z")
+            .drop("xq", "yq", "z")
+            .write.parquet(path)
+        )
+
+    path = materialize(
+        li,
+        scratch_dir(sf_dir, "lineitem_zorder", source=f"{sf_dir}/lineitem.parquet"),
+        write,
+    )
+
+    # Layout assert: per-file min/max boxes from footers must let a
+    # 1/8-domain probe on either dimension skip at least half the files.
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(f"{path}/part-*.parquet"))
+    boxes = []
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo = [None, None]
+        hi = [None, None]
+        for rg in range(md.num_row_groups):
+            for d, col in enumerate(("l_partkey", "l_suppkey")):
+                st = md.row_group(rg).column(idx[col]).statistics
+                lo[d] = st.min if lo[d] is None else min(lo[d], st.min)
+                hi[d] = st.max if hi[d] is None else max(hi[d], st.max)
+        boxes.append((lo, hi))
+    p_cut = pmn + (pmx - pmn) // 8
+    s_cut = smn + (smx - smn) // 8
+    p_hits = sum(1 for lo, hi in boxes if lo[0] <= p_cut)
+    s_hits = sum(1 for lo, hi in boxes if lo[1] <= s_cut)
+    if not (p_hits <= len(files) // 2 and s_hits <= len(files) // 2):
+        raise AssertionError(
+            f"z-order skipping degraded: probe overlaps {p_hits}/{s_hits} "
+            f"of {len(files)} files on partkey/suppkey"
+        )
+
+    return spark.read.parquet(path).filter(
+        (F.col("l_partkey") <= p_cut) & (F.col("l_suppkey") <= s_cut)
+    )

@@ -189,6 +189,8 @@ DRIVER_ORDER: list[str] = [
     "q_llm_zipf",  # new r4b: Zipf slope corpus-quality gate (regr_slope)
     "q_llm_cms_topk",  # new r4b: count-min-sketch heavy hitters (exact oracle)
     "q_stream_chained",  # new r4b: chained stateful ops (hourly->daily windows)
+    "q_sink_zorder",  # new r4b: Z-order clustered sink, 2-D footer skipping asserted
+    "q_llm_hard_negatives",  # new r4b: contrastive hard-negative mining (top-1 cross-label)
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",

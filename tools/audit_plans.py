@@ -61,6 +61,7 @@ ALLOW_NESTED_LOOP = {
     "q_evt_resample",      # grid build: 1-row bounds × 5-row type dim
     "q_llm_kmeans",        # init: TakeOrdered k rows; centroids are literals
     "q_llm_knn_classify",  # bounded 20-row probe batch broadcasts vs corpus
+    "q_llm_hard_negatives",  # bounded 50-anchor slice broadcasts vs corpus
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
