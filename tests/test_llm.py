@@ -390,3 +390,18 @@ def test_bloom_join_equals_exact_semi_join(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_dsir_weights_favor_target_domain(spark, sf_dir):
+    """Importance weights must discriminate: the target domain's mean
+    weight exceeds the non-target mean (its bigrams ARE the target model),
+    and every doc gets a finite weight."""
+    out = QUERIES["q_llm_dsir"](spark, sf_dir)
+    from token_burn_listener_spark.llm.text import _DSIR_TARGET
+
+    rows = out.collect()
+    assert all(r.dsir_weight is not None for r in rows)
+    tgt = [r.dsir_weight for r in rows if r.source == _DSIR_TARGET]
+    rest = [r.dsir_weight for r in rows if r.source != _DSIR_TARGET]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)

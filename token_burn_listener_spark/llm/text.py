@@ -660,3 +660,88 @@ def q_llm_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "exact_cnt")
         .agg(F.min("c").alias("est_cnt"))
     )
+
+
+_DSIR_TARGET = "src0"  # the "high-quality target domain" stand-in
+
+
+@query(
+    "q_llm_dsir",
+    oracle=f"""
+    WITH bi AS (
+      SELECT doc_id, source,
+             unnest([substring(text, i, 2) for i in range(1, length(text))])
+               AS bg
+      FROM documents WHERE length(text) >= 2
+    ), m AS (
+      SELECT bg, count(*) AS cc,
+             count(*) FILTER (source = '{_DSIR_TARGET}') AS ct
+      FROM bi GROUP BY bg
+    ), g AS (
+      SELECT sum(cc)::DOUBLE AS nc, sum(ct)::DOUBLE AS nt,
+             count(*)::DOUBLE AS v
+      FROM m
+    ), lr AS (
+      SELECT bg, log10((ct + 1) / (nt + v)) - log10((cc + 1) / (nc + v)) AS lr
+      FROM m, g
+    )
+    SELECT doc_id, source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lr), 6) AS dsir_weight
+    FROM bi JOIN lr USING (bg)
+    GROUP BY doc_id, source
+    """,
+)
+def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): score every document
+    by the mean log-likelihood RATIO of its char-bigrams under a target-
+    domain model vs the whole-corpus model (add-1 smoothed over the shared
+    bigram vocabulary). High weight = looks like the target domain;
+    importance resampling then samples the corpus proportionally — the
+    principled alternative to hard quality-classifier cuts.
+
+    100 TB plan: same shape as q_llm_bigram_lm — BOTH models live in one
+    charset²-bounded count table (target counts via a conditional agg on
+    the same pass, no second corpus scan); normalizers and vocabulary size
+    fold out of the bounded model table with a global window over model
+    rows only; the log-ratio table BROADCASTS into the scoring join, and
+    per-doc averaging partial-aggregates map-side. Corpus read exactly
+    twice (train pass, score pass), shuffled never.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bi = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(text, ''), 1, length(text) - 1),"
+                "         slice(split(text, ''), 2, length(text) - 1),"
+                "         (a, b) -> concat(a, b))"
+            )
+        ).alias("bg"),
+    )
+    m = bi.groupBy("bg").agg(
+        F.count("*").alias("cc"),
+        F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("ct"),
+    )
+    w = Window.partitionBy()
+    lr = (
+        m.withColumn("nc", F.sum("cc").over(w).cast("double"))
+        .withColumn("nt", F.sum("ct").over(w).cast("double"))
+        .withColumn("v", F.count("*").over(w).cast("double"))
+        .select(
+            "bg",
+            (
+                F.log10((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
+                - F.log10((F.col("cc") + 1) / (F.col("nc") + F.col("v")))
+            ).alias("lr"),
+        )
+    )
+    return (
+        bi.join(F.broadcast(lr), "bg")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lr"), 6).alias("dsir_weight"),
+        )
+    )

@@ -191,6 +191,7 @@ DRIVER_ORDER: list[str] = [
     "q_stream_chained",  # new r4b: chained stateful ops (hourly->daily windows)
     "q_sink_zorder",  # new r4b: Z-order clustered sink, 2-D footer skipping asserted
     "q_llm_hard_negatives",  # new r4b: contrastive hard-negative mining (top-1 cross-label)
+    "q_llm_dsir",  # new r4b: DSIR importance weights (target-vs-corpus bigram LR)
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
