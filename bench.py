@@ -38,6 +38,8 @@ HEADLINE_KEYS = [
     "q_llm_decontaminate",  # 8-gram decontamination, broadcast semi (new in r3)
     "q_cdc_merge",          # latest-op-wins MERGE apply (new in r4)
     "q_llm_bigram_lm",      # self-trained bigram LM scoring (new in r4)
+    "q_join_bloom",         # bloom runtime-prefilter semi join (new in r4)
+    "q_llm_cms_topk",       # count-min-sketch heavy hitters (new in r4)
 ]
 
 

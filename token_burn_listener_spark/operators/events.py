@@ -372,3 +372,69 @@ def q_evt_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
     )
+
+
+@query(
+    "q_evt_dynamic_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN 2700000000::BIGINT ELSE 900000000::BIGINT END AS gap_us
+      FROM events
+    ), m AS (
+      SELECT *, max(epoch_us(ts) + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM e
+    ), s AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+                     THEN 1 ELSE 0 END AS brk
+      FROM m
+    ), sid AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM s
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           make_timestamp(max(epoch_us(ts) + gap_us)) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sid GROUP BY user_id, sidx
+    """,
+)
+def q_evt_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization via session_window with a PER-EVENT gap
+    expression: purchases hold a session open 45 minutes, everything else
+    15 — the engagement-dependent timeout real funnels use (a checkout
+    deserves a longer grace window than a pageview).
+
+    Unlike the fixed-gap lag formulation (q_evt_sessionize), the merge
+    rule here is interval overlap: each event spans [ts, ts + gap(event))
+    and overlapping spans merge, so session_end is the running MAX of
+    event deadlines, which a longer-gap event can extend past a later
+    short-gap event's deadline. The oracle replays exactly that with a
+    running-max window; boundary convention matches session_window
+    ([start, end) — an event landing exactly on the close boundary starts
+    a new session).
+
+    100 TB plan: session_window is one shuffle on user_id + an in-partition
+    merge sort — the same cost envelope as the lag formulation; the gap
+    CASE is row-local. The identical expression drops into the streaming
+    q_stream_session shape for watermark-evicted state.
+    """
+    e = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("45 minutes"))
+        .otherwise(F.lit("15 minutes"))
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
