@@ -114,3 +114,77 @@ def test_min_label_components_matches_union_find(spark, edges):
         for r in min_label_components(nodes, pairs, "vid").collect()
     }
     assert got == _union_find_min_labels(edges)
+
+
+# --- bit-level kernels of the r4b storage/join operators -------------------
+# The z-order interleave and the bloom bit probes are built as generated SQL
+# expressions; these properties pin them against plain-Python references so
+# an expression-generation slip (off-by-one shift, sign issue) can't pass
+# silently just because the end-to-end key still returned plausible rows.
+
+
+def _z_interleave_py(x: int, y: int) -> int:
+    z = 0
+    for k in range(16):
+        z |= ((x >> k) & 1) << (2 * k)
+        z |= ((y >> k) & 1) << (2 * k + 1)
+    return z
+
+
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(xy=st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+                   min_size=1, max_size=8))
+def test_zorder_interleave_expression_matches_python(spark, xy):
+    from pyspark.sql import functions as F
+
+    z_expr = " + ".join(
+        f"(((xq >> {k}) & 1) << {2 * k}) + (((yq >> {k}) & 1) << {2 * k + 1})"
+        for k in range(16)
+    )
+    df = spark.createDataFrame(xy, "xq: long, yq: long").withColumn(
+        "z", F.expr(z_expr)
+    )
+    for r in df.collect():
+        assert r.z == _z_interleave_py(r.xq, r.yq), (r.xq, r.yq, r.z)
+    # Morton monotonicity sanity: quadrant ordering is preserved.
+    assert _z_interleave_py(0, 0) < _z_interleave_py(1, 0) < _z_interleave_py(0, 1)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=st.lists(st.integers(0, 10_000_000), min_size=1, max_size=50,
+                     unique=True),
+       probes=st.lists(st.integers(0, 10_000_000), min_size=1, max_size=50,
+                       unique=True))
+def test_bloom_bitmap_has_no_false_negatives(spark, keys, probes):
+    """Re-derive the q_join_bloom bitmap construction on arbitrary keys:
+    every inserted key must probe positive (bloom filters never have false
+    negatives); uninserted probes MAY collide, which is fine."""
+    from pyspark.sql import functions as F
+
+    M = 1 << 16
+    MIX = [(2654435761, 97), (2246822519, 51), (3266489917, 13)]
+
+    def positions(key: int) -> list[int]:
+        return [(key * a + b) % M for a, b in MIX]
+
+    words: dict[int, int] = {}
+    for k in keys:
+        for p in positions(k):
+            words[p // 64] = words.get(p // 64, 0) | (1 << (p % 64))
+
+    def member(k: int) -> bool:
+        return all(
+            (words.get(p // 64, 0) >> (p % 64)) & 1 for p in positions(k)
+        )
+
+    for k in keys:
+        assert member(k), f"false negative for inserted key {k}"
+    # Spark-side expression agreement on the probe set:
+    df = spark.createDataFrame([(p,) for p in probes], "k: long")
+    for h, (a, b) in enumerate(MIX):
+        df = df.withColumn(f"pos{h}", (F.col("k") * a + b) % M)
+    rows = df.collect()
+    for r in rows:
+        assert [r.pos0, r.pos1, r.pos2] == positions(r.k)
