@@ -405,3 +405,28 @@ def test_dsir_weights_favor_target_domain(spark, sf_dir):
     rest = [r.dsir_weight for r in rows if r.source != _DSIR_TARGET]
     assert tgt and rest
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_training_manifest_composes_its_stages(spark, sf_dir):
+    """Manifest rows = corpus-prep survivors ∩ train split; packs respect
+    the 256-token budget except single oversized docs; pack ids are dense
+    per source."""
+    man = QUERIES["q_llm_training_manifest"](spark, sf_dir).collect()
+    prep = {r.doc_id for r in QUERIES["q_llm_corpus_prep"](spark, sf_dir).collect()}
+    split = {
+        r.doc_id
+        for r in QUERIES["q_llm_split"](spark, sf_dir).collect()
+        if r.split == "train"
+    }
+    assert {r.doc_id for r in man} == prep & split
+    by_src: dict = {}
+    for r in man:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        packs: dict = {}
+        for r in rows:
+            packs.setdefault(r.pack_id, []).append(r.n_tokens)
+        assert sorted(packs) == list(range(len(packs))), src
+        for pid, toks in packs.items():
+            if len(toks) > 1:
+                assert sum(toks) <= 256, (src, pid, toks)

@@ -112,3 +112,96 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rep", 6).alias("rep_ratio"),
         )
     )
+
+
+@query(
+    "q_llm_training_manifest",
+    oracle="""
+    WITH RECURSIVE prep AS (
+      WITH scored AS (
+        SELECT doc_id, lang, source, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 1.0 - len(list_distinct(
+                         [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                          for i in range(1, len(t) - 1)]))::DOUBLE
+                     / (len(t) - 2)
+               ELSE 0.0 END AS rep,
+               sha256(text) AS sha
+        FROM (SELECT *, string_split(text, ' ') AS t FROM documents)
+      ),
+      gated AS (
+        SELECT * FROM scored
+        WHERE lang <> 'zh'
+          AND n_chars BETWEEN 80 AND 500
+          AND n_tokens >= 15
+          AND n_chars::DOUBLE / n_tokens <= 8.0
+          AND rep <= 0.05
+      ),
+      kept AS (
+        SELECT *, min(doc_id) OVER (PARTITION BY sha) AS keep_id FROM gated
+      )
+      SELECT doc_id, source, n_tokens::BIGINT AS n_tokens
+      FROM kept WHERE doc_id = keep_id
+    ),
+    tr AS (
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM prep
+      WHERE CAST(('0x' || substr(sha256(doc_id::VARCHAR), 1, 2)) AS BIGINT)
+            < 230
+    ),
+    packs AS (
+      SELECT source, rn, doc_id, n_tokens, 0::BIGINT AS pack_id,
+             n_tokens AS fill
+      FROM tr WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN p.fill + t.n_tokens > 256
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.fill + t.n_tokens > 256
+                  THEN t.n_tokens ELSE p.fill + t.n_tokens END
+      FROM packs p JOIN tr t ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, pack_id FROM packs
+    """,
+)
+def q_llm_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the pipeline: the manifest a trainer actually consumes.
+    Composes three verified stages — corpus prep (quality gates +
+    repetition gate + exact dedup survivor, q_llm_corpus_prep), the
+    deterministic train split (q_llm_split's sha256-byte rule), and greedy
+    next-fit sequence packing (q_llm_pack_sequences' fold) — into one
+    oracle-checked query emitting (doc_id, source, n_tokens, pack_id) for
+    every training-split survivor.
+
+    100 TB plan: the gates are map-only over the scan, dedup is the one
+    sha256 shuffle, the split test is row-local, and packing is ONE
+    applyInPandas over per-source groups carrying only (doc_id, source,
+    n_tokens) — text never leaves the JVM, and every stage's scale
+    argument is inherited from the component key it composes.
+    """
+    import pandas as pd
+
+    prep = q_llm_corpus_prep(spark, sf_dir).select("doc_id", "source", "n_tokens")
+    split_byte = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2), 16, 10
+    ).cast("long")
+    train = prep.filter(split_byte < 230)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids = []
+        pack_id, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if fill + n > 256 and fill > 0:
+                pack_id += 1
+                fill = 0
+            fill += n
+            pack_ids.append(pack_id)
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf[["doc_id", "source", "n_tokens", "pack_id"]]
+
+    return train.groupBy("source").applyInPandas(
+        pack, "doc_id long, source string, n_tokens long, pack_id long"
+    )

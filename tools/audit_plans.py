@@ -86,6 +86,8 @@ ALLOW_PYTHON = {
     "q_llm_ann_lsh",     # ml BucketedRandomProjectionLSH
     "q_llm_pack_sequences",  # applyInPandas: the one sequential-fold stage;
                              # only (doc_id, source, n_tokens) rows cross Arrow
+    "q_llm_training_manifest",  # composes pack_sequences' fold — same Arrow
+                                # contract, same skinny (id, source, n) rows
 }
 
 PYTHON_OPS = (
