@@ -388,3 +388,72 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).filter(
         (F.col("l_partkey") <= p_cut) & (F.col("l_suppkey") <= s_cut)
     )
+
+
+@query(
+    "q_scan_time_travel",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 0
+    """,
+)
+def q_scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pinned snapshot read ("time travel"): two commits land in
+    one directory — v1 (orderkey % 3 <> 0) then an appended v2 delta (the
+    rest) — and each commit records ITS file list in a JSON manifest. A
+    reader pins a snapshot by reading exactly the manifest's files, so v1
+    stays byte-stable forever regardless of later appends — the Iceberg/
+    Delta time-travel mechanism reduced to its parquet + manifest core.
+
+    The layout assert pins snapshot isolation live: the v2 manifest must
+    strictly contain v1's files, and the v1 read must NOT see the delta
+    rows. Returned rows are the as-of-v1 read, oracle-checked against the
+    v1 predicate on the source table.
+
+    100 TB plan: a manifest read turns "which files make up snapshot N"
+    into a KB-sized metadata lookup instead of a directory listing race;
+    appends never rewrite data, and readers never block writers. This is
+    the file-level contract every lakehouse table format builds on.
+    """
+    import json
+    import os
+
+    def write(df: DataFrame, path: str) -> None:
+        data = f"{path}/data"
+        df.filter(F.col("o_orderkey") % 3 != 0).coalesce(2).write.parquet(data)
+        v1 = sorted(
+            f for f in os.listdir(data) if f.endswith(".parquet")
+        )
+        df.filter(F.col("o_orderkey") % 3 == 0).coalesce(2).write.mode(
+            "append"
+        ).parquet(data)
+        v2 = sorted(
+            f for f in os.listdir(data) if f.endswith(".parquet")
+        )
+        with open(f"{path}/manifest-v1.json", "w") as fh:
+            json.dump(v1, fh)
+        with open(f"{path}/manifest-v2.json", "w") as fh:
+            json.dump(v2, fh)
+
+    o = load_table(spark, sf_dir, "orders")
+    path = materialize(
+        o,
+        scratch_dir(sf_dir, "orders_timetravel", source=f"{sf_dir}/orders.parquet"),
+        write,
+    )
+    with open(f"{path}/manifest-v1.json") as fh:
+        v1 = json.load(fh)
+    with open(f"{path}/manifest-v2.json") as fh:
+        v2 = json.load(fh)
+    if not (set(v1) < set(v2)):
+        raise AssertionError("snapshot isolation broken: v2 must strictly contain v1")
+    as_of_v1 = spark.read.parquet(*[f"{path}/data/{f}" for f in v1])
+    if as_of_v1.filter(F.col("o_orderkey") % 3 == 0).limit(1).count() != 0:
+        raise AssertionError("v1 snapshot read leaked delta rows")
+    return as_of_v1.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )

@@ -194,6 +194,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_dsir",  # new r4b: DSIR importance weights (target-vs-corpus bigram LR)
     "q_evt_dynamic_sessions",  # new r4b: per-event dynamic-gap session_window
     "q_llm_training_manifest",  # new r4b: gates+dedup -> split -> pack composition
+    "q_scan_time_travel",  # new r4b: manifest-pinned snapshot read (lakehouse core)
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
