@@ -70,12 +70,13 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #            corpus prep, multimodal, index/winnow/prune), event analytics +
 #            CDC, Python sources, UDF surface, plus the 8 new r4 extras
 #            (merge, bigram LM, kmeans, knn-classify, stream upsert, text
-#            scan, HLL union, triangles) and the 9 r4b extras (bloom join,
+#            scan, HLL union, triangles) and the 15 r4b extras (bloom join,
 #            incr-agg IVM, fuzzy dup, random projection, split, length
-#            buckets, zipf, CMS top-k, chained streaming). Ordered
-#            cheap-first today so r05 is a pure head-chop rotation; the
-#            59-key unseen pool drains over r05+r06 while check_parity.py
-#            covers everything every round.
+#            buckets, zipf, CMS top-k, chained streaming, z-order sink,
+#            hard negatives, DSIR, dynamic sessions, training manifest,
+#            time travel). Ordered cheap-first today so r05 is a pure
+#            head-chop rotation; the ~65-key unseen pool drains over
+#            r05+r06 while check_parity.py covers everything every round.
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
     # --- r04 driver window (positions 1-50) ---
