@@ -745,3 +745,63 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lr"), 6).alias("dsir_weight"),
         )
     )
+
+
+@query(
+    "q_llm_ccnet_buckets",
+    oracle="""
+    WITH bi AS (
+      SELECT doc_id,
+             unnest([substring(text, i, 2) for i in range(1, length(text))])
+               AS bg
+      FROM documents WHERE length(text) >= 2
+    ), c AS (
+      SELECT bg, count(*) AS c FROM bi GROUP BY bg
+    ), t AS (
+      SELECT count(*)::DOUBLE AS total FROM bi
+    ), scored AS (
+      SELECT doc_id, round(avg(log10(c / total)), 6) AS lm_score
+      FROM bi JOIN c USING (bg), t
+      GROUP BY doc_id
+    )
+    SELECT doc_id, lm_score,
+           CASE ntile(3) OVER (ORDER BY lm_score DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scored
+    """,
+)
+def q_llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every document by its bigram
+    LM score and split the corpus into head / middle / tail terciles —
+    the protocol CCNet used to grade CommonCrawl by Wikipedia-LM
+    perplexity, with the self-trained bigram model standing in for the
+    external KenLM.
+
+    100 TB plan: scoring is q_llm_bigram_lm's broadcast-model shape; the
+    corpus-wide tercile rank uses ranking.global_row_number
+    (repartitionByRange + local rank + broadcast prefix offsets) and
+    ntile_from_rank — NO corpus-sized data crosses a single-partition
+    window, unlike a naive ntile() OVER (ORDER BY ...). Ranking on the
+    ROUNDED score (both engines round to 6 first, doc_id tiebreak) keeps
+    the tercile boundaries engine-identical.
+    """
+    from token_burn_listener_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+        with_total_count,
+    )
+
+    scored = q_llm_bigram_lm(spark, sf_dir).select("doc_id", "lm_score")
+    ranked = with_total_count(
+        global_row_number(scored, [F.desc("lm_score"), F.col("doc_id")], "rk")
+    )
+    tier = ntile_from_rank(F.col("rk"), F.col("_n"), 3)
+    return ranked.select(
+        "doc_id",
+        "lm_score",
+        F.when(tier == 1, "head")
+        .when(tier == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

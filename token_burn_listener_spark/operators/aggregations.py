@@ -474,3 +474,44 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
+
+
+@query(
+    "q_diag_join_skew",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS total_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+           round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+           round(max(cnt) / avg(cnt), 6) AS skew_ratio
+    FROM k
+    """,
+)
+def q_diag_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (extra, beyond §2.B4): the per-key count
+    distribution of a shuffle key (l_orderkey, the orders⋈lineitem join) —
+    key cardinality, max/median/p99 per-key rows, and the max/avg skew
+    ratio. This is the profiling query a team runs BEFORE choosing between
+    plain SMJ, AQE skew splitting, and manual salting (q_join_salted):
+    skew_ratio near 1 = uniform (shuffle freely), 100+ = salt or broadcast.
+
+    100 TB plan: one partial+final count per key (map-side combine), then
+    a second aggregation over the KEY table (cardinality-sized, not
+    fact-sized) for the distribution stats — the diagnostic costs one
+    shuffle of pre-aggregated counts, never a second fact scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    return k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.percentile("cnt", 0.5), 6).alias("p50_cnt"),
+        F.round(F.percentile("cnt", 0.99), 6).alias("p99_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
+    )

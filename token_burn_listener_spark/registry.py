@@ -196,6 +196,8 @@ DRIVER_ORDER: list[str] = [
     "q_evt_dynamic_sessions",  # new r4b: per-event dynamic-gap session_window
     "q_llm_training_manifest",  # new r4b: gates+dedup -> split -> pack composition
     "q_scan_time_travel",  # new r4b: manifest-pinned snapshot read (lakehouse core)
+    "q_llm_ccnet_buckets",  # new r4b: perplexity head/middle/tail terciles
+    "q_diag_join_skew",  # new r4b: join-key skew profiling (salt-or-not gauge)
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",

@@ -62,6 +62,8 @@ ALLOW_NESTED_LOOP = {
     "q_llm_kmeans",        # init: TakeOrdered k rows; centroids are literals
     "q_llm_knn_classify",  # bounded 20-row probe batch broadcasts vs corpus
     "q_llm_hard_negatives",  # bounded 50-anchor slice broadcasts vs corpus
+    "q_llm_ccnet_buckets",   # broadcast crossJoin of the 1-row total-count agg
+                             # (ranking.with_total_count, same as q_win_ntile)
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
