@@ -817,3 +817,67 @@ def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("ts") <= t0).coalesce(1).write.mode("append").parquet(replay)
     run_once()
     return read_upsert_target(spark, target)
+
+
+@query(
+    "q_stream_dynamic_session",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN 2700000000::BIGINT ELSE 900000000::BIGINT END AS gap_us
+      FROM events
+    ), m AS (
+      SELECT *, max(epoch_us(ts) + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM e
+    ), s AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+                     THEN 1 ELSE 0 END AS brk
+      FROM m
+    ), sid AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM s
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           make_timestamp(max(epoch_us(ts) + gap_us)) AS session_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM sid GROUP BY user_id, sidx
+    """,
+)
+def q_stream_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dynamic-gap sessions: the same per-event gap expression as
+    q_evt_dynamic_sessions (purchases 45 min, others 15) driving
+    session_window's merge-capable streaming state — sessions whose
+    timeout depends on what the user last did, maintained incrementally as
+    micro-batches arrive.
+
+    The oracle replays the interval-overlap merge with a running max of
+    event deadlines (a longer-gap purchase can hold a session open past a
+    later pageview's shorter deadline) — the batch twin's oracle verbatim,
+    proving batch/stream semantic parity for the dynamic-gap case too.
+
+    100 TB plan: merge-capable session state shuffles once on user_id;
+    with a watermark the state is eviction-bounded (complete-mode memory
+    sink here is test instrumentation, as for q_stream_session); RocksDB
+    carries it at production key counts.
+    """
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("45 minutes"))
+        .otherwise(F.lit("15 minutes"))
+    )
+    agg = (
+        _stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    out = agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n",
+    )
+    return run_to_memory(out, "complete")
