@@ -805,3 +805,61 @@ def q_llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@query(
+    "q_llm_bpe_merges",
+    oracle="""
+    WITH w AS (
+      SELECT lower(tok) AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      WHERE tok <> '' GROUP BY 1
+    ), p AS (
+      SELECT unnest([substring(word, i, 2)
+                     for i in range(1, length(word))]) AS pair, cnt
+      FROM w WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq
+    FROM p GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT 10
+    """,
+)
+def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration of tokenizer training: adjacent
+    character-pair frequencies weighted by word frequency, top-10 merge
+    candidates. Full BPE repeats this after applying the winning merge;
+    the ITERATION SHAPE is what matters at scale and it is identical every
+    round — this key pins that one round exactly against the oracle
+    (iterating is a driver loop over the same plan, the q_llm_kmeans
+    pattern).
+
+    100 TB plan: the word-frequency table is vocabulary-sized (Heaps-law
+    sublinear), so the pair pass explodes the VOCABULARY, not the corpus —
+    the corpus is read once for word counts, and every BPE round after
+    that costs one vocab-sized explode + partial/final agg + TakeOrdered.
+    This is why production BPE trainers count words first.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.lower("tok").alias("word"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = w.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(word, ''), 1, length(word) - 1),"
+                "         slice(split(word, ''), 2, length(word) - 1),"
+                "         (a, b) -> concat(a, b))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(10)
+    )

@@ -199,6 +199,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_ccnet_buckets",  # new r4b: perplexity head/middle/tail terciles
     "q_diag_join_skew",  # new r4b: join-key skew profiling (salt-or-not gauge)
     "q_stream_dynamic_session",  # new r4b: streaming twin of dynamic-gap sessions
+    "q_llm_bpe_merges",  # new r4b: BPE first-merge pair statistics (vocab-sized)
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
