@@ -438,3 +438,73 @@ def q_evt_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q_evt_windowed_funnel",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), cl AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN su USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts > su.s_ts AND e.ts <= su.s_ts + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ), pu AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN cl USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > cl.c_ts AND e.ts <= cl.c_ts + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, CAST(count(*) AS BIGINT) AS users FROM su
+    UNION ALL
+    SELECT 'click_7d', CAST(count(*) AS BIGINT) FROM cl
+    UNION ALL
+    SELECT 'purchase_7d', CAST(count(*) AS BIGINT) FROM pu
+    """,
+)
+def q_evt_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-constrained funnel: signup → click WITHIN 7 days →
+    purchase within 7 days of that click. Unlike the unconstrained funnel
+    (q_evt_funnel), each stage must land inside a conversion window
+    anchored at the previous stage's timestamp — the form product teams
+    actually report, since a purchase eight months later is not
+    attributable to the signup.
+
+    100 TB plan: identical cost envelope to q_evt_funnel — every stage
+    aggregates per user before joining, so all joins are
+    aggregate⋈aggregate on the uniform user key with scan-side
+    event_type pushdown; the deadline is a row-local band predicate on
+    the joined pair, not a new join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    cl = (
+        e.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter((F.col("ts") > F.col("s_ts")) & (F.col("ts") <= F.col("s_ts") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .filter((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.lit(name).alias("stage"), F.count("*").alias("users"))
+
+    return row("signup", su).unionAll(row("click_7d", cl)).unionAll(
+        row("purchase_7d", pu)
+    )

@@ -200,6 +200,7 @@ DRIVER_ORDER: list[str] = [
     "q_diag_join_skew",  # new r4b: join-key skew profiling (salt-or-not gauge)
     "q_stream_dynamic_session",  # new r4b: streaming twin of dynamic-gap sessions
     "q_llm_bpe_merges",  # new r4b: BPE first-merge pair statistics (vocab-sized)
+    "q_evt_windowed_funnel",  # new r4b: deadline-constrained conversion funnel
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
