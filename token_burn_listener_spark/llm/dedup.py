@@ -617,3 +617,89 @@ def q_llm_fuzzy_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("title_a", "title_b").cast("long").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= {_EMB_THRESHOLD}
+    ),
+    edges AS (SELECT va, vb FROM p UNION ALL SELECT vb AS va, va AS vb FROM p),
+    deg AS (SELECT va AS v, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+    p1 AS (
+      SELECT e.vb AS v, 0.15 / min(nn.n) + 0.85 * sum((1.0 / min_n.n) / d.deg) AS pr
+      FROM edges e JOIN deg d ON d.v = e.va, nn, (SELECT n FROM nn) AS min_n(n)
+      GROUP BY e.vb
+    ),
+    p2 AS (
+      SELECT e.vb AS v, 0.15 / min(nn.n) + 0.85 * sum(p1.pr / d.deg) AS pr
+      FROM edges e JOIN p1 ON p1.v = e.va JOIN deg d ON d.v = e.va, nn
+      GROUP BY e.vb
+    )
+    SELECT p2.v AS vec_id, d.deg, round(p2.pr, 6) AS pagerank
+    FROM p2 JOIN deg d ON d.v = p2.v
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 unrolled power iterations, damping 0.85) over the
+    near-dup similarity graph — centrality ranks the "template hubs" whose
+    removal collapses the most duplicate mass, complementing component
+    size (q_llm_dup_clusters) and cohesion (q_graph_triangles).
+
+    Every node in the edge set has degree >= 1 in an undirected graph, so
+    there are no dangling nodes and two clean join+agg rounds replay
+    EXACTLY in the oracle's unrolled CTEs (iteration count fixed, both
+    engines round once at the end).
+
+    100 TB plan: edges at scale come from LSH candidates (this exact-
+    cosine derivation is the documented fixture-scale oracle twin, as for
+    q_graph_triangles); each iteration is one join of the edge list with
+    the (node, rank) table — shuffled on the uniform vertex key — plus a
+    partial+final sum. Iterating further is a driver loop over the same
+    plan with lineage cut per round (the q_llm_dup_clusters pattern). The
+    node count enters as a broadcast 1-row aggregate, never a collect.
+    """
+    from token_burn_listener_spark.llm.similarity import as_double, dot, l2
+    from token_burn_listener_spark.operators.ranking import with_total_count
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"), as_double("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), as_double("embedding").alias("eb"))
+    cos = dot("ea", "eb") / (l2("ea") * l2("eb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("va") < F.col("vb"))
+        .filter(cos >= _EMB_THRESHOLD)
+        .select("va", "vb")
+        .localCheckpoint()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
+    )
+    deg = edges.groupBy(F.col("va").alias("v")).agg(F.count("*").alias("deg"))
+    # (node, deg, n, pr0): n rides along via a broadcast 1-row aggregate.
+    pr = with_total_count(deg, "_n").withColumn(
+        "pr", 1.0 / F.col("_n")
+    )
+    for _ in range(2):
+        contrib = edges.join(
+            pr.select(
+                F.col("v").alias("va"),
+                (F.col("pr") / F.col("deg")).alias("c"),
+            ),
+            "va",
+        )
+        sums = contrib.groupBy(F.col("vb").alias("v")).agg(F.sum("c").alias("s"))
+        pr = (
+            with_total_count(sums.join(deg, "v"), "_n")
+            .withColumn("pr", 0.15 / F.col("_n") + 0.85 * F.col("s"))
+            .select("v", "deg", "_n", "pr")
+        )
+    return pr.select(
+        F.col("v").alias("vec_id"), "deg", F.round("pr", 6).alias("pagerank")
+    )

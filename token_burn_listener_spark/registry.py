@@ -201,6 +201,7 @@ DRIVER_ORDER: list[str] = [
     "q_stream_dynamic_session",  # new r4b: streaming twin of dynamic-gap sessions
     "q_llm_bpe_merges",  # new r4b: BPE first-merge pair statistics (vocab-sized)
     "q_evt_windowed_funnel",  # new r4b: deadline-constrained conversion funnel
+    "q_graph_pagerank",  # new r4b: 2-iteration PageRank on the near-dup graph
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",

@@ -64,6 +64,9 @@ ALLOW_NESTED_LOOP = {
     "q_llm_hard_negatives",  # bounded 50-anchor slice broadcasts vs corpus
     "q_llm_ccnet_buckets",   # broadcast crossJoin of the 1-row total-count agg
                              # (ranking.with_total_count, same as q_win_ntile)
+    "q_graph_pagerank",      # broadcast crossJoin of the 1-row node-count agg
+                             # per iteration (with_total_count); edge gen is
+                             # the checkpointed exact-cosine oracle twin
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
