@@ -457,3 +457,67 @@ def q_scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
     )
+
+
+@query(
+    "q_scan_csv_corrupt",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(sum(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean,
+           round(sum(CASE WHEN o_orderkey % 10 <> 0 THEN o_totalprice END), 2)
+             AS clean_totalprice
+    FROM orders
+    """,
+)
+def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record ingestion: a CSV copy of orders where every 10th
+    order's totalprice is corrupted to a non-numeric token, read back in
+    PERMISSIVE mode with a columnNameOfCorruptRecord sink column — the
+    dirty-feed reality of any ingest boundary. Corrupt rows survive (in
+    the quarantine column, null typed fields) instead of killing the job
+    (FAILFAST) or silently vanishing (DROPMALFORMED).
+
+    The oracle derives the expected accounting from the clean source
+    table (we KNOW which rows were corrupted), so the check pins that the
+    reader quarantined EXACTLY the injected rows and parsed everything
+    else — not merely that it didn't crash.
+
+    100 TB plan: PERMISSIVE parse is map-only; the quarantine column
+    routes to a dead-letter sink (filter + write) while clean rows flow
+    on — one scan, no pre-validation pass over the feed.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("oops")).otherwise(
+            F.col("o_totalprice").cast("string")
+        ),
+    )
+    path = materialize(
+        o.select(line.alias("value")),
+        scratch_dir(sf_dir, "orders_dirty_csv", source=f"{sf_dir}/orders.parquet"),
+        lambda df, p: df.coalesce(2).write.text(p),
+    )
+    parsed = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return parsed.agg(
+        F.count("*").alias("n_rows"),
+        F.count("_corrupt").alias("n_corrupt"),
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_clean"),
+        F.round(
+            F.sum(F.when(F.col("_corrupt").isNull(), F.col("o_totalprice"))), 2
+        ).alias("clean_totalprice"),
+    )
