@@ -508,3 +508,94 @@ def q_evt_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row("signup", su).unionAll(row("click_7d", cl)).unionAll(
         row("purchase_7d", pu)
     )
+
+
+@query(
+    "q_evt_rfm",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS mx FROM events),
+    u AS (
+      SELECT user_id,
+             date_diff('day', max(ts), (SELECT mx FROM mx)) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(value), 6) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    b AS (
+      SELECT round(quantile_cont(recency_days, 1.0/3), 6) AS r1,
+             round(quantile_cont(recency_days, 2.0/3), 6) AS r2,
+             round(quantile_cont(frequency, 1.0/3), 6) AS f1,
+             round(quantile_cont(frequency, 2.0/3), 6) AS f2,
+             round(quantile_cont(monetary, 1.0/3), 6) AS m1,
+             round(quantile_cont(monetary, 2.0/3), 6) AS m2
+      FROM u
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CASE WHEN recency_days <= r1 THEN 3
+                WHEN recency_days <= r2 THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN frequency <= f1 THEN 1
+                WHEN frequency <= f2 THEN 2 ELSE 3 END AS f_score,
+           CASE WHEN monetary <= m1 THEN 1
+                WHEN monetary <= m2 THEN 2 ELSE 3 END AS m_score
+    FROM u, b
+    """,
+)
+def q_evt_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (days since last event),
+    frequency (event count), monetary (value sum), each scored 1-3
+    against corpus-derived tercile boundaries — the classic churn/value
+    grid marketing analytics runs on event feeds (recency scores
+    INVERTED: recent = 3).
+
+    Tercile boundaries are data-driven (percentile over the user table)
+    and ROUNDED to 6 before classification on BOTH engines, so the score
+    comparisons are engine-identical; recency/frequency are integers, and
+    monetary is rounded before comparing.
+
+    100 TB plan: one shuffle aggregates events to users; the boundary agg
+    runs over the USER table (cardinality-sized) and its 1-row output
+    broadcasts back — two aggregations, one fact scan, no window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("mx"))
+    u = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("mx"), F.max("ts")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 6).alias("monetary"),
+        )
+    )
+    b = u.agg(
+        *[
+            F.round(F.percentile(c, q), 6).alias(n)
+            for c, q, n in [
+                ("recency_days", 1 / 3, "r1"),
+                ("recency_days", 2 / 3, "r2"),
+                ("frequency", 1 / 3, "f1"),
+                ("frequency", 2 / 3, "f2"),
+                ("monetary", 1 / 3, "m1"),
+                ("monetary", 2 / 3, "m2"),
+            ]
+        ]
+    )
+    scored = u.crossJoin(F.broadcast(b))
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(F.col("recency_days") <= F.col("r1"), 3)
+        .when(F.col("recency_days") <= F.col("r2"), 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(F.col("frequency") <= F.col("f1"), 1)
+        .when(F.col("frequency") <= F.col("f2"), 2)
+        .otherwise(3)
+        .alias("f_score"),
+        F.when(F.col("monetary") <= F.col("m1"), 1)
+        .when(F.col("monetary") <= F.col("m2"), 2)
+        .otherwise(3)
+        .alias("m_score"),
+    )

@@ -203,6 +203,7 @@ DRIVER_ORDER: list[str] = [
     "q_evt_windowed_funnel",  # new r4b: deadline-constrained conversion funnel
     "q_graph_pagerank",  # new r4b: 2-iteration PageRank on the near-dup graph
     "q_scan_csv_corrupt",  # new r4b: PERMISSIVE dirty-CSV ingest with quarantine col
+    "q_evt_rfm",  # new r4b: RFM user segmentation (tercile-scored churn/value grid)
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",

@@ -67,6 +67,8 @@ ALLOW_NESTED_LOOP = {
     "q_graph_pagerank",      # broadcast crossJoin of the 1-row node-count agg
                              # per iteration (with_total_count); edge gen is
                              # the checkpointed exact-cosine oracle twin
+    "q_evt_rfm",             # broadcast crossJoin of two 1-row aggs (corpus
+                             # max-ts + the 6-value tercile boundary row)
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
