@@ -599,3 +599,61 @@ def q_evt_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
         .alias("m_score"),
     )
+
+
+@query(
+    "q_evt_rolling_active",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day FROM events
+    ),
+    grid AS (SELECT DISTINCT day FROM ud),
+    wau AS (
+      SELECT g.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau7
+      FROM grid g JOIN ud u
+        ON u.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+      GROUP BY g.day
+    ),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau7,
+           round(d.dau::DOUBLE / w.wau7, 6) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def q_evt_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement metrics: per day, the distinct daily actives
+    (DAU), the 7-day rolling distinct actives (WAU), and the DAU/WAU
+    stickiness ratio — the growth dashboard every event feed ends up
+    powering. Rolling DISTINCT counts cannot use a window frame (no
+    count-distinct over windows), so the standard shape is a bounded
+    day-grid range join over the deduplicated (user, day) table.
+
+    100 TB plan: events collapse to user-days first (one shuffle, output
+    bounded by users × days — orders of magnitude under the event
+    count); the grid side is days-sized and BROADCASTS into the range
+    join, which fans each user-day out at most 7×; the per-day distinct
+    is the only other shuffle. The fact is scanned once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    grid = ud.select("day").distinct().select(F.col("day").alias("gday"))
+    wau = (
+        ud.join(
+            F.broadcast(grid),
+            F.col("day").between(F.date_sub(F.col("gday"), 6), F.col("gday")),
+        )
+        .groupBy("gday")
+        .agg(F.count_distinct("user_id").alias("wau7"))
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, dau.day == wau.gday)
+        .select(
+            "day",
+            "dau",
+            "wau7",
+            F.round(F.col("dau") / F.col("wau7"), 6).alias("stickiness"),
+        )
+    )

@@ -69,6 +69,8 @@ ALLOW_NESTED_LOOP = {
                              # the checkpointed exact-cosine oracle twin
     "q_evt_rfm",             # broadcast crossJoin of two 1-row aggs (corpus
                              # max-ts + the 6-value tercile boundary row)
+    "q_evt_rolling_active",  # day-grid range join: the broadcast side is the
+                             # bounded DISTINCT-days grid (<=7x fan-out)
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
