@@ -307,3 +307,80 @@ def q_cdc_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("revenue_raw"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "q_cdc_pit_join",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts)::DATE AS day,
+             round(avg(value), 6) AS attr
+      FROM events GROUP BY 1, 2
+    ),
+    marked AS (
+      SELECT *, CASE WHEN lag(attr) OVER (PARTITION BY event_type ORDER BY day)
+                          IS DISTINCT FROM attr
+                     THEN 1 ELSE 0 END AS chg
+      FROM daily
+    ),
+    vers AS (
+      SELECT event_type, day AS valid_from,
+             lead(day) OVER (PARTITION BY event_type ORDER BY day) AS valid_to,
+             attr
+      FROM marked WHERE chg = 1
+    )
+    SELECT e.event_id, e.event_type, v.valid_from, v.attr
+    FROM events e JOIN vers v
+      ON e.event_type = v.event_type
+     AND date_trunc('day', e.ts)::DATE >= v.valid_from
+     AND (v.valid_to IS NULL OR date_trunc('day', e.ts)::DATE < v.valid_to)
+    """,
+)
+def q_cdc_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join against an SCD2-style versioned
+    dimension: every event picks the dimension version that was ACTIVE at
+    its timestamp — equi-join on the entity key plus a validity-interval
+    band, the temporal join every warehouse fact-to-dim lookup needs once
+    dims start changing.
+
+    The dimension is derived deterministically in-query (per-type daily
+    avg value, RUN-COLLAPSED so a version only starts when the rounded
+    attribute changes — versions genuinely span multiple days, exercising
+    real as-of semantics, not same-day self-lookup). Change detection
+    compares ROUNDED attrs with null-safe equality on both engines.
+
+    100 TB plan: the version table is (types × change-points)-sized —
+    dims change rarely, so it BROADCASTS and the fact never shuffles; the
+    band predicate evaluates row-local inside the broadcast hash join on
+    the equi key. A dim too big to broadcast degrades to the interval
+    join shape (q_join_interval) on the equi key + band.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("attr"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    marked = daily.withColumn(
+        "chg",
+        F.when(~F.lag("attr").over(w).eqNullSafe(F.col("attr")), 1).otherwise(0),
+    )
+    vers = (
+        marked.filter(F.col("chg") == 1)
+        .withColumn("valid_to", F.lead("day").over(w))
+        .select(
+            F.col("event_type").alias("v_type"),
+            F.col("day").alias("valid_from"),
+            "valid_to",
+            "attr",
+        )
+    )
+    eday = F.to_date("ts")
+    return (
+        e.join(
+            F.broadcast(vers),
+            (F.col("event_type") == F.col("v_type"))
+            & (eday >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (eday < F.col("valid_to"))),
+        )
+        .select("event_id", "event_type", "valid_from", "attr")
+    )

@@ -205,6 +205,7 @@ DRIVER_ORDER: list[str] = [
     "q_scan_csv_corrupt",  # new r4b: PERMISSIVE dirty-CSV ingest with quarantine col
     "q_evt_rfm",  # new r4b: RFM user segmentation (tercile-scored churn/value grid)
     "q_evt_rolling_active",  # new r4b: DAU/WAU/stickiness via day-grid range join
+    "q_cdc_pit_join",  # new r4b: point-in-time (AS OF) join vs SCD2 versions
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
