@@ -384,3 +384,56 @@ def q_cdc_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", "valid_from", "attr")
     )
+
+
+@query(
+    "q_diag_dq_checks",
+    oracle="""
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL)
+        AS null_custkey,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        AS orphan_orders,
+      (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+        AS dup_orderkeys,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1)
+        AS range_violations
+    """,
+)
+def q_diag_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (the dbt-tests family) in one pass per
+    table: not-null, referential integrity (orders → customer via a
+    broadcast anti join), primary-key uniqueness, and range constraints —
+    the four checks every ingest gate runs, summarized in one row a
+    scheduler can alert on (all zeros on this fixture, by design: the
+    check proves cleanliness, not merely counts).
+
+    100 TB plan: each check is a scan-side predicate count or a broadcast
+    anti join — no fact⋈fact work anywhere; the four 1-row aggregates
+    cross-combine at zero cost. Uniqueness is count - count(distinct) in
+    ONE aggregation (no self-join).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    nulls = o.filter(F.col("o_custkey").isNull()).agg(
+        F.count("*").alias("null_custkey")
+    )
+    orphans = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "anti"
+    ).agg(F.count("*").alias("orphan_orders"))
+    dups = o.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("dup_orderkeys")
+    )
+    ranges = li.filter(
+        (F.col("l_quantity") <= 0)
+        | (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1)
+    ).agg(F.count("*").alias("range_violations"))
+    return (
+        nulls.crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(ranges))
+    )

@@ -206,6 +206,7 @@ DRIVER_ORDER: list[str] = [
     "q_evt_rfm",  # new r4b: RFM user segmentation (tercile-scored churn/value grid)
     "q_evt_rolling_active",  # new r4b: DAU/WAU/stickiness via day-grid range join
     "q_cdc_pit_join",  # new r4b: point-in-time (AS OF) join vs SCD2 versions
+    "q_diag_dq_checks",  # new r4b: data-contract validation (nulls/RI/PK/ranges)
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",

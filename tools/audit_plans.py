@@ -71,6 +71,7 @@ ALLOW_NESTED_LOOP = {
                              # max-ts + the 6-value tercile boundary row)
     "q_evt_rolling_active",  # day-grid range join: the broadcast side is the
                              # bounded DISTINCT-days grid (<=7x fan-out)
+    "q_diag_dq_checks",      # crossJoin of four broadcast 1-row check aggs
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
