@@ -657,3 +657,125 @@ def q_evt_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("wau7"), 6).alias("stickiness"),
         )
     )
+
+
+@query(
+    "q_evt_attribution",
+    oracle="""
+    WITH pu AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cl AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT pu.purchase_id, pu.user_id, cl.click_id,
+             row_number() OVER (
+               PARTITION BY pu.purchase_id
+               ORDER BY cl.c_ts DESC, cl.click_id) AS rk,
+             CAST(floor((epoch_us(pu.p_ts) - epoch_us(cl.c_ts))
+                        / 60000000.0) AS BIGINT) AS gap_min
+      FROM pu JOIN cl
+        ON pu.user_id = cl.user_id
+       AND cl.c_ts <= pu.p_ts
+       AND cl.c_ts > pu.p_ts - INTERVAL 7 DAY
+    )
+    SELECT p.purchase_id, p.user_id, r.click_id,
+           CAST(r.gap_min AS BIGINT) AS gap_min
+    FROM pu p LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r
+      USING (purchase_id)
+    """,
+)
+def q_evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent click within a 7-day lookback — or left unattributed
+    (null click) when none exists, which a plain as-of inner join
+    (q_join_asof) would silently drop. The null rows ARE the deliverable:
+    unattributed conversion rate is the metric marketing tunes against.
+
+    100 TB plan: both sides are event_type-pruned scans joined on the
+    uniform user key with a row-local 7-day band; the rank-1 window
+    partitions per purchase (WindowGroupLimit prunes to the top row);
+    the final LEFT join re-attaches unattributed purchases from the
+    purchase-sized (not event-sized) relation.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pu = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    cl = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = pu.join(
+        cl,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(F.desc("c_ts"), "click_id")
+    best = (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "purchase_id",
+            "click_id",
+            (
+                F.floor(
+                    (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 60_000_000
+                )
+            ).alias("gap_min"),
+        )
+    )
+    return pu.select("purchase_id", "user_id").join(best, "purchase_id", "left")
+
+
+@query(
+    "q_evt_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q_evt_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the top-10 most common 3-step event-type sequences
+    across users (consecutive by event time) — the "what do users do
+    next" query behind every behavioral-flow sankey.
+
+    100 TB plan: one shuffle on user_id feeds both lead() windows
+    (per-user partitions bounded by human behavior); the path strings
+    partial-aggregate map-side into a (event_types)^3-bounded key space,
+    and the global top-10 is TakeOrdered — k rows to the driver, no
+    global sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

@@ -207,6 +207,8 @@ DRIVER_ORDER: list[str] = [
     "q_evt_rolling_active",  # new r4b: DAU/WAU/stickiness via day-grid range join
     "q_cdc_pit_join",  # new r4b: point-in-time (AS OF) join vs SCD2 versions
     "q_diag_dq_checks",  # new r4b: data-contract validation (nulls/RI/PK/ranges)
+    "q_evt_attribution",  # new r4b: last-touch attribution with lookback window
+    "q_evt_paths",  # new r4b: top-10 3-step behavioral paths
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
