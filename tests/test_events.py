@@ -140,3 +140,49 @@ def test_bigram_lm_scores_are_proper_log_probs(spark, sf_dir):
     assert out.filter(F.col("lm_score") > 0).count() == 0
     # scores vary across the corpus (a constant score would mean a broken join)
     assert out.select("lm_score").distinct().count() > 1
+
+
+def test_pit_join_covers_every_event_exactly_once(spark, sf_dir):
+    """Point-in-time join: validity intervals partition the timeline, so
+    every event matches exactly one dimension version."""
+    from token_burn_listener_spark.registry import QUERIES
+    from token_burn_listener_spark.tables import load_table
+
+    out = QUERIES["q_cdc_pit_join"](spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+
+
+def test_attribution_preserves_purchases_and_bounds_gap(spark, sf_dir):
+    """Every purchase appears exactly once; attributed gaps sit inside the
+    7-day lookback window."""
+    from pyspark.sql import functions as F
+
+    from token_burn_listener_spark.registry import QUERIES
+    from token_burn_listener_spark.tables import load_table
+
+    out = QUERIES["q_evt_attribution"](spark, sf_dir)
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert out.count() == n_purchases
+    bad = out.filter(
+        F.col("click_id").isNotNull()
+        & ((F.col("gap_min") < 0) | (F.col("gap_min") > 7 * 24 * 60))
+    ).count()
+    assert bad == 0
+
+
+def test_rolling_active_wau_bounds_dau(spark, sf_dir):
+    """7-day rolling actives can never be fewer than the day's actives;
+    stickiness therefore sits in (0, 1]."""
+    from token_burn_listener_spark.registry import QUERIES
+
+    rows = QUERIES["q_evt_rolling_active"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.wau7 >= r.dau > 0
+        assert 0 < r.stickiness <= 1
