@@ -498,3 +498,76 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("o_totalprice"),
         )
     )
+
+
+_RANGE_BUCKET_US = 300_000_000  # 5-minute band and bucket width
+
+
+@query(
+    "q_join_range_bucketed",
+    oracle=f"""
+    SELECT a.event_id,
+           CAST(count(b.event_id) AS BIGINT) AS n_neighbors
+    FROM events a LEFT JOIN events b
+      ON b.user_id <> a.user_id
+     AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= {_RANGE_BUCKET_US}
+    GROUP BY a.event_id
+    """,
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: each event's count of OTHER users' events
+    within ±5 minutes — computed WITHOUT a nested-loop band join. Time is
+    quantized into band-width buckets; the probe side explodes to its
+    bucket ±1, the build side keeps its own bucket, and the band becomes
+    an EQUI-join on the bucket id with the exact |Δt| <= band predicate as
+    a row-local post-filter. Each candidate pair appears exactly once
+    (the build event's bucket is unique), so no dedup is needed. This is
+    the manual form of the range-join-hint optimization (and the oracle
+    is the naive band join, proving result equality).
+
+    100 TB plan: the equi-join on bucket shuffles both sides on a
+    uniform, time-ordered key (3x fan-out on the probe side only) —
+    against the naive plan's O(n²) nested loop this is the difference
+    between a partitionable shuffle join and a single-machine death. Zero-
+    neighbor events are restored by a final left join of the counts onto
+    the event spine (aggregate⋈spine on the unique event key).
+    """
+    B = _RANGE_BUCKET_US
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    probe = e.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("us").alias("a_us"),
+        F.explode(
+            F.array(
+                (F.col("us") / B).cast("long") - 1,
+                (F.col("us") / B).cast("long"),
+                (F.col("us") / B).cast("long") + 1,
+            )
+        ).alias("bkt"),
+    )
+    build = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("us").alias("b_us"),
+        (F.col("us") / B).cast("long").alias("bkt"),
+    )
+    counts = (
+        probe.join(build, "bkt")
+        .filter(
+            (F.col("a_user") != F.col("b_user"))
+            & (F.abs(F.col("b_us") - F.col("a_us")) <= B)
+        )
+        .groupBy("a_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        e.select(F.col("event_id"))
+        .join(counts, e.event_id == counts.a_id, "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_neighbors"),
+        )
+    )

@@ -209,6 +209,7 @@ DRIVER_ORDER: list[str] = [
     "q_diag_dq_checks",  # new r4b: data-contract validation (nulls/RI/PK/ranges)
     "q_evt_attribution",  # new r4b: last-touch attribution with lookback window
     "q_evt_paths",  # new r4b: top-10 3-step behavioral paths
+    "q_join_range_bucketed",  # new r4b: band join as bucket equi-join (range-join hint form)
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
