@@ -703,3 +703,73 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("v").alias("vec_id"), "deg", F.round("pr", 6).alias("pagerank")
     )
+
+
+_SUBDOC_CHUNK = 32  # tokens per non-overlapping chunk
+
+
+@query(
+    "q_llm_subdoc_dup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i * {_SUBDOC_CHUNK} + 1 :
+                                       (i + 1) * {_SUBDOC_CHUNK}], ' ')
+                     for i in range(0, CAST(ceil(len(t) / {_SUBDOC_CHUNK}.0) AS BIGINT))])
+               AS chunk
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id, sha256(chunk) AS h FROM chunks
+    ), spread AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs FROM hashed GROUP BY h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           round(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_fraction
+    FROM hashed JOIN spread s USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q_llm_subdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication: split every doc into non-overlapping
+    32-token chunks, hash them, and score each doc by the fraction of its
+    chunks that ALSO appear verbatim in another document — the detector
+    for boilerplate headers/footers and partially-copied pages that
+    whole-document dedup (q_llm_exact_dedup) cannot see.
+
+    100 TB plan: chunking is an in-row array transform (no join); the
+    chunk-hash spread table is one partial+final agg on the uniform
+    sha key; scoring joins hashes back — at scale the spread table
+    carries only hashes with n_docs > 1 (duplicated chunks are the
+    minority), making the scoring join a broadcast or small shuffle.
+    Whole-doc text never shuffles: only (doc_id, 64-char hash) rows move.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) "
+                f"/ {_SUBDOC_CHUNK}.0) as int) - 1),"
+                f" i -> array_join(slice(split(text, ' '), "
+                f"i * {_SUBDOC_CHUNK} + 1, {_SUBDOC_CHUNK}), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    hashed = chunks.select("doc_id", F.sha2("chunk", 256).alias("h"))
+    spread = hashed.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        hashed.join(spread, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+            F.round(F.sum(dup) / F.count("*"), 6).alias("dup_fraction"),
+        )
+    )

@@ -749,3 +749,68 @@ def q_llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.row_number().over(w) - 1) / _BATCH_DOCS).cast("long"),
         )
     )
+
+
+@query(
+    "q_llm_leak_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT sha256(text) AS sha,
+             CASE WHEN CAST(('0x' || substr(sha256(doc_id::VARCHAR), 1, 2))
+                            AS BIGINT) < 230 THEN 'train'
+                  WHEN CAST(('0x' || substr(sha256(doc_id::VARCHAR), 1, 2))
+                            AS BIGINT) < 243 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), groups AS (
+      SELECT sha, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT split) AS BIGINT) AS n_splits
+      FROM assigned GROUP BY sha
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked_groups,
+           CAST(sum(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+             AS n_leaked_docs
+    FROM groups
+    """,
+)
+def q_llm_leak_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: exact-duplicate text groups whose members
+    land in DIFFERENT splits under the deterministic sha256(doc_id)
+    assignment (q_llm_split). The hash split is content-blind by design —
+    byte-identical duplicates CAN straddle the eval boundary, and this is
+    the check that catches them before they inflate eval numbers (the fix:
+    dedup before splitting, or split on sha256(text) instead).
+
+    100 TB plan: one shuffle on the content sha aggregating (count,
+    distinct-split count) per group; the report is a 1-row rollup of the
+    group table. Nothing but hashes and split labels moves.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    byte = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2), 16, 10
+    ).cast("long")
+    split = (
+        F.when(byte < 230, "train").when(byte < 243, "val").otherwise("test")
+    )
+    groups = (
+        d.select(F.sha2("text", 256).alias("sha"), split.alias("split"))
+        .groupBy("sha")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("split").alias("n_splits"),
+        )
+    )
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)).alias(
+            "n_leaked_groups"
+        ),
+        F.sum(
+            F.when(F.col("n_splits") > 1, F.col("n_docs")).otherwise(0)
+        ).alias("n_leaked_docs"),
+    )

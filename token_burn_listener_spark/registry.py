@@ -210,6 +210,8 @@ DRIVER_ORDER: list[str] = [
     "q_evt_attribution",  # new r4b: last-touch attribution with lookback window
     "q_evt_paths",  # new r4b: top-10 3-step behavioral paths
     "q_join_range_bucketed",  # new r4b: band join as bucket equi-join (range-join hint form)
+    "q_llm_subdoc_dup",  # new r4b: chunk-level duplication fraction per doc
+    "q_llm_leak_check",  # new r4b: cross-split exact-dup leakage audit
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
