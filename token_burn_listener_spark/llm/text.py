@@ -863,3 +863,71 @@ def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "pair")
         .limit(10)
     )
+
+
+@query(
+    "q_llm_source_overlap",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT source, lower(tok) AS token
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      WHERE tok <> ''
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM v GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           round(i.n_common::DOUBLE
+                 / (sa.n_tokens + sb.n_tokens - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity matrix: pairwise vocabulary Jaccard between every
+    pair of sources — near-1 pairs are the same feed ingested twice (drop
+    one), near-0 pairs are the diversity a mixture actually buys. The
+    upstream sanity check before q_llm_mix_domains allocates budgets.
+
+    100 TB plan: everything happens on the DISTINCT (source, token) table
+    — vocabulary-sized (Heaps-sublinear), not corpus-sized; the pair
+    counts come from a self-equi-join ON THE TOKEN (shared tokens only —
+    never a source × source cross join), and per-source sizes broadcast
+    into the final ratio. With S sources the output is S(S-1)/2 rows —
+    trivial at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    v = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("source", F.lower("tok").alias("token"))
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count("*").alias("n_tokens"))
+    inter = (
+        v.select(F.col("source").alias("source_a"), "token")
+        .join(v.select(F.col("source").alias("source_b"), "token"), "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_tokens").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_tokens").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
