@@ -779,3 +779,59 @@ def q_evt_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@query(
+    "q_evt_forecast_naive",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hs,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_hours_scored,
+           round(avg(abs(a.n - p.n)), 6) AS mae,
+           round(avg(abs(a.n - p.n)::DOUBLE / a.n), 6) AS mape
+    FROM hourly a JOIN hourly p
+      ON a.event_type = p.event_type
+     AND p.hs = a.hs - INTERVAL 24 HOUR
+    GROUP BY a.event_type
+    """,
+)
+def q_evt_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline: predict each hour's event count
+    from the SAME hour one day earlier, and score MAE/MAPE per event type
+    — the baseline every real forecasting model must beat, and the
+    always-on data-drift monitor (MAPE jumping = the feed changed shape).
+
+    The 24h-shifted "prediction" joins as an EQUI-join on (type, hour)
+    since hours are truncation-aligned — no window over a gap-free hour
+    spine needed, and hours missing on either side drop out identically
+    on both engines.
+
+    100 TB plan: the hourly rollup is the one fact-sized aggregation
+    (types × hours output — tiny); the self-join and scoring run on that
+    bounded table. The same shape extends to weekly seasonality by
+    changing the interval.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hs")
+    ).agg(F.count("*").alias("n"))
+    a = hourly.select("event_type", "hs", F.col("n").alias("n_actual"))
+    p = hourly.select(
+        "event_type",
+        (F.col("hs") + F.expr("INTERVAL 24 HOURS")).alias("hs"),
+        F.col("n").alias("n_pred"),
+    )
+    err = F.abs(F.col("n_actual") - F.col("n_pred"))
+    return (
+        a.join(p, ["event_type", "hs"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours_scored"),
+            F.round(F.avg(err), 6).alias("mae"),
+            F.round(F.avg(err / F.col("n_actual")), 6).alias("mape"),
+        )
+    )

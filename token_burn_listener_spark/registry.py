@@ -213,6 +213,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_subdoc_dup",  # new r4b: chunk-level duplication fraction per doc
     "q_llm_leak_check",  # new r4b: cross-split exact-dup leakage audit
     "q_llm_source_overlap",  # new r4b: pairwise source-vocabulary Jaccard matrix
+    "q_evt_forecast_naive",  # new r4b: seasonal-naive forecast baseline + MAE/MAPE
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
