@@ -835,3 +835,74 @@ def q_evt_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(err / F.col("n_actual")), 6).alias("mape"),
         )
     )
+
+
+@query(
+    "q_evt_cohort_ltv",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+      FROM events GROUP BY user_id
+    ), weekly AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('week', c.cohort_week,
+                            date_trunc('week', e.ts)) AS BIGINT) AS week_idx,
+             sum(e.value) AS v
+      FROM events e JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM cohort GROUP BY cohort_week
+    )
+    SELECT w.cohort_week, w.week_idx, s.cohort_users,
+           round(sum(w.v) OVER (PARTITION BY w.cohort_week ORDER BY w.week_idx
+                                ROWS UNBOUNDED PRECEDING)
+                 / s.cohort_users, 6) AS cum_value_per_user
+    FROM weekly w JOIN sized s USING (cohort_week)
+    """,
+)
+def q_evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative value per user by weeks
+    since first activity, one curve per signup cohort — the retention
+    triangle's (q_evt_retention) value-weighted sibling, and the number a
+    payback-period model reads straight off.
+
+    100 TB plan: cohort assignment aggregates on user_id; the fact joins
+    that user-keyed aggregate once and rolls up to (cohort, week-index)
+    — a bounded table on which the cumulative window runs (weeks ×
+    cohorts rows, partitioned per cohort). The division by cohort size
+    happens AFTER the cumsum so partial sums stay exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    weekly = (
+        e.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_idx"),
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    sized = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_users"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.join(F.broadcast(sized), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_idx",
+            "cohort_users",
+            F.round(F.sum("v").over(w) / F.col("cohort_users"), 6).alias(
+                "cum_value_per_user"
+            ),
+        )
+    )

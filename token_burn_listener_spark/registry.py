@@ -214,6 +214,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_leak_check",  # new r4b: cross-split exact-dup leakage audit
     "q_llm_source_overlap",  # new r4b: pairwise source-vocabulary Jaccard matrix
     "q_evt_forecast_naive",  # new r4b: seasonal-naive forecast baseline + MAE/MAPE
+    "q_evt_cohort_ltv",  # new r4b: cumulative LTV-per-user curves by cohort
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
