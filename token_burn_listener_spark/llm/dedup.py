@@ -773,3 +773,99 @@ def q_llm_subdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dup) / F.count("*"), 6).alias("dup_fraction"),
         )
     )
+
+
+_MH_FNS = 8  # minhash functions (disjoint sha256 hex windows)
+_MH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands x 2 rows
+
+
+@query(
+    "q_llm_minhash_exact",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct([substring(text, i, 5)
+                            for i in range(1, greatest(length(text) - 3, 2))]) AS sh
+      FROM documents
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS g FROM s
+    ), sig AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"min(CAST(('0x' || substr(sha256(g), {1 + 8 * h}, 8)) AS BIGINT)) AS sig{h}"
+                 for h in range(_MH_FNS))}
+      FROM e GROUP BY doc_id
+    ), cand AS (
+      {" UNION ".join(
+          f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b"
+          f" ON a.doc_id < b.doc_id AND a.sig{i} = b.sig{i} AND a.sig{j} = b.sig{j}"
+          for i, j in _MH_BANDS)}
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                 / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+    FROM cand c
+    JOIN s sa ON sa.doc_id = c.doc_a
+    JOIN s sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+          / len(list_distinct(sa.sh || sb.sh)) >= 0.4
+    """,
+)
+def q_llm_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with DETERMINISTIC hash functions — the exactly
+    oracle-checkable twin of q_llm_near_dedup (whose ml-lib hashes are
+    engine-private, forcing a rows-only check). Eight minhash functions
+    come from disjoint 8-hex-char windows of sha256(shingle); signatures
+    band 4×2, candidates equi-join per band, and survivors are verified
+    with exact shingle Jaccard >= 0.4. Both engines compute bit-identical
+    signatures, bands, candidates, and verdicts — LSH itself under the
+    exact-value gate, recall gaps and all.
+
+    100 TB plan: identical to the production LSH shape — signature build
+    is one explode + min-agg per doc (partial map-side); each band is an
+    equi-join on a 128-bit key (uniform); verification touches candidate
+    pairs only. The UNION dedups band collisions on the pair key.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text").alias("sh")
+    )
+    e = d.select("doc_id", F.explode("sh").alias("g"))
+    sha = F.sha2("g", 256)
+    sig = e.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(F.substring(sha, 1 + 8 * h, 8), 16, 10).cast("long")
+            ).alias(f"sig{h}")
+            for h in range(_MH_FNS)
+        ]
+    )
+    cand = None
+    for i, j in _MH_BANDS:
+        a = sig.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(f"sig{i}").alias("bi"),
+            F.col(f"sig{j}").alias("bj"),
+        )
+        b = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col(f"sig{i}").alias("bi"),
+            F.col(f"sig{j}").alias("bj"),
+        )
+        band = (
+            a.join(b, ["bi", "bj"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cand = band if cand is None else cand.union(band)
+    cand = cand.distinct()
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr"))
+    jac = F.size(F.array_intersect("sha_arr", "shb_arr")).cast("double") / F.size(
+        F.array_union("sha_arr", "shb_arr")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -906,3 +906,83 @@ def q_evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_evt_ab_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type, value,
+             CASE WHEN CAST(('0x' || substr(sha256(user_id::VARCHAR), 1, 2))
+                            AS BIGINT) < 128 THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    ), stats AS (
+      SELECT event_type, arm, count(*) AS n, avg(value) AS mu,
+             var_samp(value) AS v
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.mu, 6) AS mean_a, round(b.mu, 6) AS mean_b,
+           round((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat
+    FROM stats a JOIN stats b USING (event_type)
+    WHERE a.arm = 'A' AND b.arm = 'B'
+    """,
+)
+def q_evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash deterministically into arms
+    (sha256 byte < 128 — the same sticky-assignment rule a feature-flag
+    service uses), and each event_type gets per-arm means plus the Welch
+    t-statistic for the difference. On this fixture |t| should hover near
+    0 — the arms are a random split of one population, so this doubles as
+    an A/A sanity check of the assignment hash.
+
+    100 TB plan: assignment is a row-local hash; the per-(type, arm)
+    moment aggregation is one partial+final pass over the fact; the
+    t-statistic computes on the (types × 2)-row stats table. Nothing else
+    moves.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(F.sha2(F.col("user_id").cast("string"), 256), 1, 2), 16, 10
+        ).cast("long")
+        < 128,
+        "A",
+    ).otherwise("B")
+    stats = (
+        e.select("event_type", "value", arm.alias("arm"))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mu"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = stats.filter(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("mu").alias("mu_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = stats.filter(F.col("arm") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("mu").alias("mu_b"),
+        F.col("v").alias("v_b"),
+    )
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round("mu_a", 6).alias("mean_a"),
+            F.round("mu_b", 6).alias("mean_b"),
+            F.round(
+                (F.col("mu_a") - F.col("mu_b"))
+                / F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")),
+                6,
+            ).alias("t_stat"),
+        )
+    )

@@ -215,6 +215,8 @@ DRIVER_ORDER: list[str] = [
     "q_llm_source_overlap",  # new r4b: pairwise source-vocabulary Jaccard matrix
     "q_evt_forecast_naive",  # new r4b: seasonal-naive forecast baseline + MAE/MAPE
     "q_evt_cohort_ltv",  # new r4b: cumulative LTV-per-user curves by cohort
+    "q_llm_minhash_exact",  # new r4b: deterministic-hash MinHash LSH (exact oracle)
+    "q_evt_ab_test",  # new r4b: hash-armed A/B readout with Welch t-statistic
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
