@@ -986,3 +986,50 @@ def q_evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_stat"),
         )
     )
+
+
+@query(
+    "q_evt_pareto",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, round(sum(value), 6) AS total FROM events GROUP BY user_id
+    ), thr AS (
+      SELECT round(quantile_cont(total, 0.9), 6) AS p90 FROM u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN total >= p90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top_users,
+           round(sum(CASE WHEN total >= p90 THEN total ELSE 0 END)
+                 / sum(total), 6) AS top_decile_share
+    FROM u, thr
+    """,
+)
+def q_evt_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration (Pareto) report: what share of total event
+    value the top decile of users carries — the 80/20 check that decides
+    whether per-user capacity planning, skew salting (q_join_salted), and
+    revenue risk all hinge on a handful of whales.
+
+    The decile boundary is a percentile over the USER table, rounded
+    before comparison on both engines (the q_evt_rfm convention), so
+    membership is engine-identical.
+
+    100 TB plan: one shuffle aggregates the fact to users; the threshold
+    is a 1-row percentile over the user table broadcast back; the final
+    report is a 1-row rollup. The fact is scanned once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("total"))
+    thr = u.agg(F.round(F.percentile("total", 0.9), 6).alias("p90"))
+    top = F.col("total") >= F.col("p90")
+    return (
+        u.crossJoin(F.broadcast(thr))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.when(top, 1).otherwise(0)).alias("n_top_users"),
+            F.round(
+                F.sum(F.when(top, F.col("total")).otherwise(0.0)) / F.sum("total"),
+                6,
+            ).alias("top_decile_share"),
+        )
+    )

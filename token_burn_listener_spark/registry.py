@@ -217,6 +217,7 @@ DRIVER_ORDER: list[str] = [
     "q_evt_cohort_ltv",  # new r4b: cumulative LTV-per-user curves by cohort
     "q_llm_minhash_exact",  # new r4b: deterministic-hash MinHash LSH (exact oracle)
     "q_evt_ab_test",  # new r4b: hash-armed A/B readout with Welch t-statistic
+    "q_evt_pareto",  # new r4b: top-decile value-concentration report
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",

@@ -72,6 +72,7 @@ ALLOW_NESTED_LOOP = {
     "q_evt_rolling_active",  # day-grid range join: the broadcast side is the
                              # bounded DISTINCT-days grid (<=7x fan-out)
     "q_diag_dq_checks",      # crossJoin of four broadcast 1-row check aggs
+    "q_evt_pareto",          # broadcast crossJoin of the 1-row p90 threshold agg
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
