@@ -931,3 +931,58 @@ def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "q_llm_heaps_law",
+    oracle="""
+    WITH tok AS (
+      SELECT CAST(('0x' || substr(sha256(doc_id::VARCHAR), 1, 2)) AS BIGINT)
+               AS b,
+             lower(tok) AS token
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      WHERE tok <> ''
+    )
+    SELECT CAST(count(DISTINCT CASE WHEN b < 64 THEN token END) AS BIGINT)
+             AS vocab_q1,
+           CAST(count(DISTINCT CASE WHEN b < 128 THEN token END) AS BIGINT)
+             AS vocab_q2,
+           CAST(count(DISTINCT CASE WHEN b < 192 THEN token END) AS BIGINT)
+             AS vocab_q3,
+           CAST(count(DISTINCT token) AS BIGINT) AS vocab_full,
+           CAST(count(*) AS BIGINT) AS total_tokens
+    FROM tok
+    """,
+)
+def q_llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law measurement: vocabulary size at 25 / 50 / 75 / 100 % of
+    the corpus (hash-ordered prefixes, so the growth curve is sampling-
+    order independent and reproducible). Sub-linear growth
+    (vocab_full / vocab_q2 well under 2) is the signature of natural
+    text; near-linear growth flags ID-like noise flooding the vocabulary
+    — the capacity-planning input for q_llm_bpe_merges' vocab table and
+    every broadcast-the-vocab decision in this repo.
+
+    100 TB plan: a single pass — four conditional count-distincts over
+    the exploded token stream, each rewritten by Catalyst into
+    expand + partial/final two-phase distinct aggregation; no joins, no
+    windows, nothing driver-side. At extreme cardinality the same
+    measurement swaps to four HLL sketches (q_agg_hll_union pattern) for
+    a fixed-memory approximate curve.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2), 16, 10
+    ).cast("long")
+    tok = (
+        d.select(b.alias("b"), F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("b", F.lower("tok").alias("token"))
+    )
+    return tok.agg(
+        F.count_distinct(F.when(F.col("b") < 64, F.col("token"))).alias("vocab_q1"),
+        F.count_distinct(F.when(F.col("b") < 128, F.col("token"))).alias("vocab_q2"),
+        F.count_distinct(F.when(F.col("b") < 192, F.col("token"))).alias("vocab_q3"),
+        F.count_distinct("token").alias("vocab_full"),
+        F.count("*").alias("total_tokens"),
+    )
