@@ -986,3 +986,79 @@ def q_llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("token").alias("vocab_full"),
         F.count("*").alias("total_tokens"),
     )
+
+
+@query(
+    "q_llm_tfidf_exact",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lower(tok) AS term
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      WHERE tok <> ''
+    ), n AS (
+      SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tok
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * (ln((n.n_docs + 1) / (df.df + 1)) + 1), 6)
+               AS tfidf
+      FROM tf JOIN df USING (term), n
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf FROM ranked WHERE rk <= 3
+    """,
+)
+def q_llm_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vocabulary-keyed TF-IDF — the oracle-checkable twin of
+    q_llm_tfidf (whose HashingTF buckets are engine-private, forcing a
+    rows-only check): smooth idf = ln((N+1)/(df+1)) + 1 on real terms,
+    top-3 terms per document. The per-doc top terms ARE the product —
+    keyword extraction for search/labeling — and every number is exact
+    on both engines.
+
+    100 TB plan: tf is one partial+final agg on (doc, term); df is
+    vocabulary-sized and BROADCASTS into the scoring join along with the
+    1-row corpus count; the per-doc top-3 window prunes via
+    WindowGroupLimit. Hashing (q_llm_tfidf) trades this exactness for a
+    fixed-width vector when the vocabulary itself is the memory problem.
+    """
+    from token_burn_listener_spark.operators.ranking import with_total_count
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.lower("tok").alias("term"))
+    )
+    n = tok.agg(F.count_distinct("doc_id").cast("double").alias("n_docs"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+    )

@@ -219,6 +219,7 @@ DRIVER_ORDER: list[str] = [
     "q_evt_ab_test",  # new r4b: hash-armed A/B readout with Welch t-statistic
     "q_evt_pareto",  # new r4b: top-decile value-concentration report
     "q_llm_heaps_law",  # new r4b: vocabulary-growth curve at corpus quartiles
+    "q_llm_tfidf_exact",  # new r4b: vocabulary-keyed TF-IDF top-3 (exact oracle)
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",

@@ -73,6 +73,7 @@ ALLOW_NESTED_LOOP = {
                              # bounded DISTINCT-days grid (<=7x fan-out)
     "q_diag_dq_checks",      # crossJoin of four broadcast 1-row check aggs
     "q_evt_pareto",          # broadcast crossJoin of the 1-row p90 threshold agg
+    "q_llm_tfidf_exact",     # broadcast crossJoin of the 1-row corpus-count agg
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
