@@ -40,6 +40,7 @@ HEADLINE_KEYS = [
     "q_llm_bigram_lm",      # self-trained bigram LM scoring (new in r4)
     "q_join_bloom",         # bloom runtime-prefilter semi join (new in r4)
     "q_llm_cms_topk",       # count-min-sketch heavy hitters (new in r4)
+    "q_evt_rfm",            # RFM segmentation, tercile grid (new in r5)
 ]
 
 

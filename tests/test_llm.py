@@ -430,3 +430,27 @@ def test_training_manifest_composes_its_stages(spark, sf_dir):
         for pid, toks in packs.items():
             if len(toks) > 1:
                 assert sum(toks) <= 256, (src, pid, toks)
+
+
+def test_lsh_recall_key_reports_subset_recall(spark, sf_dir):
+    """q_llm_lsh_recall's found set is verified, so found <= exact and the
+    in-query recall must land in (0, 1]; the deterministic 4x2 banding is
+    expected to catch most >= 0.4 pairs on the fixture corpus."""
+    row = QUERIES["q_llm_lsh_recall"](spark, sf_dir).collect()[0]
+    assert row.n_exact > 0
+    assert 0 <= row.n_found <= row.n_exact
+    assert row.recall >= 0.5, f"banding recall collapsed: {row.recall}"
+
+
+def test_ann_recall_key_quality_floor(spark, sf_dir):
+    """q_llm_ann_recall: candidate set must be a real subset (not the whole
+    corpus — otherwise the LSH isn't pruning) and recall@10 must clear a
+    floor that random bucketing could not."""
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    row = QUERIES["q_llm_ann_recall"](spark, sf_dir).collect()[0]
+    assert 0 < row.n_candidates < n_vecs - 1, (
+        f"sign-LSH prunes nothing: {row.n_candidates}/{n_vecs}"
+    )
+    # floor calibrated to the fixture geometry (near-random embeddings,
+    # neighbor cos ~0.3): observed 0.6 at sf0.001 / 0.7 at sf0.01
+    assert row.recall >= 0.4, f"ANN recall below floor: {row.recall}"

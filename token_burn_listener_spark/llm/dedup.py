@@ -99,7 +99,7 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_llm_jaccard_pairs",
     oracle="""
-    WITH s AS (
+    WITH s AS MATERIALIZED (
       SELECT doc_id,
              -- greatest(..., 2) mirrors the Spark side's greatest(len-4, 1)
              -- guard (shingles() above): texts shorter than the shingle
@@ -109,15 +109,22 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             for i in range(1, greatest(length(text) - 3, 2))]) AS sh
       FROM documents
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-    FROM s a JOIN s b
-      ON a.doc_id < b.doc_id
-     AND least(len(a.sh), len(b.sh))::DOUBLE
-         / greatest(len(a.sh), len(b.sh)) >= 0.4
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-          / len(list_distinct(a.sh || b.sh)) >= 0.4
+    -- Inverted-index evaluation of the same exact math: |A∩B| from a
+    -- posting-list self-join + group-by (no per-pair list ops), and
+    -- |A∪B| = |A|+|B|-|A∩B| since sh is distinct. Pairs with an empty
+    -- intersection cannot reach 0.4, so dropping them is lossless.
+    , sz AS MATERIALIZED (SELECT doc_id, len(sh) AS l FROM s)
+    , e AS (SELECT doc_id, unnest(sh) AS g FROM s)
+    , inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(i::DOUBLE / (la.l + lb.l - i), 6) AS jaccard
+    FROM inter
+    JOIN sz la ON la.doc_id = doc_a
+    JOIN sz lb ON lb.doc_id = doc_b
+    WHERE i::DOUBLE / (la.l + lb.l - i) >= 0.4
     """,
 )
 def q_llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,12 +146,19 @@ def q_llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = F.least(F.size("sa"), F.size("sb")) / F.greatest(
         F.size("sa"), F.size("sb")
     )
-    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
-        F.array_union("sa", "sb")
-    )
+    # |A∪B| = |A|+|B|-|A∩B| (sh is distinct): one array_intersect per
+    # pair is the only array op; same exact rational as intersect/union.
+    jac = F.col("i").cast("double") / (F.col("la") + F.col("lb") - F.col("i"))
     return (
         a.crossJoin(b)
         .filter((F.col("doc_a") < F.col("doc_b")) & (ratio >= 0.4))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("i"),
+            F.size("sa").alias("la"),
+            F.size("sb").alias("lb"),
+        )
         .filter(jac >= 0.4)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -782,14 +796,14 @@ _MH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands x 2 rows
 @query(
     "q_llm_minhash_exact",
     oracle=f"""
-    WITH s AS (
+    WITH s AS MATERIALIZED (
       SELECT doc_id,
              list_distinct([substring(text, i, 5)
                             for i in range(1, greatest(length(text) - 3, 2))]) AS sh
       FROM documents
     ), e AS (
       SELECT doc_id, unnest(sh) AS g FROM s
-    ), sig AS (
+    ), sig AS MATERIALIZED (
       SELECT doc_id,
              {", ".join(
                  f"min(CAST(('0x' || substr(sha256(g), {1 + 8 * h}, 8)) AS BIGINT)) AS sig{h}"
@@ -868,4 +882,161 @@ def q_llm_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(jac >= 0.4)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_LSH_RECALL_SETS = f"""
+    WITH s AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([substring(text, i, 5)
+                            for i in range(1, greatest(length(text) - 3, 2))]) AS sh
+      FROM documents
+    ), exact AS (
+      -- deterministic 25% pair sample (smaller id ≡ 0 mod 4): the recall
+      -- denominator; same sample on both engines and in the found side.
+      -- |A∪B| = |A|+|B|-|A∩B| (sh is distinct), so one list_intersect
+      -- per pair is the only list op — same exact rational either way.
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sh, b.sh)) AS i,
+               len(a.sh) AS la, len(b.sh) AS lb
+        FROM s a JOIN s b
+          ON a.doc_id < b.doc_id
+         AND a.doc_id % 4 = 0
+         AND least(len(a.sh), len(b.sh))::DOUBLE
+             / greatest(len(a.sh), len(b.sh)) >= 0.4
+      ) WHERE i::DOUBLE / (la + lb - i) >= 0.4
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS g FROM s
+    ), sig AS MATERIALIZED (
+      SELECT doc_id,
+             {", ".join(
+                 f"min(CAST(('0x' || substr(sha256(g), {1 + 8 * h}, 8)) AS BIGINT)) AS sig{h}"
+                 for h in range(_MH_FNS))}
+      FROM e GROUP BY doc_id
+    ), cand AS (
+      {" UNION ".join(
+          f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b"
+          f" ON a.doc_id < b.doc_id AND a.sig{i} = b.sig{i} AND a.sig{j} = b.sig{j}"
+          for i, j in _MH_BANDS)}
+    ), found AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.sh, sb.sh)) AS i,
+               len(sa.sh) AS la, len(sb.sh) AS lb
+        FROM cand c
+        JOIN s sa ON sa.doc_id = c.doc_a
+        JOIN s sb ON sb.doc_id = c.doc_b
+        WHERE c.doc_a % 4 = 0
+      ) WHERE i::DOUBLE / (la + lb - i) >= 0.4
+    )
+"""
+
+
+@query(
+    "q_llm_lsh_recall",
+    oracle=_LSH_RECALL_SETS
+    + """
+    SELECT (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM found) AS n_found,
+           round((SELECT count(*) FROM found)::DOUBLE
+                 / (SELECT count(*) FROM exact), 6) AS recall
+    """,
+)
+def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible LSH QUALITY gate: recall of the deterministic 4x2
+    MinHash banding (q_llm_minhash_exact's scheme) against the exact
+    shingle-Jaccard pair set (q_llm_jaccard_pairs' scheme), computed
+    in-query and exact-checked on both engines — the banding's misses are
+    part of the checked answer, not hidden behind a rows-only check.
+
+    Because every banded candidate is verified with exact Jaccard >= 0.4,
+    found is a subset of exact and recall = |found| / |exact| in [0, 1].
+    Both counts are taken over a DETERMINISTIC 25% pair sample (pairs
+    whose smaller doc_id ≡ 0 mod 4) — an unbiased recall estimator whose
+    sample is bit-identical on both engines, so the check stays exact
+    while the brute-force denominator costs a quarter of the full grid.
+
+    100 TB plan: the found side is the production LSH shape (signature =
+    one explode + min-agg, bands = equi-joins on 128-bit keys). The exact
+    side is O(n^2) on the SAMPLED query docs only — exactly how a
+    production deployment estimates recall (the audit is per-sample, the
+    dedup is not).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text").alias("sh")
+    )
+    # sampled exact pair count (brute force with the lossless length
+    # prefilter, a-side restricted to the 25% sample)
+    a = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
+    )
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    ratio = F.least(F.size("sa"), F.size("sb")) / F.greatest(
+        F.size("sa"), F.size("sb")
+    )
+    # |A∪B| = |A|+|B|-|A∩B| (sh is distinct): one array_intersect per pair
+    jac_ab = F.col("i").cast("double") / (F.col("la") + F.col("lb") - F.col("i"))
+    n_exact = (
+        a.crossJoin(b)
+        .filter((F.col("doc_a") < F.col("doc_b")) & (ratio >= 0.4))
+        .select(
+            F.size(F.array_intersect("sa", "sb")).alias("i"),
+            F.size("sa").alias("la"),
+            F.size("sb").alias("lb"),
+        )
+        .filter(jac_ab >= 0.4)
+        .agg(F.count("*").alias("n_exact"))
+    )
+    # banded-candidate verified pair count (the production path)
+    e = d.select("doc_id", F.explode("sh").alias("g"))
+    sha = F.sha2("g", 256)
+    sig = e.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(F.substring(sha, 1 + 8 * h, 8), 16, 10).cast("long")
+            ).alias(f"sig{h}")
+            for h in range(_MH_FNS)
+        ]
+    )
+    cand = None
+    for i, j in _MH_BANDS:
+        ba = sig.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(f"sig{i}").alias("bi"),
+            F.col(f"sig{j}").alias("bj"),
+        )
+        bb = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col(f"sig{i}").alias("bi"),
+            F.col(f"sig{j}").alias("bj"),
+        )
+        band = (
+            ba.join(bb, ["bi", "bj"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cand = band if cand is None else cand.union(band)
+    cand = cand.distinct()
+    sa2 = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr"))
+    sb2 = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr"))
+    jac_c = F.col("i").cast("double") / (F.col("la") + F.col("lb") - F.col("i"))
+    n_found = (
+        cand.filter(F.col("doc_a") % 4 == 0)
+        .join(sa2, "doc_a")
+        .join(sb2, "doc_b")
+        .select(
+            F.size(F.array_intersect("sha_arr", "shb_arr")).alias("i"),
+            F.size("sha_arr").alias("la"),
+            F.size("shb_arr").alias("lb"),
+        )
+        .filter(jac_c >= 0.4)
+        .agg(F.count("*").alias("n_found"))
+    )
+    return n_exact.crossJoin(n_found).select(
+        "n_exact",
+        "n_found",
+        F.round(F.col("n_found").cast("double") / F.col("n_exact"), 6).alias(
+            "recall"
+        ),
     )

@@ -591,3 +591,149 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+# --- q_llm_ann_recall: deterministic sign-projection LSH, exact-checked ---
+#
+# 4 tables x 4 bits of hyperplane signs derived from sha256("t:b:i") at
+# import time (hashlib — pure, deterministic), embedded as LITERALS in both
+# the Spark plan and the DuckDB oracle, so the bucket bits come out of
+# bit-identical IEEE-double left-to-right folds on both engines and the
+# LSH's recall itself sits under the exact-value gate.
+
+import hashlib as _hashlib
+
+_ANN_TABLES = 4
+# 3 bits/table: the fixture embeddings are near-random (query's true top-10
+# sit at cos ~0.3, i.e. hyperplane collision p ~0.6 vs 0.5 for noise), so
+# expected recall/table is p^k and k=4 over-prunes: 1-(1-p^k)^L gives
+# ~0.43 recall at k=4 vs ~0.62 at k=3 for L=4, while still probing ~2/5
+# of the corpus. On clustered real-world embeddings (p >= 0.8 for true
+# neighbors) the same L x k would sit at ~0.97 recall.
+_ANN_BITS = 3
+_ANN_DIM = 64  # embeddings.embedding is FLOAT[64] at every shipped SF
+
+
+def _ann_sign(t: int, b: int, i: int) -> float:
+    h = _hashlib.sha256(f"{t}:{b}:{i}".encode()).hexdigest()
+    return 1.0 if int(h[:8], 16) % 2 == 0 else -1.0
+
+
+_ANN_SIGNS = {
+    (t, b): [_ann_sign(t, b, i) for i in range(_ANN_DIM)]
+    for t in range(_ANN_TABLES)
+    for b in range(_ANN_BITS)
+}
+
+
+def _ann_oracle() -> str:
+    def dot_sql(t: int, b: int) -> str:
+        terms = " + ".join(
+            f"emb[{i + 1}]*{s}" for i, s in enumerate(_ANN_SIGNS[(t, b)])
+        )
+        return f"(0 + {terms})"
+
+    bit_cols = ", ".join(
+        f"CASE WHEN {dot_sql(t, b)} >= 0 THEN 1 ELSE 0 END AS bit_{t}_{b}"
+        for t in range(_ANN_TABLES)
+        for b in range(_ANN_BITS)
+    )
+    bucket_cols = ", ".join(
+        "("
+        + " + ".join(f"{1 << b}*bit_{t}_{b}" for b in range(_ANN_BITS))
+        + f") AS bk{t}"
+        for t in range(_ANN_TABLES)
+    )
+    any_match = " OR ".join(f"c.bk{t} = q.bk{t}" for t in range(_ANN_TABLES))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), bits AS (
+      SELECT vec_id, emb, {bit_cols} FROM e
+    ), bk AS (
+      SELECT vec_id, emb, {bucket_cols} FROM bits
+    ), q AS (
+      SELECT * FROM bk WHERE vec_id = 0
+    ), cand AS (
+      SELECT c.vec_id, c.emb FROM bk c, q
+      WHERE c.vec_id != 0 AND ({any_match})
+    ), csim AS (
+      SELECT c.vec_id,
+             round(list_cosine_similarity(c.emb, q.emb), 6) AS cos_sim
+      FROM cand c, q
+    ), ann10 AS (
+      SELECT vec_id FROM csim ORDER BY cos_sim DESC, vec_id LIMIT 10
+    ), esim AS (
+      SELECT x.vec_id,
+             round(list_cosine_similarity(x.emb, q.emb), 6) AS cos_sim
+      FROM bk x, q WHERE x.vec_id != 0
+    ), ex10 AS (
+      SELECT vec_id FROM esim ORDER BY cos_sim DESC, vec_id LIMIT 10
+    )
+    SELECT (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM ann10 JOIN ex10 USING (vec_id)) AS n_hits,
+           round((SELECT count(*) FROM ann10 JOIN ex10 USING (vec_id))::DOUBLE
+                 / 10, 6) AS recall
+    """
+
+
+@query("q_llm_ann_recall", oracle=_ann_oracle())
+def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN QUALITY gate: recall@10 of a deterministic
+    4-table x 4-bit sign-projection LSH against brute-force cosine top-10
+    for the vec_id=0 query — exact-checked on both engines (the trick that
+    makes q_llm_ann_lsh's engine-private buckets rows-only does not apply:
+    the hyperplanes here are sha256-derived literals shared with the SQL
+    oracle, and every bucket bit is a bit-identical sequential double fold).
+
+    100 TB plan: bucket bits are map-only per vector; candidate probe is a
+    broadcast of the 1-row query's 4 bucket ids; only the matched buckets
+    (~L/2^k of the corpus per table) are scored. The brute-force top-10 is
+    the fixture-scale denominator — production estimates recall on a
+    sampled query set the same way.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    buckets = e.select(
+        "vec_id",
+        "emb",
+        *[
+            sum(
+                (
+                    (dot("emb", F.array(*[F.lit(s) for s in _ANN_SIGNS[(t, b)]]))
+                     >= 0).cast("int")
+                    * (1 << b)
+                )
+                for b in range(_ANN_BITS)
+            ).alias(f"bk{t}")
+            for t in range(_ANN_TABLES)
+        ],
+    )
+    q = buckets.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qemb"),
+        *[F.col(f"bk{t}").alias(f"qbk{t}") for t in range(_ANN_TABLES)],
+    )
+    rest = buckets.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = F.round(
+        dot("emb", "qemb") / (l2("emb") * l2("qemb")), 6
+    ).alias("cos_sim")
+    any_match = None
+    for t in range(_ANN_TABLES):
+        m = F.col(f"bk{t}") == F.col(f"qbk{t}")
+        any_match = m if any_match is None else (any_match | m)
+    cand = rest.filter(any_match).select("vec_id", cos)
+    ann10 = cand.orderBy(F.desc("cos_sim"), "vec_id").limit(10).select("vec_id")
+    ex10 = (
+        rest.select("vec_id", cos)
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_hits = ann10.join(ex10, "vec_id").agg(F.count("*").alias("n_hits"))
+    return n_cand.crossJoin(n_hits).select(
+        "n_candidates",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / 10, 6).alias("recall"),
+    )

@@ -1029,8 +1029,6 @@ def q_llm_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit. Hashing (q_llm_tfidf) trades this exactness for a
     fixed-width vector when the vocabulary itself is the memory problem.
     """
-    from token_burn_listener_spark.operators.ranking import with_total_count
-
     d = load_table(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))

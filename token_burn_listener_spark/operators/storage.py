@@ -372,6 +372,11 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         for rg in range(md.num_row_groups):
             for d, col in enumerate(("l_partkey", "l_suppkey")):
                 st = md.row_group(rg).column(idx[col]).statistics
+                if st is None:  # stats disabled by writer config: self-describe
+                    raise AssertionError(
+                        f"parquet footer statistics missing for {col} in {f}; "
+                        "z-order skipping cannot be verified"
+                    )
                 lo[d] = st.min if lo[d] is None else min(lo[d], st.min)
                 hi[d] = st.max if hi[d] is None else max(hi[d], st.max)
         boxes.append((lo, hi))

@@ -59,87 +59,40 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Rotation plan (keep this comment current each round):
 #   r01+r02 proved: scans, projections, joins, aggregations, q_win_row_number.
 #   r03 proved: B8 scalars (18), windows (9), sorts (3), streaming (16),
-#            setops head (3) — 46 green, 3 no-oracle, 1 red (q_arr_basic,
-#            ArrayType output; fixed this round, back in the r04 window).
-#   r04 window (first 50): canary q_scan_parquet + q_arr_basic (red→green
-#            probe) + storage (5) + q_struct_ops + setops tail (4) +
-#            subqueries (3) + all 20 TPC-H shapes + streaming leftovers (2) +
-#            LLM head (13: dedup/ANN core + text head). Cheap keys first as
-#            the usual time-cap hedge.
-#   r05 queue (right after the window): LLM tail (text stats,
-#            corpus prep, multimodal, index/winnow/prune), event analytics +
-#            CDC, Python sources, UDF surface, plus the 8 new r4 extras
-#            (merge, bigram LM, kmeans, knn-classify, stream upsert, text
-#            scan, HLL union, triangles) and the 15 r4b extras (bloom join,
-#            incr-agg IVM, fuzzy dup, random projection, split, length
-#            buckets, zipf, CMS top-k, chained streaming, z-order sink,
-#            hard negatives, DSIR, dynamic sessions, training manifest,
-#            time travel). Ordered cheap-first today so r05 is a pure
-#            head-chop rotation; the ~65-key unseen pool drains over
-#            r05+r06 while check_parity.py covers everything every round.
+#            setops head (3) — 46 green, 3 no-oracle, 1 red (q_arr_basic).
+#   r04 proved: canary + q_arr_basic (red→green) + storage (5) + struct +
+#            setops tail (4) + subqueries (3) + 20 TPC-H shapes + streaming
+#            leftovers (2) + LLM head (13) — 46 green, 4 no-oracle, 0 red.
+#   r05 window (first 50, THIS round): canary q_scan_parquet + the 49
+#            cheapest never-seen keys — LLM text/prep tail (ngrams …
+#            corpus_prep, multimodal, frames), event analytics head
+#            (sessionize … histogram), CDC (snapshot_diff, scd2, merge),
+#            the r4 extras (bigram LM, kmeans, knn-classify, stream upsert,
+#            text scan, HLL union, triangles, transitions) and the r4b
+#            extras head (bloom join, incr-agg, fuzzy dup, random
+#            projection, split, length buckets, zipf, CMS top-k).
+#            Cheap-first as the usual time-cap hedge.
+#   r06 window (positions 51+, promote verbatim next round): canary +
+#            q_stream_chained, q_sink_zorder, q_llm_hard_negatives,
+#            q_llm_dsir, q_evt_dynamic_sessions, q_llm_training_manifest,
+#            q_scan_time_travel, q_llm_ccnet_buckets, q_diag_join_skew,
+#            q_stream_dynamic_session, q_llm_bpe_merges,
+#            q_evt_windowed_funnel, q_graph_pagerank, q_scan_csv_corrupt,
+#            q_evt_rfm, q_evt_rolling_active, q_cdc_pit_join,
+#            q_diag_dq_checks, q_evt_attribution, q_evt_paths,
+#            q_join_range_bucketed, q_llm_subdoc_dup, q_llm_leak_check,
+#            q_llm_source_overlap, q_evt_forecast_naive, q_evt_cohort_ltv,
+#            q_llm_minhash_exact, q_evt_ab_test, q_evt_pareto,
+#            q_llm_heaps_law, q_llm_tfidf_exact, the 3 Python sources and
+#            the 7 UDF-surface keys — 41 keys + canary = 42, leaving ≤8
+#            slots for keys added in r05; new keys MUST be inserted just
+#            after the r06 block head so they ride the r06 window and the
+#            pool fully drains by r06.
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r04 driver window (positions 1-50) ---
-    "q_scan_parquet",  # canary: driver-proven three times, cheapest probe
-    "q_arr_basic",  # r03 RED (ArrayType output) → fixed: array_join'd string
-    # B1 storage extras, never driver-checked (5)
-    "q_scan_orc",
-    "q_sink_partitioned",
-    "q_sink_compaction",
-    "q_scan_schema_evolution",
-    "q_join_bucketed",
-    # B8 struct ops (1)
-    "q_struct_ops",
-    # B7 setops tail (4)
-    "q_set_intersect_all",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_distinct",
-    # subqueries (3)
-    "q_sub_scalar",
-    "q_sub_in",
-    "q_sub_correlated",
-    # TPC-H shape catalog (20)
-    "q_tpch_q2ish",
-    "q_tpch_q4ish",
-    "q_tpch_q5ish",
-    "q_tpch_q6ish",
-    "q_tpch_q7ish",
-    "q_tpch_q8ish",
-    "q_tpch_q9ish",
-    "q_tpch_q10ish",
-    "q_tpch_q11ish",
-    "q_tpch_q12ish",
-    "q_tpch_q13ish",
-    "q_tpch_q14ish",
-    "q_tpch_q15ish",
-    "q_tpch_q16ish",
-    "q_tpch_q17ish",
-    "q_tpch_q18ish",
-    "q_tpch_q19ish",
-    "q_tpch_q20ish",
-    "q_tpch_q21ish",
-    "q_tpch_q22ish",
-    # B9 streaming leftovers (2)
-    "q_stream_union",
-    "q_stream_rocksdb",
-    # B10 LLM head: dedup/ANN core + text head (13) — window ends here
-    "q_llm_exact_dedup",
-    "q_llm_near_dedup",
-    "q_llm_jaccard_pairs",
-    "q_llm_emb_near_dup",
-    "q_llm_simhash",
-    "q_llm_cosine_topk",
-    "q_llm_knn_query",
-    "q_llm_ann_lsh",
-    "q_llm_centroids",
-    "q_llm_ivf_search",
-    "q_llm_tokenize",
-    "q_llm_term_stats",
-    "q_llm_tfidf",
-    # --- r05 rotation queue (driver-unseen, after the 50-key window) ---
-    # cheap text/scalar keys first, then pipeline composites, then the
-    # stateful/UDF tail — same time-cap hedge as every round.
+    # --- r05 driver window (positions 1-50) ---
+    "q_scan_parquet",  # canary: driver-proven four times, cheapest probe
+    # LLM text/prep tail, never driver-checked — cheap scalar-ish keys first
     "q_llm_ngrams",
     "q_llm_text_filter",
     "q_llm_doc_stats",
@@ -189,6 +142,11 @@ DRIVER_ORDER: list[str] = [
     "q_llm_length_buckets",  # new r4b: length-bucketed batch packing
     "q_llm_zipf",  # new r4b: Zipf slope corpus-quality gate (regr_slope)
     "q_llm_cms_topk",  # new r4b: count-min-sketch heavy hitters (exact oracle)
+    # --- r06 rotation queue (driver-unseen; promote verbatim next round).
+    # Keys ADDED during r05 go right here, at the queue head, so they ride
+    # the r06 window (≤8 free slots) and the unseen pool drains by r06. ---
+    "q_llm_lsh_recall",  # new r5: MinHash-band recall vs exact pairs (exact oracle)
+    "q_llm_ann_recall",  # new r5: sign-LSH recall@10 vs brute force (exact oracle)
     "q_stream_chained",  # new r4b: chained stateful ops (hourly->daily windows)
     "q_sink_zorder",  # new r4b: Z-order clustered sink, 2-D footer skipping asserted
     "q_llm_hard_negatives",  # new r4b: contrastive hard-negative mining (top-1 cross-label)
@@ -230,6 +188,56 @@ DRIVER_ORDER: list[str] = [
     "q_udf_map_iter",
     "q_udtf",
     "q_udf_cogroup",
+    # --- driver-proven in r04 (rotated to the back) ---
+    "q_arr_basic",
+    "q_scan_orc",
+    "q_sink_partitioned",
+    "q_sink_compaction",
+    "q_scan_schema_evolution",
+    "q_join_bucketed",
+    "q_struct_ops",
+    "q_set_intersect_all",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_distinct",
+    "q_sub_scalar",
+    "q_sub_in",
+    "q_sub_correlated",
+    "q_tpch_q2ish",
+    "q_tpch_q4ish",
+    "q_tpch_q5ish",
+    "q_tpch_q6ish",
+    "q_tpch_q7ish",
+    "q_tpch_q8ish",
+    "q_tpch_q9ish",
+    "q_tpch_q10ish",
+    "q_tpch_q11ish",
+    "q_tpch_q12ish",
+    "q_tpch_q13ish",
+    "q_tpch_q14ish",
+    "q_tpch_q15ish",
+    "q_tpch_q16ish",
+    "q_tpch_q17ish",
+    "q_tpch_q18ish",
+    "q_tpch_q19ish",
+    "q_tpch_q20ish",
+    "q_tpch_q21ish",
+    "q_tpch_q22ish",
+    "q_stream_union",
+    "q_stream_rocksdb",
+    "q_llm_exact_dedup",
+    "q_llm_near_dedup",
+    "q_llm_jaccard_pairs",
+    "q_llm_emb_near_dup",
+    "q_llm_simhash",
+    "q_llm_cosine_topk",
+    "q_llm_knn_query",
+    "q_llm_ann_lsh",
+    "q_llm_centroids",
+    "q_llm_ivf_search",
+    "q_llm_tokenize",
+    "q_llm_term_stats",
+    "q_llm_tfidf",
     # --- driver-proven in r03 (rotated to the back of the unproven tail) ---
     "q_str_basic",
     "q_str_split",

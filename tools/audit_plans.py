@@ -74,6 +74,11 @@ ALLOW_NESTED_LOOP = {
     "q_diag_dq_checks",      # crossJoin of four broadcast 1-row check aggs
     "q_evt_pareto",          # broadcast crossJoin of the 1-row p90 threshold agg
     "q_llm_tfidf_exact",     # broadcast crossJoin of the 1-row corpus-count agg
+    "q_llm_lsh_recall",      # recall audit: sampled exact-pair denominator is
+                             # the documented fixture-scale brute force; the
+                             # found side stays banded equi-joins
+    "q_llm_ann_recall",      # recall audit: broadcast crossJoin of the 1-row
+                             # query vector + brute-force top-10 denominator
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
