@@ -454,3 +454,28 @@ def test_ann_recall_key_quality_floor(spark, sf_dir):
     # floor calibrated to the fixture geometry (near-random embeddings,
     # neighbor cos ~0.3): observed 0.6 at sf0.001 / 0.7 at sf0.01
     assert row.recall >= 0.4, f"ANN recall below floor: {row.recall}"
+
+
+def test_curriculum_is_a_balanced_permutation(spark, sf_dir):
+    """Phases differ by at most 1 in size (NTILE contract) and
+    rank_in_phase is a 1..|phase| permutation inside each phase."""
+    rows = QUERIES["q_llm_curriculum"](spark, sf_dir).collect()
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r.phase, []).append(r.rank_in_phase)
+    sizes = sorted(len(v) for v in by_phase.values())
+    assert set(by_phase) == {1, 2, 3}
+    assert sizes[-1] - sizes[0] <= 1
+    for ranks in by_phase.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark, sf_dir):
+    """Novelty is a [0,1] fraction and the first document (min doc_id with
+    >=3 tokens) is 100% novel by construction."""
+    df = QUERIES["q_llm_ngram_novelty"](spark, sf_dir)
+    rows = df.collect()
+    assert all(0.0 <= r.novelty <= 1.0 and 0 < r.n_novel <= r.n_grams + 1
+               for r in rows if r.n_novel > 0)
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0

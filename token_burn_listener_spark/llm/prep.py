@@ -28,6 +28,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from token_burn_listener_spark.registry import query
 from token_burn_listener_spark.tables import load_table
@@ -813,4 +814,71 @@ def q_llm_leak_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("n_splits") > 1, F.col("n_docs")).otherwise(0)
         ).alias("n_leaked_docs"),
+    )
+
+
+@query(
+    "q_llm_curriculum",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+             ntile(3) OVER (ORDER BY len(string_split(text, ' ')), doc_id)
+               AS phase
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, phase,
+           row_number() OVER (PARTITION BY phase
+                              ORDER BY sha256(doc_id::VARCHAR), doc_id)
+             AS rank_in_phase
+    FROM staged
+    """,
+)
+def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning order: three length-staged phases (short docs
+    first — the classic easy→hard schedule), with a DETERMINISTIC
+    pseudo-random order inside each phase (rank over sha256(doc_id), the
+    same hash-ranked trick as q_llm_global_shuffle) so re-runs reproduce
+    the exact same training order.
+
+    100 TB plan: NTILE semantics without a single-task window — both
+    ranks ride ranking.global_row_number (range-partition + per-partition
+    rank + broadcast prefix offsets), the phase derives from the global
+    rank via ntile_from_rank arithmetic, and the within-phase rank is the
+    second global rank minus a broadcast 3-row phase-offset join. The
+    only single-partition exchanges left carry #partitions-row count
+    aggregates (the documented prefix-offset shape).
+    """
+    from token_burn_listener_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+        with_total_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    staged = d.select("doc_id", n_tokens.alias("n_tokens"))
+    ranked = with_total_count(
+        global_row_number(staged, [F.col("n_tokens"), F.col("doc_id")], "_g")
+    )
+    phased = ranked.select(
+        "doc_id",
+        "n_tokens",
+        ntile_from_rank(F.col("_g"), F.col("_n"), 3).alias("phase"),
+    ).withColumn("_h", F.sha2(F.col("doc_id").cast("string"), 256))
+    g2 = global_row_number(
+        phased, [F.col("phase"), F.col("_h"), F.col("doc_id")], "_g2"
+    )
+    counts = g2.groupBy("phase").agg(F.count("*").alias("_cnt"))
+    prefix = Window.orderBy("phase").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "phase", F.coalesce(F.sum("_cnt").over(prefix), F.lit(0)).alias("_off")
+    )
+    return (
+        g2.join(F.broadcast(offsets), "phase")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "phase",
+            (F.col("_g2") - F.col("_off")).cast("int").alias("rank_in_phase"),
+        )
     )

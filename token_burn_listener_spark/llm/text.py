@@ -1060,3 +1060,105 @@ def q_llm_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "tfidf")
     )
+
+
+@query(
+    "q_llm_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT sha256(text)) AS n_unique,
+           round(1.0 - count(DISTINCT sha256(text))::DOUBLE / count(*), 6)
+             AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def q_llm_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance report: per-source exact-duplicate rate.
+
+    The first question a data curator asks of a new source: how much of
+    it is copies. One groupBy on the low-cardinality source key with a
+    count-distinct over the sha256 fingerprint.
+
+    100 TB plan: partial aggregation makes this two map-side passes — the
+    distinct-sha count expands to (source, sha) partial groups (uniform,
+    hash-keyed) then re-aggregates per source; the text column itself
+    never shuffles, only 64-hex fingerprints.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sha = F.sha2("text", 256)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(sha).alias("n_unique"),
+        F.round(
+            1.0 - F.count_distinct(sha).cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
+
+
+@query(
+    "q_llm_ngram_novelty",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(
+               [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                for i in range(1, greatest(len(t) - 1, 1))])) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ), first_seen AS (
+      SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS n_novel,
+           round(count(CASE WHEN f.first_doc = g.doc_id THEN 1 END)::DOUBLE
+                 / count(*), 6) AS novelty
+    FROM g JOIN first_seen f ON f.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+)
+def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct token
+    3-grams whose FIRST occurrence (by min doc_id, the ingestion order)
+    is this document. Low-novelty tails are what near-dedup thresholds
+    miss — boilerplate reuse below the pair threshold — and dropping or
+    downweighting them is a standard curation step.
+
+    100 TB plan: one explode of distinct per-doc grams, one (gram) min-agg
+    (partial map-side; gram keys are uniform), one equi-join back on the
+    gram key, one (doc_id) count-agg. No pair joins anywhere — novelty is
+    a corpus-global property computed in linear posting-list passes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    grams = F.expr(
+        "array_distinct(zip_with("
+        "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
+        "  zip_with("
+        "    slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 2, 0)),"
+        "    slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0)),"
+        "    (b, c) -> concat(b, ' ', c)),"
+        "  (a, bc) -> concat(a, ' ', bc)))"
+    )
+    g = (
+        d.filter(F.size(t) >= 3)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )
