@@ -373,22 +373,37 @@ def min_label_components(
 @query(
     "q_llm_dedup_survivors",
     oracle="""
-    WITH RECURSIVE s AS (
+    WITH RECURSIVE s AS MATERIALIZED (
       SELECT doc_id,
              list_distinct([substring(text, i, 5)
                             for i in range(1, greatest(length(text) - 3, 2))]) AS sh
       FROM documents
     ),
-    pairs AS (
-      SELECT a.doc_id AS va, b.doc_id AS vb
-      FROM s a JOIN s b
-        ON a.doc_id < b.doc_id
-       AND least(len(a.sh), len(b.sh))::DOUBLE
-           / greatest(len(a.sh), len(b.sh)) >= 0.4
-      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-            / len(list_distinct(a.sh || b.sh)) >= 0.4
+    -- Inverted-index evaluation of the same exact math (the
+    -- q_llm_jaccard_pairs oracle's form): |A∩B| via posting-list
+    -- self-join + group-by, |A∪B| = |A|+|B|-|A∩B| since sh is distinct.
+    -- DuckDB rewrites per-pair list_intersect into an interpreted
+    -- list_filter lambda (measured 23 s on the pair grid); the posting
+    -- join is the same rational in ~1 s.
+    sz AS MATERIALIZED (SELECT doc_id, len(sh) AS l FROM s),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    inter AS MATERIALIZED (
+      SELECT a.doc_id AS va, b.doc_id AS vb, count(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     ),
-    edges AS (SELECT va, vb FROM pairs
+    pairs AS MATERIALIZED (
+      SELECT va, vb
+      FROM inter
+      JOIN sz la ON la.doc_id = va
+      JOIN sz lb ON lb.doc_id = vb
+      WHERE i::DOUBLE / (la.l + lb.l - i) >= 0.4
+    ),
+    -- MATERIALIZED is load-bearing here: the recursive reach CTE joins
+    -- edges once PER ITERATION, and an inlined edges would re-run the
+    -- whole pair join each round (measured 95 s -> ~10 s at sf0.01)
+    edges AS MATERIALIZED (
+              SELECT va, vb FROM pairs
               UNION SELECT vb AS va, va AS vb FROM pairs),
     reach(src, dst) AS (
       SELECT va, vb FROM edges
@@ -444,12 +459,18 @@ def q_llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = F.least(F.size("sa"), F.size("sb")) / F.greatest(
         F.size("sa"), F.size("sb")
     )
-    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
-        F.array_union("sa", "sb")
-    )
+    # |A∪B| = |A|+|B|-|A∩B| (sh is distinct): one array_intersect per pair
+    jac = F.col("i").cast("double") / (F.col("la") + F.col("lb") - F.col("i"))
     pairs = (
         a.crossJoin(b)
         .filter((F.col("va") < F.col("vb")) & (ratio >= 0.4))
+        .select(
+            "va",
+            "vb",
+            F.size(F.array_intersect("sa", "sb")).alias("i"),
+            F.size("sa").alias("la"),
+            F.size("sb").alias("lb"),
+        )
         .filter(jac >= 0.4)
         .select("va", "vb")
     )
