@@ -170,11 +170,17 @@ def main() -> int:
     if prefixes and prefixes[0] == "--head":
         head = int(prefixes[1])
         prefixes = prefixes[2:]
+    start = 0
+    # ``--slice A B`` checks DRIVER_ORDER positions A..B-1 (0-based) — the
+    # rehearsal for a FUTURE round's window (e.g. --slice 50 100 = r+1).
+    if prefixes and prefixes[0] == "--slice":
+        start, head = int(prefixes[1]), int(prefixes[2])
+        prefixes = prefixes[3:]
     keys = [
         k
         for k in ordered_keys()
         if not prefixes or any(k.startswith(p) for p in prefixes)
-    ][: head if head is not None else len(QUERIES)]
+    ][start : head if head is not None else len(QUERIES)]
     print(f"checking {len(keys)} queries at {SF_DIR}")
     spark = get_spark("parity-check")
     con = duck_connection(SF_DIR)
