@@ -139,28 +139,53 @@ def q_llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", shingles("text").alias("sh")
     )
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
-    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
-    # Length prefilter (exact): J(A,B) ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t,
-    # so mismatched-size pairs skip the expensive intersect entirely.
-    ratio = F.least(F.size("sa"), F.size("sb")) / F.greatest(
-        F.size("sa"), F.size("sb")
+    return exact_pair_grid(d).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
-    # |A∪B| = |A|+|B|-|A∩B| (sh is distinct): one array_intersect per
-    # pair is the only array op; same exact rational as intersect/union.
-    jac = F.col("i").cast("double") / (F.col("la") + F.col("lb") - F.col("i"))
+
+
+_JACCARD_T = 0.4  # near-dup threshold shared by all exact-pair consumers
+
+
+def exact_pair_grid(
+    d: DataFrame,
+    a_name: str = "doc_a",
+    b_name: str = "doc_b",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard ≥ _JACCARD_T pairs over the brute-force grid
+    (the documented fixture-scale oracle twin of the LSH path). Input needs
+    (doc_id, sh); output is (a_name, b_name, jaccard) with the UNROUNDED
+    exact rational. ``sample_mod`` keeps only pairs whose smaller id ≡ 0
+    (mod m) — the deterministic pair sample the recall audit counts.
+
+    Two exactness-preserving prunes:
+    - length prefilter: J(A,B) ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t, so
+      mismatched-size pairs skip the intersect entirely;
+    - |A∪B| = |A|+|B|-|A∩B| (sh is distinct): one array_intersect per
+      pair is the only array op; same exact rational as intersect/union.
+    """
+    left = d.filter(F.col("doc_id") % sample_mod == 0) if sample_mod else d
+    a = left.select(F.col("doc_id").alias(a_name), F.col("sh").alias("_sa"))
+    b = d.select(F.col("doc_id").alias(b_name), F.col("sh").alias("_sb"))
+    ratio = F.least(F.size("_sa"), F.size("_sb")) / F.greatest(
+        F.size("_sa"), F.size("_sb")
+    )
+    jac = F.col("_i").cast("double") / (
+        F.col("_la") + F.col("_lb") - F.col("_i")
+    )
     return (
         a.crossJoin(b)
-        .filter((F.col("doc_a") < F.col("doc_b")) & (ratio >= 0.4))
+        .filter((F.col(a_name) < F.col(b_name)) & (ratio >= _JACCARD_T))
         .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sa", "sb")).alias("i"),
-            F.size("sa").alias("la"),
-            F.size("sb").alias("lb"),
+            a_name,
+            b_name,
+            F.size(F.array_intersect("_sa", "_sb")).alias("_i"),
+            F.size("_sa").alias("_la"),
+            F.size("_sb").alias("_lb"),
         )
-        .filter(jac >= 0.4)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(jac >= _JACCARD_T)
+        .select(a_name, b_name, jac.alias("jaccard"))
     )
 
 
@@ -454,26 +479,7 @@ def q_llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", shingles("text").alias("sh")
     )
-    a = d.select(F.col("doc_id").alias("va"), F.col("sh").alias("sa"))
-    b = d.select(F.col("doc_id").alias("vb"), F.col("sh").alias("sb"))
-    ratio = F.least(F.size("sa"), F.size("sb")) / F.greatest(
-        F.size("sa"), F.size("sb")
-    )
-    # |A∪B| = |A|+|B|-|A∩B| (sh is distinct): one array_intersect per pair
-    jac = F.col("i").cast("double") / (F.col("la") + F.col("lb") - F.col("i"))
-    pairs = (
-        a.crossJoin(b)
-        .filter((F.col("va") < F.col("vb")) & (ratio >= 0.4))
-        .select(
-            "va",
-            "vb",
-            F.size(F.array_intersect("sa", "sb")).alias("i"),
-            F.size("sa").alias("la"),
-            F.size("sb").alias("lb"),
-        )
-        .filter(jac >= 0.4)
-        .select("va", "vb")
-    )
+    pairs = exact_pair_grid(d, "va", "vb").select("va", "vb")
     docs = load_table(spark, sf_dir, "documents")
     comp = min_label_components(docs.select("doc_id"), pairs, "doc_id")
     toks = F.split("text", " ")
@@ -987,26 +993,10 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", shingles("text").alias("sh")
     )
-    # sampled exact pair count (brute force with the lossless length
-    # prefilter, a-side restricted to the 25% sample)
-    a = d.filter(F.col("doc_id") % 4 == 0).select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
-    )
-    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
-    ratio = F.least(F.size("sa"), F.size("sb")) / F.greatest(
-        F.size("sa"), F.size("sb")
-    )
-    # |A∪B| = |A|+|B|-|A∩B| (sh is distinct): one array_intersect per pair
-    jac_ab = F.col("i").cast("double") / (F.col("la") + F.col("lb") - F.col("i"))
+    # sampled exact pair count (the shared brute-force grid, a-side
+    # restricted to the deterministic 25% sample)
     n_exact = (
-        a.crossJoin(b)
-        .filter((F.col("doc_a") < F.col("doc_b")) & (ratio >= 0.4))
-        .select(
-            F.size(F.array_intersect("sa", "sb")).alias("i"),
-            F.size("sa").alias("la"),
-            F.size("sb").alias("lb"),
-        )
-        .filter(jac_ab >= 0.4)
+        exact_pair_grid(d, sample_mod=4)
         .agg(F.count("*").alias("n_exact"))
     )
     # banded-candidate verified pair count (the production path)

@@ -595,11 +595,15 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_llm_ann_recall: deterministic sign-projection LSH, exact-checked ---
 #
-# 4 tables x 4 bits of hyperplane signs derived from sha256("t:b:i") at
+# 4 tables x 3 bits of hyperplane signs derived from sha256("t:b:i") at
 # import time (hashlib — pure, deterministic), embedded as LITERALS in both
 # the Spark plan and the DuckDB oracle, so the bucket bits come out of
 # bit-identical IEEE-double left-to-right folds on both engines and the
-# LSH's recall itself sits under the exact-value gate.
+# LSH's recall itself sits under the exact-value gate. The cosine scores
+# in the oracle are ALSO explicit left-associated sums (not DuckDB's
+# list_cosine_similarity, whose summation order is unspecified): every
+# float feeding the top-10 ranking is bit-identical across engines, so a
+# score at a round(·, 6) boundary cannot flip set membership.
 
 import hashlib as _hashlib
 
@@ -645,6 +649,20 @@ def _ann_oracle() -> str:
         for t in range(_ANN_TABLES)
     )
     any_match = " OR ".join(f"c.bk{t} = q.bk{t}" for t in range(_ANN_TABLES))
+
+    def pair_sum(xa: str, xb: str) -> str:
+        # left-associated, same IEEE fold order as the Spark dot() helper
+        terms = " + ".join(
+            f"{xa}[{i + 1}]*{xb}[{i + 1}]" for i in range(_ANN_DIM)
+        )
+        return f"(0 + {terms})"
+
+    def cos_sql(x: str) -> str:
+        return (
+            f"round({pair_sum(x, 'q.emb')} / "
+            f"(sqrt({pair_sum(x, x)}) * sqrt({pair_sum('q.emb', 'q.emb')})), 6)"
+        )
+
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
@@ -658,14 +676,12 @@ def _ann_oracle() -> str:
       SELECT c.vec_id, c.emb FROM bk c, q
       WHERE c.vec_id != 0 AND ({any_match})
     ), csim AS (
-      SELECT c.vec_id,
-             round(list_cosine_similarity(c.emb, q.emb), 6) AS cos_sim
+      SELECT c.vec_id, {cos_sql('c.emb')} AS cos_sim
       FROM cand c, q
     ), ann10 AS (
       SELECT vec_id FROM csim ORDER BY cos_sim DESC, vec_id LIMIT 10
     ), esim AS (
-      SELECT x.vec_id,
-             round(list_cosine_similarity(x.emb, q.emb), 6) AS cos_sim
+      SELECT x.vec_id, {cos_sql('x.emb')} AS cos_sim
       FROM bk x, q WHERE x.vec_id != 0
     ), ex10 AS (
       SELECT vec_id FROM esim ORDER BY cos_sim DESC, vec_id LIMIT 10
@@ -680,11 +696,12 @@ def _ann_oracle() -> str:
 @query("q_llm_ann_recall", oracle=_ann_oracle())
 def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible ANN QUALITY gate: recall@10 of a deterministic
-    4-table x 4-bit sign-projection LSH against brute-force cosine top-10
+    4-table x 3-bit sign-projection LSH against brute-force cosine top-10
     for the vec_id=0 query — exact-checked on both engines (the trick that
     makes q_llm_ann_lsh's engine-private buckets rows-only does not apply:
     the hyperplanes here are sha256-derived literals shared with the SQL
-    oracle, and every bucket bit is a bit-identical sequential double fold).
+    oracle, and every bucket bit AND cosine score is a bit-identical
+    sequential double fold, so the ranked top-10 sets cannot diverge).
 
     100 TB plan: bucket bits are map-only per vector; candidate probe is a
     broadcast of the 1-row query's 4 bucket ids; only the matched buckets

@@ -43,7 +43,8 @@ def main() -> int:
             src = open(os.path.join(tests_dir, fn)).read()
             actual_tests += len(re.findall(r"^def test_", src, re.M))
     readme = open(os.path.join(root, "README.md")).read()
-    m = re.search(r"(\d+) tests", readme)
+    # anchored to the Tests bullet, not the first "<N> tests" anywhere
+    m = re.search(r"\*\*Tests\*\*[^\n]*?(\d+) tests", readme)
     claimed = int(m.group(1)) if m else -1
     count_drift = claimed != actual_tests
     if count_drift:

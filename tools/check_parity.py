@@ -167,15 +167,27 @@ def main() -> int:
         strict_types = True
         prefixes = [p for p in prefixes if p != "--strict-types"]
     head = None
-    if prefixes and prefixes[0] == "--head":
-        head = int(prefixes[1])
-        prefixes = prefixes[2:]
     start = 0
-    # ``--slice A B`` checks DRIVER_ORDER positions A..B-1 (0-based) — the
-    # rehearsal for a FUTURE round's window (e.g. --slice 50 100 = r+1).
-    if prefixes and prefixes[0] == "--slice":
-        start, head = int(prefixes[1]), int(prefixes[2])
-        prefixes = prefixes[3:]
+    # ``--head N`` = first N keys; ``--slice A B`` = DRIVER_ORDER positions
+    # A..B-1 (0-based) — the rehearsal for a FUTURE round's window
+    # (e.g. --slice 50 100 = r+1). Flags are parsed wherever they appear;
+    # an unknown --flag is a hard error, never a silent zero-key run.
+    i = 0
+    while i < len(prefixes):
+        tok = prefixes[i]
+        if tok == "--head":
+            head = int(prefixes[i + 1])
+            del prefixes[i : i + 2]
+        elif tok == "--slice":
+            start, head = int(prefixes[i + 1]), int(prefixes[i + 2])
+            del prefixes[i : i + 3]
+        elif tok.startswith("--"):
+            raise SystemExit(f"unknown flag {tok!r}")
+        else:
+            i += 1
+    if prefixes and (start or head is not None):
+        raise SystemExit("--head/--slice index DRIVER_ORDER, not a prefix-"
+                         "filtered list; use one or the other")
     keys = [
         k
         for k in ordered_keys()
