@@ -147,6 +147,8 @@ DRIVER_ORDER: list[str] = [
     # the r06 window (≤8 free slots) and the unseen pool drains by r06. ---
     "q_llm_lsh_recall",  # new r5: MinHash-band recall vs exact pairs (exact oracle)
     "q_llm_ann_recall",  # new r5: sign-LSH recall@10 vs brute force (exact oracle)
+    "q_stream_listener_e2e",  # new r5: full listener pipeline (source->decode->
+    #   exactly-once DB upsert, mid-backfill restart) — the reference flagship
     "q_llm_dup_rate_by_source",  # new r5: per-source exact-dup governance report
     "q_llm_ngram_novelty",  # new r5: per-doc first-occurrence 3-gram novelty
     "q_llm_curriculum",  # new r5: length-staged phases + hash-ranked order

@@ -63,13 +63,17 @@ def _feed_files(path: str) -> list[str]:
     return parts
 
 
-def _feed_file(path: str) -> str:
-    """The single part file of a replay feed (streaming cursor contract:
-    ensure_feed() writes exactly one, so a line index is a total order)."""
-    parts = _feed_files(path)
-    if len(parts) != 1:
-        raise ValueError(f"stream feed must be one file, found {len(parts)}")
-    return parts[0]
+def _feed_lines(path: str):
+    """Global line iterator over the feed's sorted part files.
+
+    The streaming cursor contract: parts are APPEND-ONLY in sorted-name
+    order (a provider feed grows by new part files, never by rewriting old
+    ones), so the global line index is a stable total order — positions
+    committed before a new part arrived still point at the same lines.
+    """
+    for file in _feed_files(path):
+        with open(file) as f:
+            yield from f
 
 
 def _parse(line: str) -> tuple:
@@ -122,23 +126,21 @@ class _FeedStreamReader(SimpleDataSourceStreamReader):
     def read(self, start):
         pos = start["pos"]
         out = []
-        with open(_feed_file(self.path)) as f:
-            for i, line in enumerate(f):
-                if i < pos:
-                    continue
-                if len(out) >= self.rows_per_batch:
-                    break
-                out.append(_parse(line))
+        for i, line in enumerate(_feed_lines(self.path)):
+            if i < pos:
+                continue
+            if len(out) >= self.rows_per_batch:
+                break
+            out.append(_parse(line))
         return iter(out), {"pos": pos + len(out)}
 
     def readBetweenOffsets(self, start, end):
         # Restart replay (A8/A9): deliver the committed range verbatim.
-        with open(_feed_file(self.path)) as f:
-            for i, line in enumerate(f):
-                if i >= end["pos"]:
-                    break
-                if i >= start["pos"]:
-                    yield _parse(line)
+        for i, line in enumerate(_feed_lines(self.path)):
+            if i >= end["pos"]:
+                break
+            if i >= start["pos"]:
+                yield _parse(line)
 
 
 class _FeedCommit(WriterCommitMessage):
@@ -339,3 +341,96 @@ def q_src_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(target, "_FEEDCOMMIT")):
         raise AssertionError("sink commit fence missing: no _FEEDCOMMIT")
     return spark.read.format("event_feed").option("path", target).load()
+
+
+@query(
+    "q_stream_listener_e2e",
+    oracle="""
+    SELECT event_id, user_id AS burner, round(value, 6) AS amount,
+           epoch_us(ts) // 86400000000 AS burn_day
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_stream_listener_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENCE-PARITY FLAGSHIP: the listener's whole job as one pipeline —
+    subscription (custom Python streaming source with a resume cursor) →
+    decode + event filter (the ABI-subscription analog: only the watched
+    event type) → exactly-once upsert into the external-DB stand-in —
+    SURVIVING a mid-backfill crash/restart. Phase 1 delivers half the feed
+    and stops; phase 2 appends the rest and restarts from the same
+    checkpoint; the oracle then asserts the DB holds every watched event
+    exactly once with exact decoded values — cursor resume, no loss, no
+    double-delivery.
+
+    100 TB plan: the source is the ingest boundary (Kafka/cloud-log JVM
+    connectors at scale — this proves the offset/commit contract); the
+    decode/filter is map-only relational; the sink's per-epoch overwrite
+    directories are the standard idempotent foreachBatch shape, so a
+    replayed epoch lands on the same path instead of duplicating.
+    """
+    import shutil
+
+    from token_burn_listener_spark.scratch import fresh_run_dir
+    from token_burn_listener_spark.streaming.replay import (
+        batch_upsert_writer,
+        read_upsert_target,
+    )
+
+    register_feed_source(spark)
+    base = fresh_run_dir("listener_e2e")
+    feed, target, cp = f"{base}/feed", f"{base}/db", f"{base}/cp"
+    os.makedirs(feed, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    n_events = ev.count()
+
+    def publish(phase_df: DataFrame, part_name: str) -> None:
+        tmp = f"{base}/tmp_{part_name}"
+        phase_df.coalesce(1).write.json(tmp)
+        src_file = glob.glob(os.path.join(tmp, "part-*"))[0]
+        shutil.copy(src_file, os.path.join(feed, part_name))
+        shutil.rmtree(tmp)
+
+    def drain() -> None:
+        src = (
+            spark.readStream.format("event_feed")
+            .option("path", feed)
+            .option("rows_per_batch", str(max(1, n_events // 6)))
+            .load()
+        )
+        decoded = src.filter(F.col("event_type") == "purchase").select(
+            "event_id",
+            F.col("user_id").alias("burner"),
+            F.round("value", 6).alias("amount"),
+            F.expr("ts_us div 86400000000").alias("burn_day"),
+        )
+        q = (
+            decoded.writeStream.foreachBatch(batch_upsert_writer(target))
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # phase 1: half the feed arrives, the listener drains it, then "crashes"
+    publish(ev.filter(F.col("event_id") % 2 == 0), "part-000.json")
+    drain()
+    # phase 2: the rest arrives; a NEW query on the SAME checkpoint resumes
+    # from the committed cursor and must deliver ONLY the new lines
+    publish(ev.filter(F.col("event_id") % 2 == 1), "part-001.json")
+    drain()
+    out = read_upsert_target(spark, target)
+    n_out, n_distinct = out.count(), out.select("event_id").distinct().count()
+    if n_out != n_distinct:
+        raise AssertionError(
+            f"double delivery after restart: {n_out} rows, {n_distinct} ids"
+        )
+    return out
