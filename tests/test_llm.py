@@ -479,3 +479,33 @@ def test_ngram_novelty_bounds_and_first_doc(spark, sf_dir):
                for r in rows)
     first = min(rows, key=lambda r: r.doc_id)
     assert first.novelty == 1.0
+
+
+def test_media_decoders_are_real_parsers(sf_dir):
+    """The PPM/WAV decoders actually parse structure: valid synthesized
+    blobs decode to the closed-form features, and corrupted headers /
+    truncated rasters raise instead of yielding silent garbage."""
+    import pytest as _pytest
+
+    from token_burn_listener_spark.llm.multimodal import (
+        _decode_ppm,
+        _decode_wav,
+        _media_dir,
+    )
+
+    d = _media_dir(sf_dir)
+    ppm = open(f"{d}/media-003.ppm", "rb").read()
+    w, h, mean = _decode_ppm(ppm)
+    assert (w, h) == (16 + 3 % 8, 12 + 3 % 5)
+    expect = sum((x + y + 3) % 256 for x in range(w) for y in range(h)) / (w * h)
+    assert abs(mean - expect) < 1e-9
+    with _pytest.raises(ValueError):
+        _decode_ppm(b"P5" + ppm[2:])  # wrong magic
+    with _pytest.raises(ValueError):
+        _decode_ppm(ppm[:-10])  # truncated raster
+    wav = open(f"{d}/audio-002.wav", "rb").read()
+    n, rms = _decode_wav(wav)
+    assert n == 1000 + 50 * 2
+    import math
+    samples = [((k * 73 + 2 * 37) % 201) - 100 for k in range(n)]
+    assert abs(rms - math.sqrt(sum(s * s for s in samples) / n)) < 1e-9

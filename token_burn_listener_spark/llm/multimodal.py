@@ -14,6 +14,7 @@ source, schema, Arrow batch iteration, UDF signature — is real and tested.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -140,4 +141,178 @@ def q_llm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     return blobs.mapInPandas(sample_frames, FRAME_SCHEMA).orderBy(
         "file_name", "frame_idx"
+    )
+
+
+# --- q_llm_media_decode: REAL decoders, analytically-verified ---------------
+#
+# The two keys above stub the decode (no media libs in this container).
+# This key removes the stub where the standard library suffices: binary PPM
+# (P6) images and RIFF/PCM WAV audio are fully parseable with bytes + the
+# stdlib ``wave`` module. The corpus is SYNTHESIZED deterministically from
+# closed-form pixel/sample functions, so the DuckDB oracle verifies the
+# decoded features against ANALYTIC ground truth (computed from the
+# generating formula via range() joins) — if the parser misreads a header,
+# stride, or sample width, the exact-value check goes red.
+
+_N_MEDIA = 12  # per modality
+
+
+def _media_dir(sf_dir: str) -> str:
+    """Generate-once media fixture (deterministic; no randomness, no time)."""
+    import shutil
+    import struct
+    import uuid
+    import wave
+
+    from token_burn_listener_spark.scratch import scratch_dir
+
+    final = scratch_dir(sf_dir, "media_fixture_v1")
+    if os.path.exists(os.path.join(final, "_DONE")):
+        return final
+    if os.path.exists(final):  # partial dir from a crashed writer: rebuild
+        shutil.rmtree(final)
+    d = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(d, exist_ok=True)
+    for i in range(_N_MEDIA):
+        w, h = 16 + i % 8, 12 + i % 5
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = (x + y + i) % 256
+                px += bytes((v, v, v))  # grey: all 3 channels equal
+        with open(os.path.join(d, f"media-{i:03d}.ppm"), "wb") as f:
+            f.write(b"P6\n%d %d\n255\n" % (w, h) + bytes(px))
+        n = 1000 + 50 * i
+        samples = [((k * 73 + i * 37) % 201) - 100 for k in range(n)]
+        with wave.open(os.path.join(d, f"audio-{i:03d}.wav"), "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(struct.pack(f"<{n}h", *samples))
+    with open(os.path.join(d, "_DONE"), "w") as f:
+        f.write("ok")
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    os.rename(d, final)  # atomic: the dir is only ever visible complete
+    return final
+
+
+MEDIA_SCHEMA = (
+    "file_name string, kind string, width long, height long, "
+    "n_samples long, pixel_mean double, rms double"
+)
+
+
+def _decode_ppm(b: bytes) -> tuple[int, int, float]:
+    """A real binary-PPM (P6) parser: header tokens, then raw RGB bytes."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    tokens, pos = [], 2
+    while len(tokens) < 3:  # width, height, maxval (comments start with #)
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while b[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(b[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raster = b[pos : pos + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        raise ValueError("truncated raster")
+    return w, h, sum(raster) / len(raster)
+
+
+def _decode_wav(b: bytes) -> tuple[int, float]:
+    """A real WAV decode via the stdlib wave module (RIFF + PCM16)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(b)) as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise ValueError("expected mono PCM16")
+        n = wf.getnframes()
+        samples = struct.unpack(f"<{n}h", wf.readframes(n))
+    return n, math.sqrt(sum(s * s for s in samples) / n)
+
+
+def media_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            name = path.rsplit("/", 1)[-1]
+            if name.endswith(".ppm"):
+                w, h, mean = _decode_ppm(bytes(content))
+                rows.append((name, "image", w, h, None, round(mean, 6), None))
+            elif name.endswith(".wav"):
+                n, rms = _decode_wav(bytes(content))
+                rows.append((name, "audio", None, None, n, None, round(rms, 6)))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "file_name", "kind", "width", "height",
+                "n_samples", "pixel_mean", "rms",
+            ],
+        )
+
+
+@query(
+    "q_llm_media_decode",
+    oracle=f"""
+    WITH ids AS (SELECT unnest(range({_N_MEDIA})) AS i),
+    img AS (SELECT i, 16 + i % 8 AS w, 12 + i % 5 AS h FROM ids),
+    imgstats AS (
+      SELECT img.i, round(avg(((x.r + y.r + img.i) % 256)::DOUBLE), 6) AS m
+      FROM img, range(0, 23) x(r), range(0, 16) y(r)
+      WHERE x.r < img.w AND y.r < img.h
+      GROUP BY img.i
+    ),
+    aud AS (SELECT i, 1000 + 50 * i AS n FROM ids),
+    audstats AS (
+      SELECT aud.i,
+             round(sqrt(avg(pow(((k.r * 73 + aud.i * 37) % 201) - 100, 2))), 6)
+               AS rms
+      FROM aud, range(0, {1000 + 50 * (_N_MEDIA - 1)}) k(r)
+      WHERE k.r < aud.n
+      GROUP BY aud.i
+    )
+    SELECT 'media-' || lpad(img.i::VARCHAR, 3, '0') || '.ppm' AS file_name,
+           'image' AS kind, img.w::BIGINT AS width, img.h::BIGINT AS height,
+           CAST(NULL AS BIGINT) AS n_samples, s.m AS pixel_mean,
+           CAST(NULL AS DOUBLE) AS rms
+    FROM img JOIN imgstats s USING (i)
+    UNION ALL
+    SELECT 'audio-' || lpad(aud.i::VARCHAR, 3, '0') || '.wav' AS file_name,
+           'audio' AS kind, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           aud.n::BIGINT, CAST(NULL AS DOUBLE), a.rms
+    FROM aud JOIN audstats a USING (i)
+    """,
+)
+def q_llm_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode under the exact-value gate: synthesize a
+    deterministic PPM/WAV corpus (closed-form pixels/samples), ingest it
+    as opaque binary via binaryFile, and DECODE it with genuine stdlib
+    parsers inside an Arrow-batched mapInPandas — then let the DuckDB
+    oracle recompute every feature (dims, pixel mean, sample count, RMS)
+    from the GENERATING FORMULA. A parser bug (header offset, stride,
+    sample width, endianness) is a red exact check, not a silent stub.
+
+    100 TB plan: identical to q_llm_multimodal's shape — decode is
+    per-partition mapInPandas over binary blobs, constant memory per Arrow
+    batch, nothing on the driver; swapping the stdlib parsers for
+    PIL/ffmpeg changes only the Python body, not the plan.
+    """
+    d = _media_dir(sf_dir)
+    blobs = spark.read.format("binaryFile").load(d)
+    return (
+        blobs.filter(~F.col("path").endswith("_DONE"))
+        .mapInPandas(media_decode_batches, MEDIA_SCHEMA)
     )

@@ -84,10 +84,11 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #            q_llm_source_overlap, q_evt_forecast_naive, q_evt_cohort_ltv,
 #            q_llm_minhash_exact, q_evt_ab_test, q_evt_pareto,
 #            q_llm_heaps_law, q_llm_tfidf_exact, the 3 Python sources and
-#            the 7 UDF-surface keys — 41 keys + canary = 42, leaving ≤8
-#            slots for keys added in r05; new keys MUST be inserted just
-#            after the r06 block head so they ride the r06 window and the
-#            pool fully drains by r06.
+#            the 7 UDF-surface keys, PLUS the 8 keys added during r05
+#            (listener e2e, media decode, lsh/ann recall, dup-rate,
+#            novelty, curriculum, embedding coverage) — 49 keys + canary
+#            = a FULL 50-key window; the unseen pool drains completely
+#            at r06.
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
     # --- r05 driver window (positions 1-50) ---
@@ -149,6 +150,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_ann_recall",  # new r5: sign-LSH recall@10 vs brute force (exact oracle)
     "q_stream_listener_e2e",  # new r5: full listener pipeline (source->decode->
     #   exactly-once DB upsert, mid-backfill restart) — the reference flagship
+    "q_llm_media_decode",  # new r5: REAL stdlib PPM/WAV decoders vs analytic oracle
     "q_llm_dup_rate_by_source",  # new r5: per-source exact-dup governance report
     "q_llm_ngram_novelty",  # new r5: per-doc first-occurrence 3-gram novelty
     "q_llm_curriculum",  # new r5: length-staged phases + hash-ranked order

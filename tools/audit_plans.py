@@ -143,6 +143,8 @@ ALLOW_PYTHON = {
     "q_udtf",
     "q_llm_multimodal",  # mapInPandas decode stub — the designed shape
     "q_llm_frames",      # mapInPandas frame-sample stub — same
+    "q_llm_media_decode",  # mapInPandas REAL stdlib PPM/WAV decoders — the
+                           # media-decode boundary is Python by definition
     "q_llm_tfidf",       # ml HashingTF/IDF pipeline
     "q_llm_near_dedup",  # ml MinHashLSH
     "q_llm_ann_lsh",     # ml BucketedRandomProjectionLSH
