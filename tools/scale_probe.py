@@ -1,0 +1,114 @@
+"""Empirical scale-up probe: do the headline plans scale linearly?
+
+Synthesizes an N×-scaled copy of the sf0.1 fixtures in scratch (union of
+N deterministic key-shifted copies — same value distributions, N× rows),
+then times a set of headline queries at 1× and N× and reports the
+wall-clock scaling factor per query. A plan that survives 100 TB should
+scale ≈ linearly here (factor ≈ N on a fixed-core machine, < N when the
+1× run underutilizes the cores); a super-linear factor exposes a hidden
+O(n²), a broadcast that stopped fitting, or a skew collapse.
+
+This is a MEASUREMENT tool, not a fixture: queries()/oracles never read
+these copies (the driver contract still runs on /root/testdata only).
+
+Usage: python tools/scale_probe.py [N]    (default N=10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from token_burn_listener_spark.registry import QUERIES, load_all_modules
+from token_burn_listener_spark.scratch import SCRATCH_ROOT
+from token_burn_listener_spark.session import get_spark
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
+
+# (table, unique-key columns to shift per copy so keys stay unique)
+TABLES = {
+    "region": [],  # dims replicate unshifted (stay broadcast-sized)
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": [],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+PROBE_KEYS = [
+    "q_agg_groupby",
+    "q_join_star",
+    "q_agg_time_rollup",
+    "q_agg_count_distinct",
+    "q_llm_exact_dedup",
+    "q_llm_corpus_prep",
+    "q_evt_sessionize",
+    "q_cdc_merge",
+]
+
+
+def build_scaled(spark, n: int) -> str:
+    out = f"{SCRATCH_ROOT}/scale_probe_x{n}"
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    for t, shift_cols in TABLES.items():
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        if not shift_cols:
+            df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+            continue
+        # key stride larger than any fixture key keeps copies disjoint
+        stride = 10_000_000
+        copies = None
+        for i in range(n):
+            c = df
+            for col in shift_cols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+            copies = c if copies is None else copies.union(c)
+        copies.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write("ok")
+    return out
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    load_all_modules()
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    scaled = build_scaled(spark, n)
+    # warm both roots (footer/FS init outside the timings, like bench.py)
+    for root in (SF_DIR, scaled):
+        for t in TABLES:
+            spark.read.parquet(f"{root}/{t}.parquet").count()
+    report = {}
+    for k in PROBE_KEYS:
+        fn = QUERIES[k]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        base = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(spark, scaled).collect()
+        big = time.perf_counter() - t0
+        report[k] = {
+            "t_1x": round(base, 3),
+            f"t_{n}x": round(big, 3),
+            "factor": round(big / base, 2),
+        }
+        print(f"probe {k}: 1x={base:.2f}s {n}x={big:.2f}s "
+              f"factor={big / base:.2f}", file=sys.stderr)
+    print(json.dumps({"n": n, "queries": report}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
