@@ -882,3 +882,70 @@ def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_g2") - F.col("_off")).cast("int").alias("rank_in_phase"),
         )
     )
+
+
+_MIX_N = 200  # total docs the temperature-mixed sample targets
+_MIX_DENOM_DP = 6  # denominator rounding: kills summation-order ulps
+
+
+@query(
+    "q_llm_temperature_mix",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+    den AS (SELECT round(sum(sqrt(n_l)), {_MIX_DENOM_DP}) AS denom FROM c),
+    tg AS (
+      SELECT lang, CAST(floor({_MIX_N} * sqrt(n_l) / denom) AS BIGINT)
+               AS target
+      FROM c, den
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sha256(doc_id::VARCHAR), doc_id)
+               AS sel_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, sel_rank
+    FROM r JOIN tg USING (lang) WHERE sel_rank <= target
+    """,
+)
+def q_llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (α = 0.5) language mixing — the standard
+    multilingual-pretraining sampler: per-language budget ∝ n_lang^α, so
+    low-resource languages are up-weighted relative to their corpus share
+    without drowning the high-resource head. Selection inside each
+    language is the deterministic sha-ranked sample (re-runs reproduce
+    the exact mixture).
+
+    α = 0.5 is written as sqrt(), never pow(x, 0.5): sqrt is
+    correctly-rounded IEEE on both engines, pow is not guaranteed to be.
+    The Σ√n denominator is rounded before use so aggregation-order ulps
+    cannot shift a floor() boundary.
+
+    100 TB plan: budgets come from a languages-sized aggregate
+    (broadcast). The per-language rank window is exact here; at corpus
+    scale selection switches to the map-only hash-threshold form (keep
+    doc if sha prefix < target/n_l as a 64-bit fraction — no rank, no
+    shuffle) at the cost of ±binomial jitter around the budget.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    denom = counts.agg(
+        F.round(F.sum(F.sqrt("n_l")), _MIX_DENOM_DP).alias("denom")
+    )
+    targets = counts.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        F.floor(_MIX_N * F.sqrt("n_l") / F.col("denom"))
+        .cast("long")
+        .alias("target"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("sel_rank", F.row_number().over(w))
+        .join(F.broadcast(targets), "lang")
+        .filter(F.col("sel_rank") <= F.col("target"))
+        .select("doc_id", "lang", "sel_rank")
+    )

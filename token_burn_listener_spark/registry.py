@@ -196,6 +196,9 @@ DRIVER_ORDER: list[str] = [
     "q_udf_map_iter",
     "q_udtf",
     "q_udf_cogroup",
+    # --- r07 pool (the r06 window above is FULL at 50; keys added from
+    # here on queue behind it and ride the r07 window) ---
+    "q_llm_temperature_mix",  # new r5: alpha=0.5 language-mix sampler
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",

@@ -85,6 +85,7 @@ ALLOW_SINGLE_PARTITION = {
     "q_llm_global_shuffle",  # [prefix] the pattern's defining user
     "q_llm_curriculum",  # [prefix] two global_row_number passes + 3-row
                          # phase-offset broadcast
+    "q_llm_temperature_mix",  # [final-agg] 1-row Σ√n denominator
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
@@ -124,6 +125,7 @@ ALLOW_NESTED_LOOP = {
                              # found side stays banded equi-joins
     "q_llm_ann_recall",      # recall audit: broadcast crossJoin of the 1-row
                              # query vector + brute-force top-10 denominator
+    "q_llm_temperature_mix",  # broadcast crossJoin of the 1-row Σ√n agg
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
