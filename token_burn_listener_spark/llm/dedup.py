@@ -1051,3 +1051,55 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@query(
+    "q_llm_delta_dedup",
+    oracle="""
+    WITH idx AS (
+      SELECT sha256(text) AS sha, min(doc_id) AS first_doc
+      FROM documents WHERE doc_id % 10 <> 0
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           i.sha IS NULL AS is_new_unique,
+           i.first_doc AS dup_of
+    FROM documents d
+    LEFT JOIN idx i ON i.sha = sha256(d.text)
+    WHERE d.doc_id % 10 = 0
+    """,
+)
+def q_llm_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) dedup — the daily-ingest shape: an
+    arriving batch (doc_id ≡ 0 mod 10 stands in for "today's crawl") is
+    checked against the HISTORICAL corpus's fingerprint index, not
+    against itself. Each new doc comes back either new-unique or flagged
+    with the earliest historical doc it duplicates.
+
+    This is the asymmetric form production dedup actually runs daily:
+    the index side is a stored (sha, first_doc) table that is only ever
+    appended to; the batch side is load-sized.
+
+    100 TB plan: the index is corpus-sized but SKINNY (64-hex sha + one
+    id), bucketed on sha at rest; the delta joins against it with one
+    shuffle of the (small) batch when the index is bucket-pruned, or a
+    shuffle-hash join on the uniform sha key otherwise — never a rescan
+    of historical TEXT, which is the point of keeping the index.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    idx = (
+        d.filter(~is_new)
+        .groupBy(F.sha2("text", 256).alias("sha"))
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    return (
+        d.filter(is_new)
+        .select("doc_id", F.sha2("text", 256).alias("sha"))
+        .join(idx, "sha", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNull().alias("is_new_unique"),
+            "dup_of",
+        )
+    )
