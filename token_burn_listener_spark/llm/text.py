@@ -1162,3 +1162,97 @@ def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+_BM25_TERMS = ("data", "scan", "hash")  # fixed query, mixed selectivity
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_term_sql(t: str) -> str:
+    """One term's BM25 contribution — identical expression text on both
+    engines (fixed left-assoc arithmetic, ln/exact-int inputs)."""
+    return (
+        f"ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1)"
+        f" * tf_{t} * ({_BM25_K1} + 1)"
+        f" / (tf_{t} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * len_d / avgdl))"
+    )
+
+
+@query(
+    "q_llm_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*)::BIGINT AS len_d,
+             {", ".join(
+                 f"count(CASE WHEN t = '{t}' THEN 1 END)::BIGINT AS tf_{t}"
+                 for t in _BM25_TERMS)}
+      FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs,
+             sum(len_d)::DOUBLE / count(*) AS avgdl,
+             {", ".join(
+                 f"count(CASE WHEN tf_{t} > 0 THEN 1 END)::BIGINT AS df_{t}"
+                 for t in _BM25_TERMS)}
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT doc_id,
+             round({" + ".join(_bm25_term_sql(t) for t in _BM25_TERMS)}, 6)
+               AS bm25
+      FROM per_doc, stats
+    ),
+    top AS (
+      SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    )
+    SELECT doc_id, bm25,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+    FROM top
+    """,
+)
+def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson k1=1.2, b=0.75, Lucene-style
+    idf) for a fixed 3-term query — the sparse-retrieval scorer every
+    corpus search/labeling pipeline needs next to the dense ANN path.
+
+    Exactness: per-term scores are summed in a FIXED left-associative
+    column order (never a term-row aggregate, whose summation order is
+    engine-internal), and every input to the float math is an exact
+    integer (tf, df, N, Σlen) — so both engines fold the identical IEEE
+    sequence and the rounded scores are bit-identical.
+
+    100 TB plan: one explode + per-doc conditional-count aggregate
+    (partial map-side; the explode never shuffles raw tokens — only
+    per-doc counters), a 1-row corpus-stats broadcast, and a global
+    top-20 TakeOrderedAndProject. Query terms are literals here; a real
+    query batch broadcasts its (term, idf) table instead.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("len_d"),
+        *[
+            F.count(F.when(F.col("t") == t, 1)).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("len_d").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, 1)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.round(
+            F.expr(" + ".join(_bm25_term_sql(t) for t in _BM25_TERMS)), 6
+        ).alias("bm25"),
+    )
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w))

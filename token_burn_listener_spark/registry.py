@@ -200,6 +200,7 @@ DRIVER_ORDER: list[str] = [
     # here on queue behind it and ride the r07 window) ---
     "q_llm_temperature_mix",  # new r5: alpha=0.5 language-mix sampler
     "q_llm_delta_dedup",  # new r5: delta-vs-corpus incremental dedup (daily-ingest shape)
+    "q_llm_bm25",  # new r5: BM25 ranked retrieval, fixed-order exact float fold
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",

@@ -86,6 +86,7 @@ ALLOW_SINGLE_PARTITION = {
     "q_llm_curriculum",  # [prefix] two global_row_number passes + 3-row
                          # phase-offset broadcast
     "q_llm_temperature_mix",  # [final-agg] 1-row Σ√n denominator
+    "q_llm_bm25",  # [final-agg] 1-row corpus stats (N, avgdl, df per term)
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
@@ -126,6 +127,7 @@ ALLOW_NESTED_LOOP = {
     "q_llm_ann_recall",      # recall audit: broadcast crossJoin of the 1-row
                              # query vector + brute-force top-10 denominator
     "q_llm_temperature_mix",  # broadcast crossJoin of the 1-row Σ√n agg
+    "q_llm_bm25",  # broadcast crossJoin of the 1-row corpus-stats agg
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
