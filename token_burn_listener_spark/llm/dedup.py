@@ -1103,3 +1103,126 @@ def q_llm_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of",
         )
     )
+
+
+# Content-defined chunking: boundary after position i when a polynomial
+# hash of the trailing 8-char window divides the target chunk size (64).
+# Fixture texts are printable ASCII (verified), so ascii() agrees across
+# engines; the hash is exact BIGINT arithmetic on both.
+_CDC_W = 8
+_CDC_MASK = 64
+_CDC_POW = [31**j for j in range(_CDC_W)]
+
+
+def _cdc_hash_terms(char_at) -> str:
+    """Σ ascii(c_{i-j}) * 31^j as literal fixed-order BIGINT arithmetic.
+
+    ``char_at(j)`` renders the 1-char lookup at offset j behind position i.
+    The power literal is cast to BIGINT: Spark's ascii() is INT and
+    ANSI-mode INT×INT overflows at 31^6 × ascii.
+    """
+    return " + ".join(
+        f"ascii({char_at(j)}) * CAST({p} AS BIGINT)"
+        for j, p in enumerate(_CDC_POW)
+    )
+
+
+@query(
+    "q_llm_cdc_chunking",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, length(text)::BIGINT AS n FROM documents
+    ), b AS (
+      SELECT doc_id, text, n,
+             list_sort(list_distinct(
+               [0::BIGINT]
+               || [i::BIGINT for i in range({_CDC_W}, n + 1)
+                   if ({_cdc_hash_terms(lambda j: f"text[i - {j}]")})
+                      % {_CDC_MASK} = 0]
+               || [n])) AS bpos
+      FROM base
+    ), c AS (
+      SELECT doc_id,
+             unnest([substring(text, (bpos[k] + 1)::INT,
+                               (bpos[k + 1] - bpos[k])::INT)
+                     for k in range(1, len(bpos))]) AS chunk
+      FROM b
+    ), cf AS (
+      SELECT doc_id, chunk FROM c WHERE chunk <> ''
+    ), x AS (
+      SELECT chunk, count(DISTINCT doc_id) AS nd FROM cf GROUP BY chunk
+    )
+    SELECT doc_id, count(*) AS n_chunks,
+           count(CASE WHEN nd >= 2 THEN 1 END) AS n_dup_chunks,
+           round(count(CASE WHEN nd >= 2 THEN 1 END)::DOUBLE / count(*), 6)
+             AS dup_ratio
+    FROM cf JOIN x USING (chunk)
+    GROUP BY doc_id
+    """,
+)
+def q_llm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC-style): chunk boundaries fall
+    where a rolling polynomial hash of the trailing 8-char window is
+    ≡ 0 mod 64 — so an insertion early in a document only reshapes the
+    chunks it touches, unlike fixed-width chunking (q_llm_subdoc_dup)
+    where one shifted byte re-cuts every downstream chunk. Per-doc
+    output: chunk count, chunks shared with ≥1 other doc, dup ratio —
+    the sub-document dedup signal storage systems and corpus pipelines
+    build on.
+
+    Boundary detection, chunk slicing, and the cross-doc share join are
+    all array/aggregate relational ops — no UDF; the hash is exact
+    BIGINT arithmetic in identical fixed order on both engines.
+
+    100 TB plan: chunking is map-only per document (O(len·W) window
+    sums); the only shuffle keys chunk content (uniform — content
+    hashes), with partial counts map-side. Min/max chunk-size clamps
+    (full FastCDC) would add a sequential pass per doc — the pure
+    hash-boundary form keeps the whole operator in codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hash_expr = _cdc_hash_terms(
+        lambda j: f"substring(text, CAST(i - {j} AS INT), 1)"
+    )
+    bounds = (
+        f"IF(length(text) < {_CDC_W}, array(),"
+        f" filter(transform(sequence({_CDC_W}, length(text)),"
+        f"   i -> IF(({hash_expr}) % {_CDC_MASK} = 0,"
+        f"           CAST(i AS BIGINT), CAST(-1 AS BIGINT))),"
+        f"   x -> x != -1))"
+    )
+    bpos = (
+        f"array_sort(array_distinct(concat(array(CAST(0 AS BIGINT)),"
+        f" {bounds}, array(CAST(length(text) AS BIGINT)))))"
+    )
+    # bpos is HOISTED into its own column before the slicing lambda:
+    # subexpression elimination stops at lambda boundaries (the llm/text.py
+    # lambda-hoisting rule), so an inlined bpos would be recomputed per
+    # chunk — O(len²) per doc (measured 85 s → 2 s at sf0.01).
+    chunks_expr = (
+        "filter(transform(sequence(1, size(bpos) - 1),"
+        " k -> substring(text,"
+        "   CAST(element_at(bpos, k) + 1 AS INT),"
+        "   CAST(element_at(bpos, k + 1) - element_at(bpos, k) AS INT))),"
+        " c -> c != '')"
+    )
+    cf = (
+        d.select("doc_id", "text", F.expr(bpos).alias("bpos"))
+        .select("doc_id", F.explode(F.expr(chunks_expr)).alias("chunk"))
+    )
+    shared = cf.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        cf.join(shared, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("nd") >= 2, 1)).alias("n_dup_chunks"),
+            F.round(
+                F.count(F.when(F.col("nd") >= 2, 1)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

@@ -201,6 +201,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_temperature_mix",  # new r5: alpha=0.5 language-mix sampler
     "q_llm_delta_dedup",  # new r5: delta-vs-corpus incremental dedup (daily-ingest shape)
     "q_llm_bm25",  # new r5: BM25 ranked retrieval, fixed-order exact float fold
+    "q_llm_cdc_chunking",  # new r5: content-defined (rolling-hash) chunk dedup signal
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",
