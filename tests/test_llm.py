@@ -509,3 +509,37 @@ def test_media_decoders_are_real_parsers(sf_dir):
     import math
     samples = [((k * 73 + 2 * 37) % 201) - 100 for k in range(n)]
     assert abs(rms - math.sqrt(sum(s * s for s in samples) / n)) < 1e-9
+
+
+def test_cdc_chunking_edit_locality(spark, sf_dir):
+    """THE content-defined-chunking property: inserting text early in a
+    document only reshapes chunks up to the first boundary past the edit —
+    every later chunk survives verbatim (fixed-width chunking would re-cut
+    all of them). Driven through the real Spark implementation."""
+    from token_burn_listener_spark.llm.dedup import cdc_chunks
+
+    base = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(3)
+    texts = [r.text for r in base.collect()]
+    rows = []
+    for i, t in enumerate(texts):
+        edited = t[:5] + "XYZQW" + t[5:]  # 5-char insertion near the front
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, edited))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = cdc_chunks(df).collect()
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk)
+    for i, t in enumerate(texts):
+        orig, edit = by_doc[2 * i], by_doc[2 * i + 1]
+        assert "".join(orig) == t and "".join(edit) == t[:5] + "XYZQW" + t[5:]
+        # shared suffix: chunks strictly after the edit region realign
+        k = 0
+        while k < min(len(orig), len(edit)) and orig[-1 - k] == edit[-1 - k]:
+            k += 1
+        # with ~1/64 boundary density over ~400+ chars, realignment after
+        # the first post-edit boundary leaves most tail chunks shared
+        assert k >= 1, (
+            f"doc {i}: no shared chunk suffix — boundaries are not "
+            f"content-defined (orig {len(orig)} vs edited {len(edit)} chunks)"
+        )

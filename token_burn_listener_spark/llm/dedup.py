@@ -1127,6 +1127,41 @@ def _cdc_hash_terms(char_at) -> str:
     )
 
 
+def cdc_chunks(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → exploded (doc_id, chunk) via content-defined
+    boundaries — the reusable core of q_llm_cdc_chunking (also driven
+    directly by the edit-locality property test)."""
+    hash_expr = _cdc_hash_terms(
+        lambda j: f"substring(text, CAST(i - {j} AS INT), 1)"
+    )
+    bounds = (
+        f"IF(length(text) < {_CDC_W}, array(),"
+        f" filter(transform(sequence({_CDC_W}, length(text)),"
+        f"   i -> IF(({hash_expr}) % {_CDC_MASK} = 0,"
+        f"           CAST(i AS BIGINT), CAST(-1 AS BIGINT))),"
+        f"   x -> x != -1))"
+    )
+    bpos = (
+        f"array_sort(array_distinct(concat(array(CAST(0 AS BIGINT)),"
+        f" {bounds}, array(CAST(length(text) AS BIGINT)))))"
+    )
+    # bpos is HOISTED into its own column before the slicing lambda:
+    # subexpression elimination stops at lambda boundaries (the llm/text.py
+    # lambda-hoisting rule), so an inlined bpos would be recomputed per
+    # chunk — O(len²) per doc (measured 85 s → 2 s at sf0.01).
+    chunks_expr = (
+        "filter(transform(sequence(1, size(bpos) - 1),"
+        " k -> substring(text,"
+        "   CAST(element_at(bpos, k) + 1 AS INT),"
+        "   CAST(element_at(bpos, k + 1) - element_at(bpos, k) AS INT))),"
+        " c -> c != '')"
+    )
+    return (
+        d.select("doc_id", "text", F.expr(bpos).alias("bpos"))
+        .select("doc_id", F.explode(F.expr(chunks_expr)).alias("chunk"))
+    )
+
+
 @query(
     "q_llm_cdc_chunking",
     oracle=f"""
@@ -1181,35 +1216,7 @@ def q_llm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-boundary form keeps the whole operator in codegen.
     """
     d = load_table(spark, sf_dir, "documents")
-    hash_expr = _cdc_hash_terms(
-        lambda j: f"substring(text, CAST(i - {j} AS INT), 1)"
-    )
-    bounds = (
-        f"IF(length(text) < {_CDC_W}, array(),"
-        f" filter(transform(sequence({_CDC_W}, length(text)),"
-        f"   i -> IF(({hash_expr}) % {_CDC_MASK} = 0,"
-        f"           CAST(i AS BIGINT), CAST(-1 AS BIGINT))),"
-        f"   x -> x != -1))"
-    )
-    bpos = (
-        f"array_sort(array_distinct(concat(array(CAST(0 AS BIGINT)),"
-        f" {bounds}, array(CAST(length(text) AS BIGINT)))))"
-    )
-    # bpos is HOISTED into its own column before the slicing lambda:
-    # subexpression elimination stops at lambda boundaries (the llm/text.py
-    # lambda-hoisting rule), so an inlined bpos would be recomputed per
-    # chunk — O(len²) per doc (measured 85 s → 2 s at sf0.01).
-    chunks_expr = (
-        "filter(transform(sequence(1, size(bpos) - 1),"
-        " k -> substring(text,"
-        "   CAST(element_at(bpos, k) + 1 AS INT),"
-        "   CAST(element_at(bpos, k + 1) - element_at(bpos, k) AS INT))),"
-        " c -> c != '')"
-    )
-    cf = (
-        d.select("doc_id", "text", F.expr(bpos).alias("bpos"))
-        .select("doc_id", F.explode(F.expr(chunks_expr)).alias("chunk"))
-    )
+    cf = cdc_chunks(d)
     shared = cf.groupBy("chunk").agg(
         F.count_distinct("doc_id").alias("nd")
     )
