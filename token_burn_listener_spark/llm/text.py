@@ -1256,3 +1256,57 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("bm25"), "doc_id").limit(20)
     w = Window.orderBy(F.desc("bm25"), "doc_id")
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+@query(
+    "q_llm_dataset_card",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT sha256(text)) AS n_unique_texts,
+           round(1.0 - count(DISTINCT sha256(text))::DOUBLE / count(*), 6)
+             AS dup_rate,
+           round(count(CASE WHEN lang = 'en' THEN 1 END)::DOUBLE
+                 / count(*), 6) AS en_share,
+           round(sum(len(string_split(text, ' ')))::DOUBLE / count(*), 6)
+             AS mean_tokens
+    FROM documents
+    """,
+)
+def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus datasheet a dataset release ships with: volume
+    (docs/tokens/chars), composition (languages, sources, English share),
+    and integrity (unique texts, exact-dup rate) — every number an exact
+    integer count or a rounded ratio of exact integers, so the card is
+    reproducible to the digit on any engine.
+
+    100 TB plan: a single partial+final aggregate pass; the only
+    wide-ish piece is the three count-distincts, which expand to their
+    (key) partial groups map-side — uniform hash keys, no text shuffled
+    beyond the 64-hex sha.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    sha = F.sha2("text", 256)
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct(sha).alias("n_unique_texts"),
+        F.round(
+            1.0 - F.count_distinct(sha).cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.count(F.when(F.col("lang") == "en", 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("en_share"),
+        F.round(F.sum(n_tokens).cast("double") / F.count("*"), 6).alias(
+            "mean_tokens"
+        ),
+    )
