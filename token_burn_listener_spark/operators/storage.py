@@ -526,3 +526,56 @@ def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_corrupt").isNull(), F.col("o_totalprice"))), 2
         ).alias("clean_totalprice"),
     )
+
+
+@query(
+    "q_scan_dpp",
+    oracle="""
+    WITH dim(status, kind) AS (
+      VALUES ('F', 'done'), ('O', 'open'), ('P', 'pending')
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN dim ON o_orderstatus = dim.status
+    WHERE dim.kind <> 'open'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the status-partitioned
+    orders sink (q_sink_partitioned's layout) and the pruning predicate
+    lives on a DIMENSION (kind <> 'open'), not the partition column — so
+    static pruning cannot apply. Catalyst must inject a runtime
+    ``dynamicpruning`` subquery on o_orderstatus that skips the 'O'
+    partition's files after evaluating the dim. The assert pins it; if
+    DPP degrades to a full scan + post-join filter, the key fails loudly.
+
+    100 TB plan: THE mechanism that makes star joins over partitioned
+    facts viable — the dim filter decides which fact partitions exist for
+    the scan, turning a table scan into a partition scan at runtime.
+    """
+    path = materialize(
+        load_table(spark, sf_dir, "orders"),
+        scratch_dir(sf_dir, "orders_bystatus", source=f"{sf_dir}/orders.parquet"),
+        lambda df, p: df.write.partitionBy("o_orderstatus").parquet(p),
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "done"), ("O", "open"), ("P", "pending")], "status string, kind string"
+    )
+    out = (
+        fact.join(dim, fact.o_orderstatus == dim.status)
+        .filter(F.col("kind") != "open")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    plan = _plan(out)
+    if "dynamicpruning" not in plan:
+        raise AssertionError(
+            "dynamic partition pruning not engaged: no dynamicpruning "
+            "subquery on the partitioned scan"
+        )
+    return out
