@@ -1149,12 +1149,16 @@ def cdc_chunks(d: DataFrame) -> DataFrame:
     # subexpression elimination stops at lambda boundaries (the llm/text.py
     # lambda-hoisting rule), so an inlined bpos would be recomputed per
     # chunk — O(len²) per doc (measured 85 s → 2 s at sf0.01).
+    # size(bpos) guard: empty text yields bpos = [0] and sequence(1, 0)
+    # would produce a DESCENDING [1, 0] whose element_at(bpos, 2) throws —
+    # the oracle's range(1, 1) is simply empty, so match it with array()
     chunks_expr = (
-        "filter(transform(sequence(1, size(bpos) - 1),"
+        "IF(size(bpos) < 2, array(),"
+        " filter(transform(sequence(1, size(bpos) - 1),"
         " k -> substring(text,"
         "   CAST(element_at(bpos, k) + 1 AS INT),"
         "   CAST(element_at(bpos, k + 1) - element_at(bpos, k) AS INT))),"
-        " c -> c != '')"
+        " c -> c != ''))"
     )
     return (
         d.select("doc_id", "text", F.expr(bpos).alias("bpos"))

@@ -192,8 +192,14 @@ def _media_dir(sf_dir: str) -> str:
             wf.writeframes(struct.pack(f"<{n}h", *samples))
     with open(os.path.join(d, "_DONE"), "w") as f:
         f.write("ok")
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    os.rename(d, final)  # atomic: the dir is only ever visible complete
+    try:
+        os.rename(d, final)  # atomic: the dir is only ever visible complete
+    except OSError:
+        # lost the build race: accept the winner's dir (same content — the
+        # generator is deterministic), drop our copy (scratch.py pattern)
+        shutil.rmtree(d, ignore_errors=True)
+        if not os.path.exists(os.path.join(final, "_DONE")):
+            raise
     return final
 
 

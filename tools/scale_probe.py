@@ -37,7 +37,10 @@ TABLES = {
     "nation": [],
     "customer": ["c_custkey"],
     "supplier": [],
-    "part": ["p_partkey"],
+    # part replicates UNSHIFTED like the other dims: lineitem.l_partkey is
+    # never shifted, so shifted part copies would be dangling and distort
+    # any part-join probe's selectivity
+    "part": [],
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey"],
     "events": ["event_id", "user_id"],
@@ -58,7 +61,12 @@ PROBE_KEYS = [
 
 
 def build_scaled(spark, n: int) -> str:
-    out = f"{SCRATCH_ROOT}/scale_probe_x{n}"
+    # keyed on the SOURCE fixture path too: a cached copy built from a
+    # different SF_DIR must never be silently reused
+    import hashlib
+
+    tag = hashlib.sha1(os.path.abspath(SF_DIR).encode()).hexdigest()[:10]
+    out = f"{SCRATCH_ROOT}/scale_probe_{tag}_x{n}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     for t, shift_cols in TABLES.items():
@@ -93,11 +101,17 @@ def main() -> int:
     report = {}
     for k in PROBE_KEYS:
         fn = QUERIES[k]
+        # count(), not collect(): sessionize/cdc_merge emit one row per
+        # (user, session)/key, so their OUTPUT grows with the input and a
+        # collect() would time driver-side row transfer, not the plan
+        # (measured: ~7 s of a 9 s "10x sessionize" was collecting 950k
+        # rows). count() still executes every shuffle/window/aggregate —
+        # only the final rows stay distributed.
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
+        fn(spark, SF_DIR).count()
         base = time.perf_counter() - t0
         t0 = time.perf_counter()
-        fn(spark, scaled).collect()
+        fn(spark, scaled).count()
         big = time.perf_counter() - t0
         report[k] = {
             "t_1x": round(base, 3),
