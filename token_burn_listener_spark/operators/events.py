@@ -1033,3 +1033,85 @@ def q_evt_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_decile_share"),
         )
     )
+
+
+@query(
+    "q_evt_funnel_latency",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), cl AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'click' AND e.ts > su.s_ts
+      GROUP BY e.user_id
+    ), pu AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN cl ON e.user_id = cl.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > cl.c_ts
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT su.user_id,
+             epoch_us(cl.c_ts) - epoch_us(su.s_ts) AS sc_us,
+             epoch_us(pu.p_ts) - epoch_us(cl.c_ts) AS cp_us
+      FROM su
+      LEFT JOIN cl ON cl.user_id = su.user_id
+      LEFT JOIN pu ON pu.user_id = su.user_id
+    )
+    SELECT count(*) AS n_signup,
+           count(sc_us) AS n_click,
+           count(cp_us) AS n_purchase,
+           round(avg(sc_us) / 1e6, 6) AS avg_signup_to_click_s,
+           round(avg(cp_us) / 1e6, 6) AS avg_click_to_purchase_s,
+           round(max(sc_us) / 1e6, 6) AS max_signup_to_click_s
+    FROM lat
+    """,
+)
+def q_evt_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: how long each funnel transition takes — the
+    question that follows immediately once q_evt_funnel says HOW MANY
+    convert. Latencies are exact integer microsecond differences between
+    the same stage anchors the funnel uses; averages are Σ(exact int)/n
+    divided identically on both engines, reported in seconds.
+
+    100 TB plan: identical join discipline to q_evt_funnel (per-user
+    aggregates before every join, event_type predicates pushed to the
+    scan) plus one final 1-row latency aggregate — nothing new shuffles.
+    """
+    e = load_table(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    cl = (
+        e.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = (
+        su.join(cl, "user_id", "left")
+        .join(pu, "user_id", "left")
+        .select(
+            (F.unix_micros("c_ts") - F.unix_micros("s_ts")).alias("sc_us"),
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("cp_us"),
+        )
+    )
+    return lat.agg(
+        F.count("*").alias("n_signup"),
+        F.count("sc_us").alias("n_click"),
+        F.count("cp_us").alias("n_purchase"),
+        F.round(F.avg("sc_us") / 1e6, 6).alias("avg_signup_to_click_s"),
+        F.round(F.avg("cp_us") / 1e6, 6).alias("avg_click_to_purchase_s"),
+        F.round(F.max("sc_us") / 1e6, 6).alias("max_signup_to_click_s"),
+    )

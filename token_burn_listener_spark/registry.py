@@ -204,6 +204,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_cdc_chunking",  # new r5: content-defined (rolling-hash) chunk dedup signal
     "q_llm_dataset_card",  # new r5: one-row reproducible corpus datasheet
     "q_scan_dpp",  # new r5: dynamic partition pruning via dim-side predicate (plan-asserted)
+    "q_evt_funnel_latency",  # new r5: time-to-convert between funnel stages
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",

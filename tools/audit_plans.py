@@ -88,6 +88,7 @@ ALLOW_SINGLE_PARTITION = {
     "q_llm_temperature_mix",  # [final-agg] 1-row Σ√n denominator
     "q_llm_bm25",  # [final-agg] 1-row corpus stats (N, avgdl, df per term)
     "q_llm_dataset_card",  # [final-agg] the key IS a 1-row corpus datasheet
+    "q_evt_funnel_latency",  # [final-agg] 1-row latency summary
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
