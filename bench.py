@@ -9,6 +9,11 @@ JSON line to stdout:
 Timings are first-run (include codegen), matching BASELINE.md's protocol.
 Everything else (Spark startup logs, per-query progress) goes to stderr so
 stdout stays parseable.
+
+Run-to-run noise: back-to-back runs at sf0.1 vary ±0.3-0.6 s per key on
+the shared local[32] JVM (scheduler + GC, not plan changes) — r4's
+q_llm_corpus_prep "+28%" reading (3.05 s) re-measured at 2.18/2.77 s in r5
+with an untouched plan; judge deltas under ~0.7 s are noise, not drift.
 """
 
 from __future__ import annotations

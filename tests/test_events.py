@@ -186,3 +186,25 @@ def test_rolling_active_wau_bounds_dau(spark, sf_dir):
     for r in rows:
         assert r.wau7 >= r.dau > 0
         assert 0 < r.stickiness <= 1
+
+
+def test_survival_curve_is_a_valid_km_estimator(spark, sf_dir):
+    """S must start ≤ 1, be strictly positive until (at most) the final
+    row, and be NON-INCREASING — the defining property of a survival
+    curve; and n_risk must be non-increasing in duration with
+    n_events ≤ n_risk row-wise (you cannot lose more than are at risk)."""
+    rows = QUERIES["q_evt_survival"](spark, sf_dir).collect()
+    assert rows, "empty survival curve"
+    rows.sort(key=lambda r: r.rnk)
+    prev_s, prev_risk = 1.0, None
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0
+        assert r.survival <= prev_s + 1e-9, (r.dur_h, r.survival, prev_s)
+        assert 0 < r.n_events <= r.n_risk
+        if prev_risk is not None:
+            assert r.n_risk <= prev_risk, "n_risk must shrink over time"
+        prev_s, prev_risk = r.survival, r.n_risk
+    # durations strictly increase with rank (rnk is a materialized total
+    # order over the hour grid)
+    durs = [r.dur_h for r in rows]
+    assert durs == sorted(set(durs))

@@ -543,3 +543,57 @@ def test_cdc_chunking_edit_locality(spark, sf_dir):
             f"doc {i}: no shared chunk suffix — boundaries are not "
             f"content-defined (orig {len(orig)} vs edited {len(edit)} chunks)"
         )
+
+
+def test_kl_divergence_is_nonnegative_and_gibbs_tight(spark, sf_dir):
+    """Gibbs' inequality: KL(p‖q) ≥ 0, with equality iff p = q. Every
+    per-source KL must be ≥ 0 (a negative value means the estimator is
+    not a true KL — e.g. mismatched normalizations), and term/token
+    counts must be internally consistent."""
+    rows = QUERIES["q_llm_kl_divergence"](spark, sf_dir).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert r.kl_nats >= 0.0, (r.source, r.kl_nats)
+        assert 0 < r.n_terms <= r.n_tokens
+    # sources differ from the blended corpus, so SOME divergence exists
+    assert any(r.kl_nats > 0 for r in rows)
+
+
+def test_pmi_collocations_beat_independence(spark, sf_dir):
+    """Every reported collocation must have pmi consistent with its
+    counts (recompute from the corpus) and occur at least the min-count
+    floor; ranks must be 1..n in pmi-descending order."""
+    import math
+
+    from token_burn_listener_spark.llm.text import _PMI_MIN_COUNT
+
+    rows = QUERIES["q_llm_pmi_collocations"](spark, sf_dir).collect()
+    assert rows, "no collocations above min count"
+    rows.sort(key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    # independent recount of one pair from the raw corpus
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    top = rows[0]
+    c_a = tok.filter(F.col("t") == top.w1).count()
+    c_b = tok.filter(F.col("t") == top.w2).count()
+    nu = tok.count()
+    assert top.c_ab >= _PMI_MIN_COUNT
+    expected = math.log(
+        (top.c_ab / _bigram_total(spark, sf_dir))
+        / ((c_a / nu) * (c_b / nu))
+    )
+    assert abs(expected - top.pmi) < 1e-4, (expected, top.pmi)
+
+
+def _bigram_total(spark, sf_dir) -> int:
+    d = load_table(spark, sf_dir, "documents")
+    n = (
+        d.select(F.size(F.split("text", " ")).alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(F.sum(F.col("n") - 1))
+        .collect()[0][0]
+    )
+    return int(n)

@@ -1310,3 +1310,185 @@ def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_tokens"
         ),
     )
+
+
+# Per-token KL contribution. Identical expression TEXT on both engines so
+# the per-row IEEE float sequence is bit-identical; the cross-engine sum is
+# then made order-independent by folding in DECIMAL(28,12) (exact integer
+# arithmetic — summation order cannot change the result), a trick the
+# per-row-rounding keys can't use because their answer IS a float sum.
+_KL_TERM = (
+    "(c_st / CAST(n_s AS DOUBLE))"
+    " * ln((c_st / CAST(n_s AS DOUBLE)) / (c_t / CAST(n AS DOUBLE)))"
+)
+
+
+@query(
+    "q_llm_kl_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ), st AS (
+      SELECT source, t, count(*)::BIGINT AS c_st FROM tok GROUP BY source, t
+    ), s_tot AS (
+      SELECT source, sum(c_st)::BIGINT AS n_s FROM st GROUP BY source
+    ), ct AS (
+      SELECT t, sum(c_st)::BIGINT AS c_t FROM st GROUP BY t
+    ), tot AS (
+      SELECT sum(c_t)::BIGINT AS n FROM ct
+    )
+    SELECT source, n_s AS n_tokens, count(*) AS n_terms,
+           round(CAST(sum(CAST({_KL_TERM} AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS kl_nats
+    FROM st
+    JOIN s_tot USING (source) JOIN ct USING (t) CROSS JOIN tot
+    GROUP BY source, n_s
+    """,
+)
+def q_llm_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture drift gauge: KL(source ‖ corpus) over unigram
+    distributions, per source. The number a mixture tuner watches — a
+    source whose token distribution diverges from the blend it feeds is
+    over- or under-represented, and reweighting (cf. q_llm_dsir,
+    q_llm_mix_domains) moves exactly this quantity. KL is finite by
+    construction: every source token appears in the corpus distribution.
+
+    Exactness: each term's float math is per-row on exact integer counts
+    with identical expression text both engines; the ~vocab-sized SUM is
+    folded in DECIMAL(28,12), so summation ORDER (engine-internal, plan-
+    dependent) cannot perturb the result. Rounded to 6 dp after the fold.
+
+    100 TB plan: one explode into a (source, token) partial+final agg —
+    map-side combine collapses the token blow-up before the shuffle; the
+    corpus marginal is a re-agg of those counts (never a second corpus
+    scan); the join back is on the uniform token key and the 1-row total
+    broadcasts. Nothing is quadratic, nothing collects.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(_tokens()).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count("*").alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    ct = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    tot = ct.agg(F.sum("c_t").alias("n"))
+    return (
+        st.join(s_tot, "source")
+        .join(ct, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(
+                F.sum(F.expr(f"CAST({_KL_TERM} AS DECIMAL(28,12))")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("kl_nats"),
+        )
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_terms",
+            "kl_nats",
+        )
+    )
+
+
+_PMI_MIN_COUNT = 5  # ignore pairs too rare to estimate
+
+# Pointwise mutual information of an adjacent pair: per-row float math on
+# exact integer counts, identical expression text on both engines.
+_PMI_EXPR = (
+    "ln((c_ab / CAST(n_bi AS DOUBLE))"
+    " / ((c_a / CAST(nu AS DOUBLE)) * (c_b / CAST(nu AS DOUBLE))))"
+)
+
+
+@query(
+    "q_llm_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ), uni AS (
+      SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t
+    ), nu_t AS (
+      SELECT sum(c)::BIGINT AS nu FROM uni
+    ), big AS (
+      SELECT unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))])
+               AS gram
+      FROM (SELECT string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 2
+    ), bc AS (
+      SELECT string_split(gram, ' ')[1] AS w1,
+             string_split(gram, ' ')[2] AS w2,
+             count(*)::BIGINT AS c_ab
+      FROM big GROUP BY gram
+    ), nb AS (
+      SELECT sum(c_ab)::BIGINT AS n_bi FROM bc
+    ), scored AS (
+      SELECT w1, w2, c_ab, round({_PMI_EXPR}, 6) AS pmi
+      FROM bc
+      JOIN (SELECT t AS w1, c AS c_a FROM uni) u1 USING (w1)
+      JOIN (SELECT t AS w2, c AS c_b FROM uni) u2 USING (w2)
+      CROSS JOIN nb CROSS JOIN nu_t
+      WHERE c_ab >= {_PMI_MIN_COUNT}
+    ), top AS (
+      SELECT w1, w2, c_ab, pmi FROM scored
+      ORDER BY pmi DESC, w1, w2 LIMIT 20
+    )
+    SELECT w1, w2, c_ab, pmi,
+           row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk
+    FROM top
+    """,
+)
+def q_llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-token pairs by pointwise
+    mutual information (min count 5). PMI surfaces multi-word units
+    ("new york", "machine learning") that tokenizer vocab builds, quality
+    filters, and dedup shingles all want to treat as one unit; it's the
+    classic corpus-statistics companion to q_llm_bpe_merges (frequency-
+    driven) — PMI finds RARE-but-exclusive pairs frequency misses.
+
+    Exactness: PMI is per-row arithmetic on exact integer counts — no
+    float aggregation at all — with expression text shared across engines;
+    rounded to 6 dp. (w1, w2) is unique per row, so (pmi DESC, w1, w2) is
+    a total order and the top-20 + materialized rank are deterministic.
+
+    100 TB plan: bigram construction is an O(len) per-doc array zip (no
+    self-join); both count tables are partial+final aggs on uniform token
+    keys; the two dictionary joins are vocab-sized (broadcast-eligible)
+    and the 1-row totals broadcast; the global top-20 is a
+    TakeOrderedAndProject, never a full sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(_tokens()).alias("t"))
+    uni = tok.groupBy("t").agg(F.count("*").alias("c"))
+    nu_t = uni.agg(F.sum("c").alias("nu"))
+    grams = F.expr(
+        "zip_with("
+        "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),"
+        "  slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
+        "  (a, b) -> concat(a, ' ', b))"
+    )
+    bc = (
+        d.filter(F.size(_tokens()) >= 2)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c_ab"))
+        .select(
+            F.split("gram", " ").getItem(0).alias("w1"),
+            F.split("gram", " ").getItem(1).alias("w2"),
+            "c_ab",
+        )
+    )
+    nb = bc.agg(F.sum("c_ab").alias("n_bi"))
+    scored = (
+        bc.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(uni.select(F.col("t").alias("w1"), F.col("c").alias("c_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("t").alias("w2"), F.col("c").alias("c_b"))), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu_t))
+        .select("w1", "w2", "c_ab", F.round(F.expr(_PMI_EXPR), 6).alias("pmi"))
+    )
+    top = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(20)
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return top.withColumn("rnk", F.row_number().over(w))

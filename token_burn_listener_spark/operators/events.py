@@ -1115,3 +1115,149 @@ def q_evt_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cp_us") / 1e6, 6).alias("avg_click_to_purchase_s"),
         F.round(F.max("sc_us") / 1e6, 6).alias("max_signup_to_click_s"),
     )
+
+
+# Ln of one Kaplan-Meier factor. Identical expression text on both engines
+# (per-row IEEE math on exact integer counts); the cumulative product is
+# exp(cumsum(ln factor)) with the cumsum folded in DECIMAL(28,12) so the
+# two engines' window-aggregation internals (sequential vs segment-tree)
+# cannot perturb low-order float bits.
+_KM_LN_F = "ln(1 - n_events / CAST(n_risk AS DOUBLE))"
+
+
+@query(
+    "q_evt_survival",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events
+    ), bound AS (
+      SELECT max(ts) AS corpus_end FROM events
+    ), obs AS (
+      SELECT CASE WHEN nxt IS NOT NULL
+                  THEN (epoch_us(nxt) - epoch_us(ts)) // 3600000000
+                  ELSE (epoch_us(corpus_end) - epoch_us(ts)) // 3600000000
+             END AS dur_h,
+             CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      FROM e CROSS JOIN bound
+    ), byd AS (
+      SELECT dur_h::BIGINT AS dur_h, count(*)::BIGINT AS n_obs,
+             sum(is_event)::BIGINT AS n_events
+      FROM obs GROUP BY dur_h
+    ), risk AS (
+      SELECT dur_h, n_events,
+             sum(n_obs) OVER (ORDER BY dur_h DESC
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS n_risk
+      FROM byd
+    ), km AS (
+      SELECT dur_h, n_events, n_risk,
+             CASE WHEN n_events < n_risk
+                  THEN CAST({_KM_LN_F} AS DECIMAL(28,12)) END AS ln_f,
+             CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS dead
+      FROM risk WHERE n_events > 0
+    ), cum AS (
+      SELECT dur_h, n_events, n_risk,
+             sum(ln_f) OVER (ORDER BY dur_h ROWS UNBOUNDED PRECEDING)
+               AS cum_ln,
+             max(dead) OVER (ORDER BY dur_h ROWS UNBOUNDED PRECEDING)
+               AS any_dead
+      FROM km
+    )
+    SELECT dur_h, n_events, n_risk,
+           CASE WHEN any_dead = 1 THEN 0.0
+                ELSE round(exp(CAST(cum_ln AS DOUBLE)), 6) END AS survival,
+           row_number() OVER (ORDER BY dur_h) AS rnk
+    FROM cum
+    """,
+)
+def q_evt_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over inter-event return times: for
+    each user-event, the observation is the gap (hours) until the user's
+    NEXT event — right-censored at corpus end for each user's last event
+    (we know they survived at least that long without returning, not
+    when they returned). S(t) = P(return time > t) is the product-limit
+    estimator Π_{d≤t} (1 - d_i/n_i), the principled answer to "how long
+    do users stay away?" that a naive mean-gap metric biases by ignoring
+    censoring.
+
+    Exactness: d_i and n_i are exact integers; each factor's ln is
+    per-row float math with shared expression text; the cumulative sum
+    of ln-factors is folded in DECIMAL(28,12) (window-order independent)
+    and exp/round applied to the identical resulting double. A factor of
+    exactly 0 (everyone at risk returns at that gap) would be ln(0); the
+    `dead` flag pins S to 0.0 from that row on instead — both engines
+    branch on the same exact-integer comparison.
+
+    100 TB plan: one per-user window pass (lead) over the events shuffle
+    on user_id — the same partitioning sessionize/funnel already use; the
+    observation set then collapses to a bounded hour-grid rollup
+    (partial+final), and every window after that runs on the ≤~thousands-
+    row grid, an explicitly bounded single-partition rollup (house
+    pattern: windows only over bounded rollups). The 1-row corpus-end
+    bound broadcasts.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        "ts", F.lead("ts").over(w_user).alias("nxt")
+    )
+    bound = e.agg(F.max("ts").alias("corpus_end"))
+    obs = nxt.crossJoin(F.broadcast(bound)).select(
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.expr("(unix_micros(nxt) - unix_micros(ts)) div 3600000000"),
+        )
+        .otherwise(
+            F.expr(
+                "(unix_micros(corpus_end) - unix_micros(ts)) div 3600000000"
+            )
+        )
+        .alias("dur_h"),
+        F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("is_event"),
+    )
+    byd = obs.groupBy("dur_h").agg(
+        F.count("*").alias("n_obs"), F.sum("is_event").alias("n_events")
+    )
+    w_desc = (
+        Window.orderBy(F.desc("dur_h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = byd.select(
+        "dur_h",
+        "n_events",
+        F.sum("n_obs").over(w_desc).alias("n_risk"),
+    )
+    km = risk.filter(F.col("n_events") > 0).select(
+        "dur_h",
+        "n_events",
+        "n_risk",
+        F.when(
+            F.col("n_events") < F.col("n_risk"),
+            F.expr(f"CAST({_KM_LN_F} AS DECIMAL(28,12))"),
+        ).alias("ln_f"),
+        F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0).alias(
+            "dead"
+        ),
+    )
+    w_asc = (
+        Window.orderBy("dur_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = km.select(
+        "dur_h",
+        "n_events",
+        "n_risk",
+        F.sum("ln_f").over(w_asc).alias("cum_ln"),
+        F.max("dead").over(w_asc).alias("any_dead"),
+    )
+    return cum.select(
+        "dur_h",
+        "n_events",
+        "n_risk",
+        F.when(F.col("any_dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_ln").cast("double")), 6))
+        .alias("survival"),
+        F.row_number().over(Window.orderBy("dur_h")).alias("rnk"),
+    )

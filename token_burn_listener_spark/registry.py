@@ -205,6 +205,9 @@ DRIVER_ORDER: list[str] = [
     "q_llm_dataset_card",  # new r5: one-row reproducible corpus datasheet
     "q_scan_dpp",  # new r5: dynamic partition pruning via dim-side predicate (plan-asserted)
     "q_evt_funnel_latency",  # new r5: time-to-convert between funnel stages
+    "q_llm_kl_divergence",  # new r5: KL(source‖corpus) mixture drift, decimal-fold exact
+    "q_llm_pmi_collocations",  # new r5: top-20 adjacent-pair PMI collocations
+    "q_evt_survival",  # new r5: Kaplan-Meier return-time curve, censored at corpus end
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",

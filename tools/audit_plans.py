@@ -89,6 +89,11 @@ ALLOW_SINGLE_PARTITION = {
     "q_llm_bm25",  # [final-agg] 1-row corpus stats (N, avgdl, df per term)
     "q_llm_dataset_card",  # [final-agg] the key IS a 1-row corpus datasheet
     "q_evt_funnel_latency",  # [final-agg] 1-row latency summary
+    "q_llm_kl_divergence",  # [final-agg] 1-row corpus-total denominator
+    "q_llm_pmi_collocations",  # [final-agg] 1-row bigram/unigram totals +
+                               # rank window over the 20-row top slice
+    "q_evt_survival",   # [rollup-win] cum windows over the bounded hour
+                        # grid (≤ corpus-span hours) + 1-row corpus-end agg
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
@@ -130,6 +135,9 @@ ALLOW_NESTED_LOOP = {
                              # query vector + brute-force top-10 denominator
     "q_llm_temperature_mix",  # broadcast crossJoin of the 1-row Σ√n agg
     "q_llm_bm25",  # broadcast crossJoin of the 1-row corpus-stats agg
+    "q_llm_kl_divergence",  # broadcast crossJoin of the 1-row corpus total
+    "q_llm_pmi_collocations",  # broadcast crossJoins of the two 1-row totals
+    "q_evt_survival",  # broadcast crossJoin of the 1-row corpus-end bound
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
