@@ -597,3 +597,51 @@ def _bigram_total(spark, sf_dir) -> int:
         .collect()[0][0]
     )
     return int(n)
+
+
+def test_pq_adc_beats_random_selection(spark, sf_dir):
+    """PQ is lossy, so don't assert high fixture recall (near-random
+    vectors; documented in the key). Assert what MUST hold: ranks/ADC
+    distances are a consistent total order, recall is a sane scalar, and
+    the ADC top-10's TRUE mean distance to the query beats the corpus
+    mean — i.e. the quantized index carries real signal, it is not a
+    random sampler."""
+    rows = QUERIES["q_llm_pq_adc"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    rows.sort(key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, 11))
+    dists = [r.adc_dist for r in rows]
+    assert dists == sorted(dists)
+    assert all(d >= 0 for d in dists)
+    recalls = {r.recall for r in rows}
+    assert len(recalls) == 1
+    assert 0.0 <= rows[0].recall <= 1.0
+
+    from token_burn_listener_spark.llm.similarity import as_double
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    true_d = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("emb"), F.col("qemb"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("d"),
+        )
+    )
+    corpus_mean = true_d.agg(F.avg("d")).collect()[0][0]
+    picked = {r.vec_id for r in rows}
+    picked_mean = (
+        true_d.filter(F.col("vec_id").isin(list(picked)))
+        .agg(F.avg("d"))
+        .collect()[0][0]
+    )
+    assert picked_mean < corpus_mean, (picked_mean, corpus_mean)

@@ -208,6 +208,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_kl_divergence",  # new r5: KL(source‖corpus) mixture drift, decimal-fold exact
     "q_llm_pmi_collocations",  # new r5: top-20 adjacent-pair PMI collocations
     "q_evt_survival",  # new r5: Kaplan-Meier return-time curve, censored at corpus end
+    "q_llm_pq_adc",  # new r5: product-quantization ADC top-10 + recall@10 vs exact L2
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",

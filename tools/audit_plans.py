@@ -94,6 +94,7 @@ ALLOW_SINGLE_PARTITION = {
                                # rank window over the 20-row top slice
     "q_evt_survival",   # [rollup-win] cum windows over the bounded hour
                         # grid (≤ corpus-span hours) + 1-row corpus-end agg
+    "q_llm_pq_adc",     # [final-agg] 10-row ADC result + 1-row hit count
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
@@ -138,6 +139,10 @@ ALLOW_NESTED_LOOP = {
     "q_llm_kl_divergence",  # broadcast crossJoin of the 1-row corpus total
     "q_llm_pmi_collocations",  # broadcast crossJoins of the two 1-row totals
     "q_evt_survival",  # broadcast crossJoin of the 1-row corpus-end bound
+    "q_llm_pq_adc",    # broadcast crossJoins: 8-row subspace grid, 16-row
+                       # codebook, 128-row LUT, 1-row query + hit count;
+                       # exact-L2 denominator is the documented fixture-
+                       # scale brute force (as q_llm_ann_recall)
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
