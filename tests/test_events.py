@@ -208,3 +208,22 @@ def test_survival_curve_is_a_valid_km_estimator(spark, sf_dir):
     # order over the hour grid)
     durs = [r.dur_h for r in rows]
     assert durs == sorted(set(durs))
+
+
+def test_changepoint_cusum_telescopes_to_zero(spark, sf_dir):
+    """A CUSUM of deviations from the series' own mean must telescope:
+    the LAST cumulative value is Σ(x - x̄) = 0 exactly (up to the
+    decimal quantum), exactly one peak day carries the max |CUSUM|
+    unless ties, and the day grid is gapless."""
+    rows = QUERIES["q_evt_changepoint"](spark, sf_dir).collect()
+    assert rows, "no days"
+    rows.sort(key=lambda r: r.rnk)
+    assert abs(rows[-1].cusum) < 1e-6, rows[-1]
+    peaks = [r for r in rows if r.is_peak == 1]
+    assert peaks, "no peak flagged"
+    max_abs = max(abs(r.cusum) for r in rows)
+    for p in peaks:
+        assert abs(abs(p.cusum) - max_abs) < 1e-9
+    days = [r.day for r in rows]
+    assert days == sorted(days)
+    assert len(set(days)) == len(days)

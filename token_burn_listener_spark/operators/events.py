@@ -1261,3 +1261,78 @@ def q_evt_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("survival"),
         F.row_number().over(Window.orderBy("dur_h")).alias("rnk"),
     )
+
+
+@query(
+    "q_evt_changepoint",
+    oracle="""
+    WITH byd AS (
+      SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n_events
+      FROM events GROUP BY day
+    ), m AS (
+      SELECT sum(n_events)::DOUBLE / count(*) AS mu FROM byd
+    ), cus AS (
+      SELECT day, n_events,
+             sum(CAST(n_events - mu AS DECIMAL(28,12)))
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum_d
+      FROM byd CROSS JOIN m
+    ), mx AS (
+      SELECT max(abs(cusum_d)) AS max_abs FROM cus
+    )
+    SELECT day, n_events,
+           round(CAST(cusum_d AS DOUBLE), 6) AS cusum,
+           CASE WHEN abs(cusum_d) = max_abs THEN 1 ELSE 0 END AS is_peak,
+           row_number() OVER (ORDER BY day) AS rnk
+    FROM cus CROSS JOIN mx
+    """,
+)
+def q_evt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint detection on the daily event-count
+    series: cusum_d = Σ_{d'≤d}(x_d' - x̄). Under a stable rate the walk
+    hovers near zero; a sustained rate shift makes it trend, and the day
+    of maximum |CUSUM| is the classic estimate of WHEN the level changed
+    — the day an incident started or a launch landed, which threshold
+    alerts on raw counts smear across the whole shifted period.
+
+    Exactness: daily counts are exact integers and the mean is the same
+    1-row double both engines; each (x - x̄) term casts to
+    DECIMAL(28,12) BEFORE the cumulative window, so the running sum is
+    exact integer arithmetic — window association order cannot move it —
+    and the peak flag compares decimals exactly (no float == hazard).
+    Rounded to 6 dp only on output.
+
+    100 TB plan: one partial+final count per day (map-side combine on
+    the date key), then every window runs on the bounded day grid
+    (≤ corpus-span days — the house bounded-rollup pattern); the 1-row
+    mean and max broadcast. At petabyte event volume the day-grid is
+    still thousands of rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    byd = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    m = byd.agg(
+        (F.sum("n_events").cast("double") / F.count("*")).alias("mu")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cus = byd.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n_events",
+        F.sum(
+            (F.col("n_events") - F.col("mu")).cast("decimal(28,12)")
+        )
+        .over(w_cum)
+        .alias("cusum_d"),
+    )
+    mx = cus.agg(F.max(F.abs("cusum_d")).alias("max_abs"))
+    return cus.crossJoin(F.broadcast(mx)).select(
+        "day",
+        "n_events",
+        F.round(F.col("cusum_d").cast("double"), 6).alias("cusum"),
+        F.when(F.abs("cusum_d") == F.col("max_abs"), 1)
+        .otherwise(0)
+        .alias("is_peak"),
+        F.row_number().over(Window.orderBy("day")).alias("rnk"),
+    )

@@ -95,6 +95,8 @@ ALLOW_SINGLE_PARTITION = {
     "q_evt_survival",   # [rollup-win] cum windows over the bounded hour
                         # grid (≤ corpus-span hours) + 1-row corpus-end agg
     "q_llm_pq_adc",     # [final-agg] 10-row ADC result + 1-row hit count
+    "q_evt_changepoint",  # [rollup-win] cum window over the bounded day
+                          # grid + 1-row mean/max aggs
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
@@ -143,6 +145,7 @@ ALLOW_NESTED_LOOP = {
                        # codebook, 128-row LUT, 1-row query + hit count;
                        # exact-L2 denominator is the documented fixture-
                        # scale brute force (as q_llm_ann_recall)
+    "q_evt_changepoint",  # broadcast crossJoins of the 1-row mean + max aggs
 }
 
 # B11 exists to prove the Python surface; Python eval is expected there.
