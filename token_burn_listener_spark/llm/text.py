@@ -1366,7 +1366,16 @@ def q_llm_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(_tokens()).alias("t"))
-    st = tok.groupBy("source", "t").agg(F.count("*").alias("c_st"))
+    # pin the bounded (source, token) counts: three downstream branches
+    # (per-source totals, corpus marginal, the join input) would otherwise
+    # each re-scan + re-explode the corpus — AQE's runtime exchange reuse
+    # only merged 2 of the 4 duplicate subtrees (measured r5); the
+    # checkpoint makes "one corpus scan" a plan property, not an AQE maybe
+    st = (
+        tok.groupBy("source", "t")
+        .agg(F.count("*").alias("c_st"))
+        .localCheckpoint(eager=False)
+    )
     s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     ct = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
     tot = ct.agg(F.sum("c_t").alias("n"))
@@ -1461,7 +1470,11 @@ def q_llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(_tokens()).alias("t"))
-    uni = tok.groupBy("t").agg(F.count("*").alias("c"))
+    # both count tables feed multiple branches (totals + joins); pin them
+    # so the corpus is scanned once per table, not once per branch
+    uni = (
+        tok.groupBy("t").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
+    )
     nu_t = uni.agg(F.sum("c").alias("nu"))
     grams = F.expr(
         "zip_with("
@@ -1479,6 +1492,7 @@ def q_llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split("gram", " ").getItem(1).alias("w2"),
             "c_ab",
         )
+        .localCheckpoint(eager=False)
     )
     nb = bc.agg(F.sum("c_ab").alias("n_bi"))
     scored = (

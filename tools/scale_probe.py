@@ -57,6 +57,11 @@ PROBE_KEYS = [
     "q_llm_corpus_prep",
     "q_evt_sessionize",
     "q_cdc_merge",
+    # r5 decimal-fold analytics: explode-heavy token shuffle (KL), per-user
+    # window + bounded rollup (survival), broadcast-codebook encode (PQ)
+    "q_llm_kl_divergence",
+    "q_evt_survival",
+    "q_llm_pq_adc",
 ]
 
 
