@@ -866,9 +866,19 @@ def q_llm_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one explode + min-agg per doc (partial map-side); each band is an
     equi-join on a 128-bit key (uniform); verification touches candidate
     pairs only. The UNION dedups band collisions on the pair key.
+
+    The shingle and signature tables are PINNED (localCheckpoint — the
+    Spark analog of the oracle's MATERIALIZED CTEs): sig feeds 2 branches
+    per band × 4 bands and d feeds the verify joins, so without the pin
+    the corpus would statically re-scan + re-shingle per reference (10
+    scans measured; AQE reuse is a runtime maybe, not a plan property).
+    Production does exactly this: the signature table is a materialized
+    artifact, built once per corpus snapshot.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles("text").alias("sh")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", shingles("text").alias("sh"))
+        .localCheckpoint(eager=False)
     )
     e = d.select("doc_id", F.explode("sh").alias("g"))
     sha = F.sha2("g", 256)
@@ -879,7 +889,7 @@ def q_llm_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"sig{h}")
             for h in range(_MH_FNS)
         ]
-    )
+    ).localCheckpoint(eager=False)
     cand = None
     for i, j in _MH_BANDS:
         a = sig.select(
@@ -989,9 +999,16 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is O(n^2) on the SAMPLED query docs only — exactly how a
     production deployment estimates recall (the audit is per-sample, the
     dedup is not).
+
+    Shingle + signature tables are pinned (localCheckpoint) for the same
+    reason as q_llm_minhash_exact: sig feeds 8 band branches and d feeds
+    the grid + verify joins — unpinned, the corpus statically re-scans
+    per reference (12 scans measured before the pin).
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles("text").alias("sh")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", shingles("text").alias("sh"))
+        .localCheckpoint(eager=False)
     )
     # sampled exact pair count (the shared brute-force grid, a-side
     # restricted to the deterministic 25% sample)
@@ -1009,7 +1026,7 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"sig{h}")
             for h in range(_MH_FNS)
         ]
-    )
+    ).localCheckpoint(eager=False)
     cand = None
     for i, j in _MH_BANDS:
         ba = sig.select(

@@ -712,6 +712,10 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
+    # pinned: this IS the materialized LSH index (vectors + bucket ids,
+    # what production stores once per corpus snapshot); unpinned, the
+    # query/candidate/exact branches each re-scan + re-hash the corpus
+    # (6 static scans measured before the pin)
     buckets = e.select(
         "vec_id",
         "emb",
@@ -726,7 +730,7 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"bk{t}")
             for t in range(_ANN_TABLES)
         ],
-    )
+    ).localCheckpoint(eager=False)
     q = buckets.filter(F.col("vec_id") == 0).select(
         F.col("emb").alias("qemb"),
         *[F.col(f"bk{t}").alias(f"qbk{t}") for t in range(_ANN_TABLES)],
@@ -917,8 +921,12 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    cb = e.filter(F.col("vec_id").between(1, _PQ_K)).select(
-        (F.col("vec_id") - 1).alias("c"), F.col("emb").alias("cemb")
+    # pin the 16-row codebook and 1-row query (each feeds two branches;
+    # unpinned, every reference re-scans the corpus for a point lookup)
+    cb = (
+        e.filter(F.col("vec_id").between(1, _PQ_K))
+        .select((F.col("vec_id") - 1).alias("c"), F.col("emb").alias("cemb"))
+        .localCheckpoint(eager=False)
     )
     grid = spark.range(1).select(
         F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
@@ -946,7 +954,11 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "m", "c")
     )
-    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("emb").alias("qemb"))
+        .localCheckpoint(eager=False)
+    )
     lut = (
         q.crossJoin(F.broadcast(grid))
         .crossJoin(F.broadcast(cb))

@@ -335,14 +335,18 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
-    langs = d.select(F.col("lang").alias("cand")).distinct()
-    profile = tok.groupBy(F.col("lang").alias("cand"), "token").agg(
-        F.count("*").alias("cnt")
+    # pin the (lang, token) profile and derive langs/totals/vocab FROM it
+    # (same sets/sums — profile covers every (lang, token) pair), so the
+    # corpus is scanned once for the model build instead of once per
+    # derived table (6 static scans measured before the pin)
+    profile = (
+        tok.groupBy(F.col("lang").alias("cand"), "token")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    totals = tok.groupBy(F.col("lang").alias("cand")).agg(
-        F.count("*").alias("total")
-    )
-    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    langs = profile.select("cand").distinct()
+    totals = profile.groupBy("cand").agg(F.sum("cnt").alias("total"))
+    vocab = profile.agg(F.countDistinct("token").alias("v"))
     terms = (
         tok.select("doc_id", "token")
         .crossJoin(F.broadcast(langs))
@@ -902,11 +906,15 @@ def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     trivial at any corpus size.
     """
     d = load_table(spark, sf_dir, "documents")
+    # pin the vocabulary-sized distinct table: it feeds the sizes agg and
+    # BOTH sides of the token self-join — unpinned, each reference
+    # re-scans + re-explodes the corpus (4 static scans measured)
     v = (
         d.select("source", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .select("source", F.lower("tok").alias("token"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = v.groupBy("source").agg(F.count("*").alias("n_tokens"))
     inter = (

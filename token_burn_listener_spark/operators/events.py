@@ -114,10 +114,15 @@ def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     end — coordination cost is nil.
     """
     e = load_table(spark, sf_dir, "events")
+    # each stage aggregate feeds BOTH its own count row and the next
+    # stage's join; pin the skinny per-user tables so the events scan
+    # count stays one per stage (unpinned: the su subtree replays inside
+    # cl and pu — 6 static scans measured)
     su = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("s_ts"))
+        .localCheckpoint(eager=False)
     )
     cl = (
         e.filter(F.col("event_type") == "click")
@@ -125,6 +130,7 @@ def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("s_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint(eager=False)
     )
     pu = (
         e.filter(F.col("event_type") == "purchase")
@@ -482,10 +488,13 @@ def q_evt_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     week = F.expr("INTERVAL 7 DAYS")
+    # stage aggregates pinned for the same reason as q_evt_funnel: each
+    # feeds its count row AND the next stage's join
     su = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("s_ts"))
+        .localCheckpoint(eager=False)
     )
     cl = (
         e.filter(F.col("event_type") == "click")
@@ -493,6 +502,7 @@ def q_evt_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") > F.col("s_ts")) & (F.col("ts") <= F.col("s_ts") + week))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint(eager=False)
     )
     pu = (
         e.filter(F.col("event_type") == "purchase")
@@ -558,6 +568,8 @@ def q_evt_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     mx = e.agg(F.max("ts").alias("mx"))
+    # pin the per-user rollup: it feeds the tercile-boundary agg AND the
+    # scoring join — unpinned, both branches re-scan events
     u = (
         e.crossJoin(F.broadcast(mx))
         .groupBy("user_id")
@@ -566,6 +578,7 @@ def q_evt_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("frequency"),
             F.round(F.sum("value"), 6).alias("monetary"),
         )
+        .localCheckpoint(eager=False)
     )
     b = u.agg(
         *[
@@ -1080,10 +1093,13 @@ def q_evt_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan) plus one final 1-row latency aggregate — nothing new shuffles.
     """
     e = load_table(spark, sf_dir, "events")
+    # stage aggregates pinned (see q_evt_funnel): su/cl feed both the
+    # next stage's join and the final 3-way latency join
     su = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("s_ts"))
+        .localCheckpoint(eager=False)
     )
     cl = (
         e.filter(F.col("event_type") == "click")
@@ -1091,6 +1107,7 @@ def q_evt_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("s_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint(eager=False)
     )
     pu = (
         e.filter(F.col("event_type") == "purchase")
@@ -1308,8 +1325,12 @@ def q_evt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     still thousands of rows.
     """
     e = load_table(spark, sf_dir, "events")
-    byd = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.count("*").alias("n_events")
+    # pin the bounded day grid: it feeds the mean agg, the cusum window,
+    # and (via cus) the max agg — unpinned, each branch re-scans events
+    byd = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+        .localCheckpoint(eager=False)
     )
     m = byd.agg(
         (F.sum("n_events").cast("double") / F.count("*")).alias("mu")

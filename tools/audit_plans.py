@@ -9,6 +9,14 @@ Flags, per key:
   theta-join demos.
 - ``BatchEvalPython`` / ``ArrowEvalPython`` etc. outside the B11 UDF keys —
   Python in a hot path is an optimizer barrier.
+- repeated same-table scans (≥4 in the STATIC plan) — a DataFrame
+  referenced by several branches re-expands its whole subtree per
+  reference, silently multiplying corpus scans at 100 TB. AQE's runtime
+  exchange reuse merges only some duplicates (measured: 2 of 4 on the r5
+  KL key), so single-scan must be a plan property: pin shared bounded
+  intermediates with ``localCheckpoint(eager=False)`` (the Spark analog
+  of a MATERIALIZED CTE). 2-3 static scans (data pass + bounds/point
+  pass) are the accepted house shapes.
 
 Streaming keys are skipped (their sinks execute eagerly; plan inspection
 happens on the batch twins). Exit 1 if any UNDOCUMENTED pattern appears.
@@ -18,7 +26,9 @@ Usage: python tools/audit_plans.py [key_prefix ...]
 
 from __future__ import annotations
 
+import collections
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -148,6 +158,16 @@ ALLOW_NESTED_LOOP = {
     "q_evt_changepoint",  # broadcast crossJoins of the 1-row mean + max aggs
 }
 
+# Keys allowed to statically scan one table >= 4 times (each a by-design
+# shape, not a shared-subtree blowup):
+ALLOW_RESCAN = {
+    "q_cdc_merge",   # 4 DIFFERENT pushed filters of orders synthesize the
+                     # base + 3-op changelog (fixture stand-in; production
+                     # reads a real log table — one scan each)
+    "q_join_bloom",  # the bloom build pass + probe pass scan the same
+                     # table by construction (runtime-filter demo)
+}
+
 # B11 exists to prove the Python surface; Python eval is expected there.
 # The q_src_* keys are the custom Python DataSource (sources/feed.py):
 # Python at the INGEST BOUNDARY (the reference's RPC client analog), not a
@@ -224,6 +244,18 @@ def main() -> int:
             problems.append((k, "undocumented cartesian/nested-loop join"))
         if any(op in plan for op in PYTHON_OPS) and k not in ALLOW_PYTHON:
             problems.append((k, "Python eval outside the UDF surface"))
+        scans = collections.Counter()
+        for line in plan.splitlines():
+            if "Location" in line:
+                m = re.search(r"([a-z_0-9]+)\.parquet", line)
+                if m:
+                    scans[m.group(1)] += 1
+        if scans and max(scans.values()) >= 4 and k not in ALLOW_RESCAN:
+            worst = max(scans, key=scans.get)
+            problems.append(
+                (k, f"table {worst} statically scanned {scans[worst]}x "
+                    "(pin the shared intermediate)")
+            )
     print(f"audited {len(keys)} plans at {SF_DIR}")
     for k, msg in problems:
         print(f"FLAG {k}: {msg}")
