@@ -227,3 +227,22 @@ def test_changepoint_cusum_telescopes_to_zero(spark, sf_dir):
     days = [r.day for r in rows]
     assert days == sorted(days)
     assert len(set(days)) == len(days)
+
+
+def test_chain_reorg_conserves_events_and_bounds_rollback(spark, sf_dir):
+    """Every event sits in exactly one block (canonical + orphan event
+    counts must sum to the fixture's event count); exactly the two
+    uncle-branch blocks are flagged rollback; every height has exactly
+    one canonical block; and the rollback region sits inside the
+    confirmation window below the tip."""
+    rows = QUERIES["q_evt_chain_reorg"](spark, sf_dir).collect()
+    n_events_fixture = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_events_fixture
+    hmax = max(r.height for r in rows)
+    canon = [r for r in rows if r.canonical]
+    orphan = [r for r in rows if not r.canonical]
+    assert sorted(r.height for r in canon) == list(range(0, hmax + 1))
+    assert len(orphan) == 2
+    assert {r.height for r in orphan} == {hmax - 2, hmax - 1}
+    for r in rows:
+        assert r.action == ("keep" if r.canonical else "rollback")

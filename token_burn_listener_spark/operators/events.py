@@ -1357,3 +1357,148 @@ def q_evt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_peak"),
         F.row_number().over(Window.orderBy("day")).alias("rnk"),
     )
+
+
+_REORG_BLOCK = 100  # event_ids per synthesized block
+_REORG_DEPTH = 6  # confirmation depth: the only re-walkable window
+
+
+@query(
+    "q_evt_chain_reorg",
+    oracle=f"""
+    WITH RECURSIVE ids AS (
+      SELECT event_id, event_id // {_REORG_BLOCK} AS height FROM events
+    ), h AS (
+      SELECT max(height) AS hmax FROM ids
+    ), ev AS (
+      SELECT event_id, height,
+             CASE WHEN height BETWEEN hmax - 2 AND hmax - 1
+                    AND event_id % 2 = 1
+                  THEN 'b' ELSE 'a' END AS branch
+      FROM ids CROSS JOIN h
+    ), blocks AS (
+      SELECT height, branch,
+             sha256(branch || ':' || height) AS hash,
+             CASE WHEN height = 0 THEN NULL
+                  WHEN branch = 'b' AND height = hmax - 2
+                    THEN sha256('a:' || (height - 1))
+                  WHEN branch = 'b' THEN sha256('b:' || (height - 1))
+                  ELSE sha256('a:' || (height - 1)) END AS parent_hash,
+             count(*)::BIGINT AS n_events
+      FROM ev CROSS JOIN h GROUP BY height, branch, hmax
+    ), walk AS (
+      SELECT hash, parent_hash, height FROM blocks
+      WHERE height = (SELECT hmax FROM h)
+      UNION ALL
+      SELECT b.hash, b.parent_hash, b.height
+      FROM blocks b JOIN walk w ON b.hash = w.parent_hash
+      WHERE w.height > (SELECT hmax FROM h) - {_REORG_DEPTH}
+    )
+    SELECT b.height, b.hash, b.n_events,
+           (b.hash IN (SELECT hash FROM walk)
+            OR b.height < hmax - {_REORG_DEPTH}) AS canonical,
+           CASE WHEN b.hash IN (SELECT hash FROM walk)
+                  OR b.height < hmax - {_REORG_DEPTH}
+                THEN 'keep' ELSE 'rollback' END AS action
+    FROM blocks b CROSS JOIN h
+    """,
+)
+def q_evt_chain_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-reorg detection — the reference domain's core correctness
+    concern: an on-chain event listener that ingested events from a
+    block later orphaned by a reorganization must ROLL THEM BACK, or its
+    sink double-counts burns that never finalized. Blocks are
+    synthesized from the events fixture (one block per {100} event_ids,
+    sha-named, parent-linked; a 2-deep uncle branch 'b' forks off two
+    heights below the tip and absorbs the odd event_ids there). The
+    canonical chain is DERIVED from the parent pointers, not the branch
+    label: walk parents from the unique max-height tip through the
+    {6}-block confirmation window — the industry-standard bound: below
+    tip−depth, blocks are final and a height has exactly one block —
+    and every block off the walked path gets action='rollback' with its
+    event count (the exact rows the listener must retract).
+
+    100 TB plan: events collapse to the bounded block rollup first
+    (one partial+final agg on the height key); the walk is
+    {6} one-row broadcast joins against the PINNED block table (each
+    frontier localCheckpoint'd, the bounded-iteration house pattern of
+    dup_clusters/pagerank); the canonical flag is one hash equi-join.
+    Event rows never join anything — only block-grain rows move.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ids = e.select(
+        "event_id", F.expr(f"event_id div {_REORG_BLOCK}").alias("height")
+    )
+    h = ids.agg(F.max("height").alias("hmax"))
+    ev = ids.crossJoin(F.broadcast(h)).select(
+        "event_id",
+        "height",
+        "hmax",
+        F.when(
+            F.col("height").between(F.col("hmax") - 2, F.col("hmax") - 1)
+            & (F.col("event_id") % 2 == 1),
+            "b",
+        )
+        .otherwise("a")
+        .alias("branch"),
+    )
+    blocks = (
+        ev.groupBy("height", "branch", "hmax")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "height",
+            "branch",
+            "hmax",
+            "n_events",
+            F.expr("sha2(concat(branch, ':', CAST(height AS STRING)), 256)").alias(
+                "hash"
+            ),
+            F.when(F.col("height") == 0, F.lit(None).cast("string"))
+            .when(
+                (F.col("branch") == "b") & (F.col("height") == F.col("hmax") - 2),
+                F.expr("sha2(concat('a:', CAST(height - 1 AS STRING)), 256)"),
+            )
+            .when(
+                F.col("branch") == "b",
+                F.expr("sha2(concat('b:', CAST(height - 1 AS STRING)), 256)"),
+            )
+            .otherwise(
+                F.expr("sha2(concat('a:', CAST(height - 1 AS STRING)), 256)")
+            )
+            .alias("parent_hash"),
+        )
+        .localCheckpoint(eager=False)  # referenced by tip + every walk step
+    )
+    frontier = (
+        blocks.filter(F.col("height") == F.col("hmax"))
+        .select("hash", "parent_hash", "height")
+        .localCheckpoint(eager=False)
+    )
+    walked = frontier.select("hash")
+    for _ in range(_REORG_DEPTH):
+        frontier = (
+            blocks.join(
+                F.broadcast(frontier.select(F.col("parent_hash").alias("ph"))),
+                F.col("hash") == F.col("ph"),
+            )
+            .select("hash", "parent_hash", "height")
+            .localCheckpoint(eager=False)
+        )
+        walked = walked.union(frontier.select("hash"))
+    canon = walked.distinct().withColumn("walked", F.lit(True))
+    out = blocks.join(F.broadcast(canon), "hash", "left").select(
+        "height",
+        "hash",
+        "n_events",
+        (
+            F.coalesce(F.col("walked"), F.lit(False))
+            | (F.col("height") < F.col("hmax") - _REORG_DEPTH)
+        ).alias("canonical"),
+    )
+    return out.select(
+        "height",
+        "hash",
+        "n_events",
+        "canonical",
+        F.when(F.col("canonical"), "keep").otherwise("rollback").alias("action"),
+    )

@@ -210,6 +210,7 @@ DRIVER_ORDER: list[str] = [
     "q_evt_survival",  # new r5: Kaplan-Meier return-time curve, censored at corpus end
     "q_llm_pq_adc",  # new r5: product-quantization ADC top-10 + recall@10 vs exact L2
     "q_evt_changepoint",  # new r5: CUSUM mean-shift detection on the daily series
+    "q_evt_chain_reorg",  # new r5: canonical-chain walk + rollback flags (reference domain)
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",

@@ -107,6 +107,8 @@ ALLOW_SINGLE_PARTITION = {
     "q_llm_pq_adc",     # [final-agg] 10-row ADC result + 1-row hit count
     "q_evt_changepoint",  # [rollup-win] cum window over the bounded day
                           # grid + 1-row mean/max aggs
+    "q_evt_chain_reorg",  # [final-agg] 1-row tip-height agg + 1-row walk
+                          # frontiers (bounded-depth chain walk)
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
@@ -156,6 +158,7 @@ ALLOW_NESTED_LOOP = {
                        # exact-L2 denominator is the documented fixture-
                        # scale brute force (as q_llm_ann_recall)
     "q_evt_changepoint",  # broadcast crossJoins of the 1-row mean + max aggs
+    "q_evt_chain_reorg",  # broadcast crossJoin of the 1-row tip-height agg
 }
 
 # Keys allowed to statically scan one table >= 4 times (each a by-design
