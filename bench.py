@@ -46,6 +46,9 @@ HEADLINE_KEYS = [
     "q_join_bloom",         # bloom runtime-prefilter semi join (new in r4)
     "q_llm_cms_topk",       # count-min-sketch heavy hitters (new in r4)
     "q_evt_rfm",            # RFM segmentation, tercile grid (new in r5)
+    "q_llm_kl_divergence",  # decimal-fold mixture drift (new in r5)
+    "q_llm_pq_adc",         # PQ encode + broadcast-LUT ADC search (new in r5)
+    "q_evt_survival",       # Kaplan-Meier return-time curve (new in r5)
 ]
 
 
