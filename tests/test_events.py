@@ -246,3 +246,49 @@ def test_chain_reorg_conserves_events_and_bounds_rollback(spark, sf_dir):
     assert {r.height for r in orphan} == {hmax - 2, hmax - 1}
     for r in rows:
         assert r.action == ("keep" if r.canonical else "rollback")
+
+
+def test_xcorr_is_a_valid_correlation_table(spark, sf_dir):
+    """Every r must be a valid Pearson coefficient in [-1, 1]; the lag
+    grid must be the full ±12 contiguous range; n must shrink as |lag|
+    grows (overlap length is N - |lag| on a dense grid); and the rank
+    column must order by r descending."""
+    rows = QUERIES["q_evt_xcorr"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    assert sorted(r.lag for r in rows) == list(range(-12, 13))
+    n0 = {r.lag: r.n for r in rows}[0]
+    for r in rows:
+        assert -1.0 <= r.r <= 1.0
+        assert r.n == n0 - abs(r.lag), (r.lag, r.n, n0)
+    rows.sort(key=lambda r: r.rnk)
+    rs = [r.r for r in rows]
+    assert rs == sorted(rs, reverse=True)
+
+
+def test_profile_similarity_recomputes_top_twin(spark, sf_dir):
+    """Recompute the top twin's cosine from raw counts in Python and
+    compare; ranks must be 1..10 with cosine in [0, 1] (counts are
+    non-negative, so cosine cannot be negative)."""
+    import math
+
+    rows = QUERIES["q_evt_profile_similarity"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    rows.sort(key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, 11))
+    assert all(0.0 <= r.cos_sim <= 1.0 for r in rows)
+    e = load_table(spark, sf_dir, "events")
+    prof = {}
+    for row in (
+        e.groupBy("user_id", F.hour("ts").alias("hod")).count().collect()
+    ):
+        prof.setdefault(row.user_id, {})[row.hod] = row["count"]
+    qu = min(prof)
+    qp = prof[qu]
+    top = rows[0]
+    tp = prof[top.user_id]
+    dot = sum(c * qp.get(h, 0) for h, c in tp.items())
+    cos = dot / (
+        math.sqrt(sum(c * c for c in tp.values()))
+        * math.sqrt(sum(c * c for c in qp.values()))
+    )
+    assert abs(cos - top.cos_sim) < 1e-5, (cos, top.cos_sim)

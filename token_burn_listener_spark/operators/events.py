@@ -1502,3 +1502,226 @@ def q_evt_chain_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical",
         F.when(F.col("canonical"), "keep").otherwise("rollback").alias("action"),
     )
+
+
+_XCORR_A, _XCORR_B = "click", "purchase"
+_XCORR_MAX_LAG = 12  # hours
+
+# Pearson r from the five integer sums — all-integer inputs make every
+# Σ exact on both engines; the single float expression is shared text.
+_XCORR_R = (
+    "(n * sxy - sx * sy)"
+    " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+    "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+)
+
+
+@query(
+    "q_evt_xcorr",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    ), cx AS (
+      SELECT date_trunc('hour', ts) AS hr, count(*)::BIGINT AS c
+      FROM events WHERE event_type = '{_XCORR_A}' GROUP BY 1
+    ), cy AS (
+      SELECT date_trunc('hour', ts) AS hr, count(*)::BIGINT AS c
+      FROM events WHERE event_type = '{_XCORR_B}' GROUP BY 1
+    ), x AS (
+      SELECT g.hr, coalesce(cx.c, 0) AS x FROM grid g LEFT JOIN cx USING (hr)
+    ), y AS (
+      SELECT g.hr, coalesce(cy.c, 0) AS y FROM grid g LEFT JOIN cy USING (hr)
+    ), lags AS (
+      SELECT unnest(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG} + 1)) AS lag
+    ), sums AS (
+      SELECT l.lag,
+             count(*)::BIGINT AS n,
+             sum(x.x)::BIGINT AS sx, sum(y.y)::BIGINT AS sy,
+             sum(x.x * y.y)::BIGINT AS sxy,
+             sum(x.x * x.x)::BIGINT AS sxx, sum(y.y * y.y)::BIGINT AS syy
+      FROM lags l
+      CROSS JOIN x
+      JOIN y ON y.hr = x.hr + to_hours(l.lag)
+      GROUP BY l.lag
+    )
+    SELECT lag, n, round({_XCORR_R}, 6) AS r,
+           row_number() OVER (ORDER BY round({_XCORR_R}, 6) DESC, lag) AS rnk
+    FROM sums
+    """,
+)
+def q_evt_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between two event-type series: Pearson
+    r between the hourly click series and the purchase series shifted by
+    each lag in ±12 h — the classic "does activity in A precede B, and
+    by how much?" diagnostic (the argmax lag estimates the conversion
+    delay at population level, cross-checking q_evt_funnel_latency's
+    per-user answer from a completely different estimator).
+
+    Exactness: both series live on a DENSE hourly grid (missing hours
+    are true zeros — without densification a sparse join would silently
+    compute correlation over co-active hours only, a different and wrong
+    statistic); every Σ in Pearson's formula is an exact integer, so the
+    only float math is one shared-text expression per lag, rounded to 6.
+
+    100 TB plan: each series is a partial+final count on the hour key;
+    the grid is sequence-generated from a 1-row bounds agg; the lag join
+    is grid × 25 lags — bounded by CALENDAR size (hours in the corpus
+    span), not data size, so every post-rollup op is effectively free
+    and the corpus is scanned exactly twice (once per pushed
+    event_type predicate).
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    ).localCheckpoint(eager=False)  # calendar-bounded; feeds both series
+
+    def series(ev_type: str, out: str):
+        c = (
+            e.filter(F.col("event_type") == ev_type)
+            .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+            .agg(F.count("*").alias("c"))
+        )
+        return (
+            grid.join(c, "hr", "left")
+            .select("hr", F.coalesce("c", F.lit(0)).alias(out))
+            .localCheckpoint(eager=False)
+        )
+
+    x = series(_XCORR_A, "x")
+    y = series(_XCORR_B, "y")
+    lags = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(-_XCORR_MAX_LAG), F.lit(_XCORR_MAX_LAG))
+        ).alias("lag")
+    )
+    sums = (
+        x.alias("x")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            y.alias("y"),
+            F.col("y.hr")
+            == F.col("x.hr") + F.make_dt_interval(hours=F.col("lag")),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    r = F.round(F.expr(_XCORR_R), 6)
+    w = Window.orderBy(F.desc(r), "lag")
+    return sums.select(
+        "lag", "n", r.alias("r"), F.row_number().over(w).alias("rnk")
+    )
+
+
+@query(
+    "q_evt_profile_similarity",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, date_part('hour', ts)::BIGINT AS hod,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ), qid AS (
+      SELECT min(user_id) AS qu FROM events
+    ), qp AS (
+      SELECT hod, c AS qc FROM p CROSS JOIN qid WHERE user_id = qu
+    ), qn AS (
+      SELECT sum(qc * qc)::BIGINT AS qnorm2 FROM qp
+    ), dots AS (
+      SELECT p.user_id,
+             sum(p.c * qp.qc)::BIGINT AS dot,
+             sum(p.c * p.c)::BIGINT AS norm2
+      FROM p CROSS JOIN qid
+      LEFT JOIN qp ON qp.hod = p.hod
+      WHERE p.user_id != qu
+      GROUP BY p.user_id
+    ), scored AS (
+      SELECT user_id,
+             round(dot / (sqrt(CAST(norm2 AS DOUBLE))
+                          * sqrt(CAST(qnorm2 AS DOUBLE))), 6) AS cos_sim
+      FROM dots CROSS JOIN qn
+    ), top AS (
+      SELECT user_id, cos_sim FROM scored
+      ORDER BY cos_sim DESC, user_id LIMIT 10
+    )
+    SELECT user_id, cos_sim,
+           row_number() OVER (ORDER BY cos_sim DESC, user_id) AS rnk
+    FROM top
+    """,
+)
+def q_evt_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-twin search: the 10 users whose hour-of-day activity
+    profile (24-dim count vector) is most cosine-similar to the query
+    user's (the smallest user_id — a data-derived anchor, identical on
+    both engines). This is similarity search over DERIVED behavioral
+    features rather than stored embeddings — cohorting, fraud-twin
+    lookup, and audience expansion all reduce to exactly this query.
+
+    Exactness: profiles are integer count vectors, the sparse dot and
+    both squared norms are integer sums (missing hours contribute 0 to
+    the dot by the LEFT JOIN + sum-ignores-NULL identity, matching the
+    dense-vector dot), and the single float expression is shared text.
+    (w/ u unique, cos DESC + user_id is a total order for the top-10.)
+
+    100 TB plan: profiles are a (user, hod) partial+final agg — 24 rows
+    max per user; the query profile (≤24 rows) and its norm broadcast;
+    scoring is one linear pass over the profile table grouped on the
+    uniform user key. For all-pairs twin mining at scale, this feeds
+    the same LSH/PQ machinery as the embedding family (the profile IS
+    an embedding) — the broadcast-query form here is the audited
+    exact path, as in q_llm_knn_query.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.groupBy("user_id", F.hour("ts").cast("long").alias("hod"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # feeds query slice + corpus scoring
+    )
+    qid = e.agg(F.min("user_id").alias("qu"))
+    qp = (
+        p.crossJoin(F.broadcast(qid))
+        .filter(F.col("user_id") == F.col("qu"))
+        .select("hod", F.col("c").alias("qc"))
+        .localCheckpoint(eager=False)
+    )
+    qn = qp.agg(F.sum(F.col("qc") * F.col("qc")).alias("qnorm2"))
+    dots = (
+        p.crossJoin(F.broadcast(qid))
+        .filter(F.col("user_id") != F.col("qu"))
+        .join(F.broadcast(qp), "hod", "left")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("c") * F.col("qc")).alias("dot"),
+            F.sum(F.col("c") * F.col("c")).alias("norm2"),
+        )
+    )
+    cos = F.round(
+        F.col("dot")
+        / (
+            F.sqrt(F.col("norm2").cast("double"))
+            * F.sqrt(F.col("qnorm2").cast("double"))
+        ),
+        6,
+    )
+    scored = dots.crossJoin(F.broadcast(qn)).select(
+        "user_id", cos.alias("cos_sim")
+    )
+    top = scored.orderBy(F.desc("cos_sim"), "user_id").limit(10)
+    w = Window.orderBy(F.desc("cos_sim"), "user_id")
+    return top.withColumn("rnk", F.row_number().over(w))

@@ -211,6 +211,8 @@ DRIVER_ORDER: list[str] = [
     "q_llm_pq_adc",  # new r5: product-quantization ADC top-10 + recall@10 vs exact L2
     "q_evt_changepoint",  # new r5: CUSUM mean-shift detection on the daily series
     "q_evt_chain_reorg",  # new r5: canonical-chain walk + rollback flags (reference domain)
+    "q_evt_xcorr",  # new r5: lead-lag cross-correlation on dense hourly series
+    "q_evt_profile_similarity",  # new r5: behavioral-twin top-10 over hour-of-day profiles
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",

@@ -109,6 +109,10 @@ ALLOW_SINGLE_PARTITION = {
                           # grid + 1-row mean/max aggs
     "q_evt_chain_reorg",  # [final-agg] 1-row tip-height agg + 1-row walk
                           # frontiers (bounded-depth chain walk)
+    "q_evt_xcorr",        # [final-agg] 1-row grid bounds + 25-row lag dim;
+                          # all windows on the calendar-bounded lag table
+    "q_evt_profile_similarity",  # [final-agg] 1-row query-id/norm aggs +
+                                 # 10-row top-k result
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
@@ -159,6 +163,10 @@ ALLOW_NESTED_LOOP = {
                        # scale brute force (as q_llm_ann_recall)
     "q_evt_changepoint",  # broadcast crossJoins of the 1-row mean + max aggs
     "q_evt_chain_reorg",  # broadcast crossJoin of the 1-row tip-height agg
+    "q_evt_xcorr",        # broadcast crossJoin of the 25-row lag dim over
+                          # the calendar-bounded hourly grid
+    "q_evt_profile_similarity",  # broadcast crossJoins of the 1-row
+                                 # query-id and query-norm aggs
 }
 
 # Keys allowed to statically scan one table >= 4 times (each a by-design
