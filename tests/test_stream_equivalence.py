@@ -277,3 +277,26 @@ def test_stream_outer_join_invariants(spark, sf_dir):
     # each purchase emitted at most once as null, and never both ways
     assert got_null.distinct().count() == got_null.count()
     assert got_null.intersect(got_matched.select("purchase_id")).count() == 0
+
+
+def test_stream_reorg_converges_to_batch_canonical(spark, sf_dir):
+    """Twin equivalence: after the overtaking batch, the stream's net
+    applied set (latest action per block = apply) must equal the batch
+    key's canonical set exactly — and the uncle blocks must show the
+    apply-then-rollback lifecycle (applied in an earlier batch than
+    their rollback)."""
+    log = QUERIES["q_stream_reorg"](spark, sf_dir).collect()
+    batch = QUERIES["q_evt_chain_reorg"](spark, sf_dir).collect()
+    latest = {}
+    for r in sorted(log, key=lambda r: r.batch_id):
+        latest[r.hash] = r
+    applied = {h for h, r in latest.items() if r.action == "apply"}
+    canonical = {r.hash for r in batch if r.canonical}
+    assert applied == canonical
+    rolled = [r for r in latest.values() if r.action == "rollback"]
+    assert len(rolled) == 2
+    for r in rolled:
+        first = min(
+            (x for x in log if x.hash == r.hash), key=lambda x: x.batch_id
+        )
+        assert first.action == "apply" and first.batch_id < r.batch_id

@@ -1426,6 +1426,22 @@ def q_evt_chain_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Event rows never join anything — only block-grain rows move.
     """
     e = load_table(spark, sf_dir, "events")
+    blocks = reorg_blocks(e)
+    out = flag_canonical(blocks)
+    return out.select(
+        "height",
+        "hash",
+        "n_events",
+        "canonical",
+        F.when(F.col("canonical"), "keep").otherwise("rollback").alias("action"),
+    )
+
+
+def reorg_blocks(e: DataFrame) -> DataFrame:
+    """Synthesize the parent-linked block table (with a 2-deep uncle
+    branch) from an events DataFrame — shared by the batch reorg key and
+    the streaming twin's replay builder. Pinned: every consumer walks it
+    repeatedly."""
     ids = e.select(
         "event_id", F.expr(f"event_id div {_REORG_BLOCK}").alias("height")
     )
@@ -1442,7 +1458,7 @@ def q_evt_chain_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("a")
         .alias("branch"),
     )
-    blocks = (
+    return (
         ev.groupBy("height", "branch", "hmax")
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -1469,8 +1485,18 @@ def q_evt_chain_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # referenced by tip + every walk step
     )
+
+
+def flag_canonical(blocks: DataFrame) -> DataFrame:
+    """Parent-walk from the max-height tip through the confirmation
+    window; returns blocks + a ``canonical`` flag. ``blocks`` must carry
+    (height, hash, parent_hash, n_events); the tip height is derived
+    from the SET PASSED IN, so the same walk serves every micro-batch
+    of the streaming twin (where the chain grows batch by batch)."""
+    tip_h = blocks.agg(F.max("height").alias("tip_h"))
+    b = blocks.crossJoin(F.broadcast(tip_h))
     frontier = (
-        blocks.filter(F.col("height") == F.col("hmax"))
+        b.filter(F.col("height") == F.col("tip_h"))
         .select("hash", "parent_hash", "height")
         .localCheckpoint(eager=False)
     )
@@ -1486,21 +1512,14 @@ def q_evt_chain_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         walked = walked.union(frontier.select("hash"))
     canon = walked.distinct().withColumn("walked", F.lit(True))
-    out = blocks.join(F.broadcast(canon), "hash", "left").select(
+    return b.join(F.broadcast(canon), "hash", "left").select(
         "height",
         "hash",
         "n_events",
         (
             F.coalesce(F.col("walked"), F.lit(False))
-            | (F.col("height") < F.col("hmax") - _REORG_DEPTH)
+            | (F.col("height") < F.col("tip_h") - _REORG_DEPTH)
         ).alias("canonical"),
-    )
-    return out.select(
-        "height",
-        "hash",
-        "n_events",
-        "canonical",
-        F.when(F.col("canonical"), "keep").otherwise("rollback").alias("action"),
     )
 
 

@@ -213,6 +213,7 @@ DRIVER_ORDER: list[str] = [
     "q_evt_chain_reorg",  # new r5: canonical-chain walk + rollback flags (reference domain)
     "q_evt_xcorr",  # new r5: lead-lag cross-correlation on dense hourly series
     "q_evt_profile_similarity",  # new r5: behavioral-twin top-10 over hour-of-day profiles
+    "q_stream_reorg",  # new r5: streaming reorg apply/rollback action log (2 micro-batches)
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",

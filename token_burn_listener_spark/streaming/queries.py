@@ -881,3 +881,178 @@ def q_stream_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     return run_to_memory(out, "complete")
+
+
+def _reorg_oracle() -> str:
+    from token_burn_listener_spark.operators.events import _REORG_BLOCK
+
+    return f"""
+    WITH ids AS (
+      SELECT event_id, event_id // {_REORG_BLOCK} AS height FROM events
+    ), h AS (
+      SELECT max(height) AS hmax FROM ids
+    ), ev AS (
+      SELECT event_id, height,
+             CASE WHEN height BETWEEN hmax - 2 AND hmax - 1
+                    AND event_id % 2 = 1
+                  THEN 'b' ELSE 'a' END AS branch
+      FROM ids CROSS JOIN h
+    ), blocks AS (
+      SELECT height, branch, hmax,
+             sha256(branch || ':' || height) AS hash,
+             count(*)::BIGINT AS n_events
+      FROM ev CROSS JOIN h GROUP BY height, branch, hmax
+    )
+    SELECT CAST(0 AS BIGINT) AS batch_id, height, hash, n_events,
+           'apply' AS action
+    FROM blocks WHERE branch = 'a' AND height <= hmax - 3
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), height, hash, n_events, 'apply'
+    FROM blocks WHERE branch = 'b'
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), height, hash, n_events, 'rollback'
+    FROM blocks WHERE branch = 'b'
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), height, hash, n_events, 'apply'
+    FROM blocks WHERE branch = 'a' AND height >= hmax - 2
+    """
+
+
+@query("q_stream_reorg", oracle=_reorg_oracle())
+def q_stream_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING reorg handling — the live form of q_evt_chain_reorg and
+    the behavior that makes the reference listener trustworthy: blocks
+    arrive over time, the listener follows the chain it can see, and
+    when a longer branch overtakes, previously-applied blocks must be
+    retracted from the sink. The replay delivers two micro-batches: (1)
+    the chain as a b-following listener saw it (a-blocks below the fork
+    + the 2-block uncle branch), (2) the canonical a-blocks that
+    overtake it. Each micro-batch re-walks the chain (flag_canonical —
+    the SAME walk the batch key uses, over all blocks seen so far) and
+    emits apply/rollback ACTIONS as an idempotent ``batch=<id>`` delta —
+    the exactly-once action log a downstream store consumes. The oracle
+    pins the ENTIRE expected log: uncle blocks applied at batch 0 and
+    rolled back at batch 1, the overtaking blocks applied at batch 1.
+
+    100 TB plan: actions are block-grain (bounded chain metadata) — the
+    stream never shuffles event rows; per-batch state is the seen-block
+    parquet (idempotent overwrite per batch id, restart-safe via source
+    offsets, same recipe as q_stream_upsert_latest); the walk cost is
+    six one-row broadcast joins per micro-batch.
+    """
+    import os
+    import shutil
+    import time
+
+    from token_burn_listener_spark.operators.events import (
+        flag_canonical,
+        reorg_blocks,
+    )
+    from token_burn_listener_spark.scratch import materialize, scratch_dir
+    from pyspark.sql.window import Window
+
+    blocks = reorg_blocks(events_df(spark, sf_dir)).select(
+        "height", "branch", "hmax", "hash", "parent_hash", "n_events"
+    )
+
+    def write_replay(d: DataFrame, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+        f0 = d.filter(
+            ((F.col("branch") == "a") & (F.col("height") <= F.col("hmax") - 3))
+            | (F.col("branch") == "b")
+        )
+        f1 = d.filter(
+            (F.col("branch") == "a") & (F.col("height") >= F.col("hmax") - 2)
+        )
+        now = time.time()
+        for i, (part, mt) in enumerate(((f0, now - 100), (f1, now))):
+            tmp = f"{p}/_build{i}"
+            part.select(
+                "height", "branch", "hash", "parent_hash", "n_events"
+            ).coalesce(1).write.parquet(tmp)
+            src = next(
+                fn for fn in os.listdir(tmp) if fn.endswith(".parquet")
+            )
+            dst = f"{p}/{i:02d}-arrival.parquet"
+            shutil.move(f"{tmp}/{src}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (mt, mt))  # file-source order = mtime order
+        open(f"{p}/_SUCCESS", "w").close()
+
+    replay = materialize(
+        blocks,
+        scratch_dir(
+            sf_dir, "reorg_blocks", source=f"{sf_dir}/events.parquet"
+        ),
+        write_replay,
+    )
+    base = fresh_run_dir("reorg")
+    seen, log, cp = f"{base}/seen", f"{base}/log", f"{base}/cp"
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{seen}/batch={batch_id}")
+        all_blocks = (
+            spark.read.parquet(seen)
+            .drop("batch")
+            .localCheckpoint(eager=False)
+        )
+        canon = (
+            flag_canonical(all_blocks)
+            .filter(F.col("canonical"))
+            .select("height", "hash", "n_events")
+        )
+        if os.path.exists(log):
+            prev = spark.read.parquet(log)
+            w = Window.partitionBy("hash").orderBy(F.desc("batch"))
+            applied_prev = (
+                prev.withColumn("rn", F.row_number().over(w))
+                .filter((F.col("rn") == 1) & (F.col("action") == "apply"))
+                .select("hash")
+                .localCheckpoint(eager=False)
+            )
+        else:
+            applied_prev = spark.createDataFrame([], "hash string")
+        new_applies = canon.join(applied_prev, "hash", "left_anti").select(
+            "height", "hash", "n_events", F.lit("apply").alias("action")
+        )
+        rollbacks = (
+            applied_prev.join(canon.select("hash"), "hash", "left_anti")
+            .join(all_blocks.select("height", "hash", "n_events"), "hash")
+            .select(
+                "height", "hash", "n_events",
+                F.lit("rollback").alias("action"),
+            )
+        )
+        new_applies.unionAll(rollbacks).write.mode("overwrite").parquet(
+            f"{log}/batch={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "height long, branch string, hash string, "
+            "parent_hash string, n_events long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+    )
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    if n_batches != 2:
+        raise AssertionError(
+            f"replay schedule broken: {n_batches} non-empty micro-batches"
+        )
+    out = spark.read.parquet(log)
+    return out.select(
+        F.col("batch").cast("long").alias("batch_id"),
+        "height",
+        "hash",
+        "n_events",
+        "action",
+    )
