@@ -973,7 +973,11 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_dist")
         )
     )
-    adc10 = adc.orderBy("adc_dist", "vec_id").limit(10)
+    # pin the 10-row result: it feeds the hit count AND the final
+    # projection — unpinned, the whole encode pipeline executes twice
+    adc10 = (
+        adc.orderBy("adc_dist", "vec_id").limit(10).localCheckpoint(eager=False)
+    )
     ex10 = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))

@@ -1362,11 +1362,11 @@ def q_evt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REORG_BLOCK = 100  # event_ids per synthesized block
 _REORG_DEPTH = 6  # confirmation depth: the only re-walkable window
 
-
-@query(
-    "q_evt_chain_reorg",
-    oracle=f"""
-    WITH RECURSIVE ids AS (
+# Shared block-synthesis CTEs (ids/h/ev/blocks) — the SINGLE SQL
+# definition of the fork shape, used by BOTH the batch oracle below and
+# the streaming twin's oracle (streaming/queries.py), so the two cannot
+# silently diverge. Mirrors reorg_blocks() exactly.
+REORG_BLOCKS_SQL = f"""ids AS (
       SELECT event_id, event_id // {_REORG_BLOCK} AS height FROM events
     ), h AS (
       SELECT max(height) AS hmax FROM ids
@@ -1377,7 +1377,7 @@ _REORG_DEPTH = 6  # confirmation depth: the only re-walkable window
                   THEN 'b' ELSE 'a' END AS branch
       FROM ids CROSS JOIN h
     ), blocks AS (
-      SELECT height, branch,
+      SELECT height, branch, hmax,
              sha256(branch || ':' || height) AS hash,
              CASE WHEN height = 0 THEN NULL
                   WHEN branch = 'b' AND height = hmax - 2
@@ -1386,7 +1386,13 @@ _REORG_DEPTH = 6  # confirmation depth: the only re-walkable window
                   ELSE sha256('a:' || (height - 1)) END AS parent_hash,
              count(*)::BIGINT AS n_events
       FROM ev CROSS JOIN h GROUP BY height, branch, hmax
-    ), walk AS (
+    )"""
+
+
+@query(
+    "q_evt_chain_reorg",
+    oracle=f"""
+    WITH RECURSIVE {REORG_BLOCKS_SQL}, walk AS (
       SELECT hash, parent_hash, height FROM blocks
       WHERE height = (SELECT hmax FROM h)
       UNION ALL
@@ -1396,11 +1402,11 @@ _REORG_DEPTH = 6  # confirmation depth: the only re-walkable window
     )
     SELECT b.height, b.hash, b.n_events,
            (b.hash IN (SELECT hash FROM walk)
-            OR b.height < hmax - {_REORG_DEPTH}) AS canonical,
+            OR b.height < b.hmax - {_REORG_DEPTH}) AS canonical,
            CASE WHEN b.hash IN (SELECT hash FROM walk)
-                  OR b.height < hmax - {_REORG_DEPTH}
+                  OR b.height < b.hmax - {_REORG_DEPTH}
                 THEN 'keep' ELSE 'rollback' END AS action
-    FROM blocks b CROSS JOIN h
+    FROM blocks b
     """,
 )
 def q_evt_chain_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1408,19 +1414,19 @@ def q_evt_chain_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
     concern: an on-chain event listener that ingested events from a
     block later orphaned by a reorganization must ROLL THEM BACK, or its
     sink double-counts burns that never finalized. Blocks are
-    synthesized from the events fixture (one block per {100} event_ids,
+    synthesized from the events fixture (one block per _REORG_BLOCK event_ids,
     sha-named, parent-linked; a 2-deep uncle branch 'b' forks off two
     heights below the tip and absorbs the odd event_ids there). The
     canonical chain is DERIVED from the parent pointers, not the branch
     label: walk parents from the unique max-height tip through the
-    {6}-block confirmation window — the industry-standard bound: below
+    _REORG_DEPTH-block confirmation window — the industry-standard bound: below
     tip−depth, blocks are final and a height has exactly one block —
     and every block off the walked path gets action='rollback' with its
     event count (the exact rows the listener must retract).
 
     100 TB plan: events collapse to the bounded block rollup first
     (one partial+final agg on the height key); the walk is
-    {6} one-row broadcast joins against the PINNED block table (each
+    _REORG_DEPTH one-row broadcast joins against the PINNED block table (each
     frontier localCheckpoint'd, the bounded-iteration house pattern of
     dup_clusters/pagerank); the canonical flag is one hash equi-join.
     Event rows never join anything — only block-grain rows move.
@@ -1591,8 +1597,8 @@ def q_evt_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grid is sequence-generated from a 1-row bounds agg; the lag join
     is grid × 25 lags — bounded by CALENDAR size (hours in the corpus
     span), not data size, so every post-rollup op is effectively free
-    and the corpus is scanned exactly twice (once per pushed
-    event_type predicate).
+    and the corpus is scanned exactly three times (the full-span
+    bounds agg plus one pushed event_type predicate per series).
     """
     e = load_table(spark, sf_dir, "events")
     bounds = e.agg(

@@ -884,25 +884,13 @@ def q_stream_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _reorg_oracle() -> str:
-    from token_burn_listener_spark.operators.events import _REORG_BLOCK
+    # the fork shape comes from the ONE shared SQL definition
+    # (operators/events.py REORG_BLOCKS_SQL) — batch and streaming
+    # oracles cannot drift apart
+    from token_burn_listener_spark.operators.events import REORG_BLOCKS_SQL
 
     return f"""
-    WITH ids AS (
-      SELECT event_id, event_id // {_REORG_BLOCK} AS height FROM events
-    ), h AS (
-      SELECT max(height) AS hmax FROM ids
-    ), ev AS (
-      SELECT event_id, height,
-             CASE WHEN height BETWEEN hmax - 2 AND hmax - 1
-                    AND event_id % 2 = 1
-                  THEN 'b' ELSE 'a' END AS branch
-      FROM ids CROSS JOIN h
-    ), blocks AS (
-      SELECT height, branch, hmax,
-             sha256(branch || ':' || height) AS hash,
-             count(*)::BIGINT AS n_events
-      FROM ev CROSS JOIN h GROUP BY height, branch, hmax
-    )
+    WITH {REORG_BLOCKS_SQL}
     SELECT CAST(0 AS BIGINT) AS batch_id, height, hash, n_events,
            'apply' AS action
     FROM blocks WHERE branch = 'a' AND height <= hmax - 3

@@ -227,10 +227,17 @@ def main() -> int:
     ]
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # The repeated-scan gate parses table names out of each node's
+    # Location field; formatted explain truncates that field to
+    # maxMetadataStringLength (default 100) and a longer fixture path
+    # would silently blind the gate. Widen it, and hard-fail below if
+    # the gate matched nothing at all (blindness must be loud).
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
     problems = []
+    total_scan_hits = [0]
     for k in keys:
         try:
             plan = (
@@ -258,9 +265,10 @@ def main() -> int:
         scans = collections.Counter()
         for line in plan.splitlines():
             if "Location" in line:
-                m = re.search(r"([a-z_0-9]+)\.parquet", line)
-                if m:
-                    scans[m.group(1)] += 1
+                # findall: a multi-path Location line counts every path
+                for t in re.findall(r"([a-z_0-9]+)\.parquet", line):
+                    scans[t] += 1
+        total_scan_hits[0] += sum(scans.values())
         if scans and max(scans.values()) >= 4 and k not in ALLOW_RESCAN:
             worst = max(scans, key=scans.get)
             problems.append(
@@ -270,6 +278,12 @@ def main() -> int:
     print(f"audited {len(keys)} plans at {SF_DIR}")
     for k, msg in problems:
         print(f"FLAG {k}: {msg}")
+    if keys and total_scan_hits[0] == 0:
+        raise RuntimeError(
+            "repeated-scan gate matched ZERO parquet Location paths across "
+            "the whole audit — the Location parser is blind (truncated "
+            "metadata or a changed explain format), not the plans clean"
+        )
     print(f"{len(problems)} flags")
     return 1 if problems else 0
 
