@@ -912,15 +912,19 @@ def q_stream_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the behavior that makes the reference listener trustworthy: blocks
     arrive over time, the listener follows the chain it can see, and
     when a longer branch overtakes, previously-applied blocks must be
-    retracted from the sink. The replay delivers two micro-batches: (1)
-    the chain as a b-following listener saw it (a-blocks below the fork
-    + the 2-block uncle branch), (2) the canonical a-blocks that
-    overtake it. Each micro-batch re-walks the chain (flag_canonical —
-    the SAME walk the batch key uses, over all blocks seen so far) and
-    emits apply/rollback ACTIONS as an idempotent ``batch=<id>`` delta —
-    the exactly-once action log a downstream store consumes. The oracle
+    retracted from the sink. Two phases with a GENUINE PROCESS RESTART
+    between them (the _two_phase_windows recipe): phase 1 streams the
+    chain as a b-following listener saw it (a-blocks below the fork +
+    the 2-block uncle branch) and stops; phase 2 appends the canonical
+    a-blocks that overtake it and RESTARTS from the same checkpoint —
+    exactly a listener that polled, crashed/redeployed, and resumed.
+    Each micro-batch re-walks the chain (flag_canonical — the SAME walk
+    the batch key uses, over all blocks seen so far) and emits
+    apply/rollback ACTIONS as an idempotent ``batch=<id>`` delta — the
+    exactly-once action log a downstream store consumes. The oracle
     pins the ENTIRE expected log: uncle blocks applied at batch 0 and
-    rolled back at batch 1, the overtaking blocks applied at batch 1.
+    rolled back at batch 1, the overtaking blocks applied at batch 1
+    (micro-batch ids continue across the restart — checkpoint-proven).
 
     100 TB plan: actions are block-grain (bounded chain metadata) — the
     stream never shuffles event rows; per-batch state is the seen-block
@@ -929,53 +933,31 @@ def q_stream_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
     six one-row broadcast joins per micro-batch.
     """
     import os
-    import shutil
-    import time
 
     from token_burn_listener_spark.operators.events import (
         flag_canonical,
         reorg_blocks,
     )
-    from token_burn_listener_spark.scratch import materialize, scratch_dir
     from pyspark.sql.window import Window
 
     blocks = reorg_blocks(events_df(spark, sf_dir)).select(
         "height", "branch", "hmax", "hash", "parent_hash", "n_events"
     )
-
-    def write_replay(d: DataFrame, p: str) -> None:
-        os.makedirs(p, exist_ok=True)
-        f0 = d.filter(
-            ((F.col("branch") == "a") & (F.col("height") <= F.col("hmax") - 3))
-            | (F.col("branch") == "b")
-        )
-        f1 = d.filter(
-            (F.col("branch") == "a") & (F.col("height") >= F.col("hmax") - 2)
-        )
-        now = time.time()
-        for i, (part, mt) in enumerate(((f0, now - 100), (f1, now))):
-            tmp = f"{p}/_build{i}"
-            part.select(
-                "height", "branch", "hash", "parent_hash", "n_events"
-            ).coalesce(1).write.parquet(tmp)
-            src = next(
-                fn for fn in os.listdir(tmp) if fn.endswith(".parquet")
-            )
-            dst = f"{p}/{i:02d}-arrival.parquet"
-            shutil.move(f"{tmp}/{src}", dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (mt, mt))  # file-source order = mtime order
-        open(f"{p}/_SUCCESS", "w").close()
-
-    replay = materialize(
-        blocks,
-        scratch_dir(
-            sf_dir, "reorg_blocks", source=f"{sf_dir}/events.parquet"
-        ),
-        write_replay,
-    )
     base = fresh_run_dir("reorg")
-    seen, log, cp = f"{base}/seen", f"{base}/log", f"{base}/cp"
+    replay, seen, log, cp = (
+        f"{base}/replay",
+        f"{base}/seen",
+        f"{base}/log",
+        f"{base}/cp",
+    )
+    out_cols = ["height", "branch", "hash", "parent_hash", "n_events"]
+    phase1 = blocks.filter(
+        ((F.col("branch") == "a") & (F.col("height") <= F.col("hmax") - 3))
+        | (F.col("branch") == "b")
+    )
+    phase2 = blocks.filter(
+        (F.col("branch") == "a") & (F.col("height") >= F.col("hmax") - 2)
+    )
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{seen}/batch={batch_id}")
@@ -1015,28 +997,30 @@ def q_stream_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{log}/batch={batch_id}"
         )
 
-    stream = (
-        spark.readStream.schema(
+    def run_once() -> None:
+        stream = spark.readStream.schema(
             "height long, branch string, hash string, "
             "parent_hash string, n_events long"
+        ).parquet(replay)
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
         )
-        .option("maxFilesPerTrigger", "1")
-        .parquet(replay)
-    )
-    q = (
-        stream.writeStream.foreachBatch(step)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", cp)
-        .start()
-    )
-    q.awaitTermination()
-    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+        q.awaitTermination()
+
+    phase1.select(*out_cols).coalesce(1).write.parquet(replay)
+    run_once()
+    phase2.select(*out_cols).coalesce(1).write.mode("append").parquet(replay)
+    run_once()  # RESTART from the same checkpoint: only phase 2 is new
+    out = spark.read.parquet(log)
+    n_batches = out.select("batch").distinct().count()
     if n_batches != 2:
         raise AssertionError(
-            f"replay schedule broken: {n_batches} non-empty micro-batches"
+            f"restart schedule broken: {n_batches} logged micro-batches"
         )
-    out = spark.read.parquet(log)
     return out.select(
         F.col("batch").cast("long").alias("batch_id"),
         "height",
