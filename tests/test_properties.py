@@ -188,3 +188,87 @@ def test_bloom_bitmap_has_no_false_negatives(spark, keys, probes):
     rows = df.collect()
     for r in rows:
         assert [r.pos0, r.pos1, r.pos2] == positions(r.k)
+
+
+# ---------------------------------------------------------------------------
+# Reorg canonical-walk vs a reference implementation on random forked chains
+
+
+def _reference_canonical(blocks: list[dict], depth: int) -> set[str]:
+    """Independent Python walk: from the unique max-height tip, follow
+    parent pointers through the confirmation window; everything below
+    tip-depth is final."""
+    by_hash = {b["hash"]: b for b in blocks}
+    tip_h = max(b["height"] for b in blocks)
+    (tip,) = [b for b in blocks if b["height"] == tip_h]
+    canonical = set()
+    cur = tip
+    while cur is not None and cur["height"] >= tip_h - depth:
+        canonical.add(cur["hash"])
+        cur = by_hash.get(cur["parent_hash"])
+    canonical |= {b["hash"] for b in blocks if b["height"] < tip_h - depth}
+    return canonical
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hmax=st.integers(8, 14),
+    forks=st.lists(
+        # (fork_offset_from_tip 1..4, uncle_len 1..3): uncle branch forks
+        # off the canonical chain INSIDE the confirmation window (the
+        # key's documented precondition) and stays strictly below the tip
+        st.tuples(st.integers(1, 4), st.integers(1, 3)),
+        max_size=2,
+    ),
+)
+def test_flag_canonical_matches_reference_walk(spark, hmax, forks):
+    from token_burn_listener_spark.operators.events import (
+        _REORG_DEPTH,
+        flag_canonical,
+    )
+
+    blocks = [
+        {
+            "height": h,
+            "hash": f"a:{h}",
+            "parent_hash": f"a:{h - 1}" if h > 0 else None,
+            "n_events": 1,
+        }
+        for h in range(hmax + 1)
+    ]
+    for fi, (off, length) in enumerate(forks):
+        start = hmax - off  # uncle base height; parent is canonical
+        for j in range(length):
+            h = start + j
+            if h >= hmax:  # tip must stay unique
+                break
+            blocks.append(
+                {
+                    "height": h,
+                    "hash": f"u{fi}:{h}",
+                    "parent_hash": (
+                        f"a:{h - 1}" if j == 0 else f"u{fi}:{h - 1}"
+                    ),
+                    "n_events": 1,
+                }
+            )
+    # drop accidental duplicate (height, hash) rows from overlapping forks
+    blocks = list({b["hash"]: b for b in blocks}.values())
+    df = spark.createDataFrame(
+        [
+            (b["height"], b["hash"], b["parent_hash"], b["n_events"])
+            for b in blocks
+        ],
+        "height long, hash string, parent_hash string, n_events long",
+    )
+    got = {
+        r.hash
+        for r in flag_canonical(df).collect()
+        if r.canonical
+    }
+    assert got == _reference_canonical(blocks, _REORG_DEPTH)
