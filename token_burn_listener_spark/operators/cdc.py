@@ -437,3 +437,86 @@ def q_diag_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dups))
         .crossJoin(F.broadcast(ranges))
     )
+
+
+_STATS_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "q_diag_table_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS col,
+           count(*) AS n_rows,
+           count(o_orderkey) AS n_nonnull,
+           count(DISTINCT o_orderkey) AS ndv,
+           round(min(o_orderkey), 6) AS min_v,
+           round(max(o_orderkey), 6) AS max_v,
+           round(avg(o_orderkey), 6) AS mean_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(o_custkey),
+           count(DISTINCT o_custkey),
+           round(min(o_custkey), 6), round(max(o_custkey), 6),
+           round(avg(o_custkey), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 6), round(max(o_totalprice), 6),
+           round(avg(o_totalprice), 6)
+    FROM orders
+    """,
+)
+def q_diag_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (the CBO's food): per column, row
+    count, non-null count, exact NDV, min/max, and mean — the statistics
+    a cost-based optimizer needs for join reordering and the numbers a
+    data engineer reads first when a plan goes sideways (an NDV near
+    n_rows says "join key"; a min/max spanning decades says "partition
+    by this"). Exact NDV here because the oracle needs determinism;
+    q_agg_approx_distinct is the at-scale sketch variant.
+
+    Exactness: counts/NDV are exact integers and min/max select stored
+    values verbatim; the only engine-ordered float fold is avg over the
+    double price column, whose error is bounded by sum_err/n — at any
+    realistic row count orders of magnitude inside the 6-dp round
+    (key-column avgs are folds over exact integers, tighter still).
+
+    100 TB plan: ONE pass (all three profiles in one wide aggregate in
+    Spark — the UNION is the oracle's spelling, not the plan): partial
+    aggregation collapses everything map-side except the three NDV
+    expand groups, which shuffle uniform key partials. At petabyte
+    scale swap exact NDV for approx_count_distinct and the pass is
+    all-map-side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    profiles = o.agg(
+        *[
+            f
+            for c in _STATS_COLS
+            for f in (
+                F.count("*").alias(f"{c}_n"),
+                F.count(c).alias(f"{c}_nn"),
+                F.count_distinct(F.col(c)).alias(f"{c}_ndv"),
+                F.round(F.min(c), 6).cast("double").alias(f"{c}_min"),
+                F.round(F.max(c), 6).cast("double").alias(f"{c}_max"),
+                F.round(F.avg(c), 6).cast("double").alias(f"{c}_mean"),
+            )
+        ]
+    ).localCheckpoint(eager=False)  # 1 row; feeds one branch per column
+    parts = [
+        profiles.select(
+            F.lit(c).alias("col"),
+            F.col(f"{c}_n").alias("n_rows"),
+            F.col(f"{c}_nn").alias("n_nonnull"),
+            F.col(f"{c}_ndv").alias("ndv"),
+            F.col(f"{c}_min").alias("min_v"),
+            F.col(f"{c}_max").alias("max_v"),
+            F.col(f"{c}_mean").alias("mean_v"),
+        )
+        for c in _STATS_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

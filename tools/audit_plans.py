@@ -113,6 +113,8 @@ ALLOW_SINGLE_PARTITION = {
                           # all windows on the calendar-bounded lag table
     "q_evt_profile_similarity",  # [final-agg] 1-row query-id/norm aggs +
                                  # 10-row top-k result
+    "q_diag_table_stats",  # [final-agg] the key IS a 1-row wide profile
+                           # aggregate, unioned per column
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
