@@ -292,3 +292,25 @@ def test_profile_similarity_recomputes_top_twin(spark, sf_dir):
         * math.sqrt(sum(c * c for c in qp.values()))
     )
     assert abs(cos - top.cos_sim) < 1e-5, (cos, top.cos_sim)
+
+
+def test_gap_detection_conserves_missing_ids(spark, sf_dir):
+    """The merged gap ranges must partition the missing-id set exactly:
+    disjoint, sorted, non-adjacent (else the merge failed), and their
+    total size must equal |expected universe| - |ingested|."""
+    from token_burn_listener_spark.operators.events import _GAP_DROP_MOD
+
+    rows = QUERIES["q_evt_gap_detection"](spark, sf_dir).collect()
+    rows.sort(key=lambda r: r.rnk)
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    mn, mx = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    n_ing = e.filter(F.col("event_id") % _GAP_DROP_MOD != 0).count()
+    assert sum(r.n_missing for r in rows) == (mx - mn + 1) - n_ing
+    prev_end = None
+    for r in rows:
+        assert mn <= r.gap_start <= r.gap_end <= mx
+        assert r.n_missing == r.gap_end - r.gap_start + 1
+        if prev_end is not None:
+            # strictly separated: adjacent ranges would mean merge failed
+            assert r.gap_start > prev_end + 1
+        prev_end = r.gap_end

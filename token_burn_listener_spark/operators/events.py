@@ -1750,3 +1750,126 @@ def q_evt_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("cos_sim"), "user_id").limit(10)
     w = Window.orderBy(F.desc("cos_sim"), "user_id")
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+_GAP_DROP_MOD = 97  # simulated delivery misses: every 97th event_id
+_GAP_BLK = 100  # detection block size (block-local windows, no global sort)
+
+
+@query(
+    "q_evt_gap_detection",
+    oracle=f"""
+    WITH ing AS (
+      SELECT event_id FROM events WHERE event_id % {_GAP_DROP_MOD} != 0
+    ), bounds AS (
+      SELECT min(event_id) AS mn, max(event_id) AS mx FROM events
+    ), nxt AS (
+      SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS nx
+      FROM ing
+    ), raw_gaps AS (
+      SELECT event_id + 1 AS gap_start, nx - 1 AS gap_end
+      FROM nxt WHERE nx > event_id + 1
+      UNION ALL
+      SELECT mn, (SELECT min(event_id) FROM ing) - 1 FROM bounds
+      WHERE (SELECT min(event_id) FROM ing) > mn
+      UNION ALL
+      SELECT (SELECT max(event_id) FROM ing) + 1, mx FROM bounds
+      WHERE (SELECT max(event_id) FROM ing) < mx
+    )
+    SELECT gap_start, gap_end, gap_end - gap_start + 1 AS n_missing,
+           row_number() OVER (ORDER BY gap_start) AS rnk
+    FROM raw_gaps
+    """,
+)
+def q_evt_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planning — the listener's cursor-integrity check: which
+    id ranges were never ingested? The feed is simulated with every
+    97th event_id missing (delivery misses); the expected universe is
+    the fixture's [min, max] id range, and the output is the MERGED
+    list of missing ranges — exactly what a backfill scheduler turns
+    into re-poll requests.
+
+    The Spark side deliberately uses a DIFFERENT algorithm than the
+    oracle (algorithm diversity makes the parity check meaningful): the
+    oracle is the classic single-window islands-and-gaps over a global
+    sort; the Spark plan is scale-clean block-local detection — ids
+    bucket into 100-id blocks, lag/lead windows run PER BLOCK (bounded
+    partitions, no global sort of the corpus), per-block head/tail gaps
+    come from a one-pass block aggregate against the a-priori block
+    range, fully-missing blocks surface via a distributed spark.range
+    grid anti-pattern-free left join, and only the SPARSE gap
+    candidates (data-quality-sized, not corpus-sized) hit the final
+    bounded merge window that stitches block-boundary-adjacent ranges.
+
+    100 TB plan: one map-side bucket + per-block window (every
+    partition ≤ 100 rows), one block-grain aggregate, one join against
+    the id-range grid (corpus_ids/100 rows — 1% of the data, uniform),
+    and a merge window over the gap list, whose size tracks MISSING
+    data, not data. The 1-row bounds collect is a bounded scalar
+    (house-accepted) that sizes the grid.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    mn, mx = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    ing = e.filter(F.col("event_id") % _GAP_DROP_MOD != 0)
+    blk = ing.withColumn("b", F.expr(f"event_id div {_GAP_BLK}"))
+    w_blk = Window.partitionBy("b").orderBy("event_id")
+    intra = (
+        blk.withColumn("nx", F.lead("event_id").over(w_blk))
+        .filter(F.col("nx") > F.col("event_id") + 1)
+        .select(
+            (F.col("event_id") + 1).alias("gap_start"),
+            (F.col("nx") - 1).alias("gap_end"),
+        )
+    )
+    blkagg = blk.groupBy("b").agg(
+        F.min("event_id").alias("bmin"), F.max("event_id").alias("bmax")
+    )
+    grid = spark.range(mn // _GAP_BLK, mx // _GAP_BLK + 1).select(
+        F.col("id").alias("b"),
+        F.greatest(F.col("id") * _GAP_BLK, F.lit(mn)).alias("bs"),
+        F.least(F.col("id") * _GAP_BLK + _GAP_BLK - 1, F.lit(mx)).alias("be"),
+    )
+    edges = grid.join(blkagg, "b", "left")
+    head = edges.filter(
+        F.col("bmin").isNull() | (F.col("bmin") > F.col("bs"))
+    ).select(
+        F.col("bs").alias("gap_start"),
+        (F.coalesce(F.col("bmin") - 1, F.col("be"))).alias("gap_end"),
+    )
+    tail = edges.filter(
+        F.col("bmin").isNotNull() & (F.col("bmax") < F.col("be"))
+    ).select(
+        (F.col("bmax") + 1).alias("gap_start"), F.col("be").alias("gap_end")
+    )
+    raw = intra.unionAll(head).unionAll(tail)
+    # merge block-boundary-adjacent ranges: a bounded window over the
+    # SPARSE gap list only (never the corpus)
+    w_m = Window.orderBy("gap_start")
+    merged = (
+        raw.withColumn("prev_end", F.lag("gap_end").over(w_m))
+        .withColumn(
+            "new_grp",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("gap_start") > F.col("prev_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "grp",
+            F.sum("new_grp").over(
+                w_m.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("grp")
+        .agg(
+            F.min("gap_start").alias("gap_start"),
+            F.max("gap_end").alias("gap_end"),
+        )
+    )
+    return merged.select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
+        F.row_number().over(Window.orderBy("gap_start")).alias("rnk"),
+    )

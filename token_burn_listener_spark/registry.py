@@ -218,6 +218,7 @@ DRIVER_ORDER: list[str] = [
     "q_evt_profile_similarity",  # new r5: behavioral-twin top-10 over hour-of-day profiles
     "q_stream_reorg",  # new r5: streaming reorg apply/rollback action log (2 micro-batches)
     "q_diag_table_stats",  # new r5: ANALYZE-style per-column profile (CBO statistics)
+    "q_evt_gap_detection",  # new r5: missing-id backfill ranges, block-local islands/gaps
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",

@@ -115,6 +115,9 @@ ALLOW_SINGLE_PARTITION = {
                                  # 10-row top-k result
     "q_diag_table_stats",  # [final-agg] the key IS a 1-row wide profile
                            # aggregate, unioned per column
+    "q_evt_gap_detection",  # [rollup-win] merge + rank windows over the
+                            # SPARSE gap list (missing-data-sized) +
+                            # 1-row bounds agg
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
