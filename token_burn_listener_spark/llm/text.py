@@ -1514,3 +1514,128 @@ def q_llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(20)
     w = Window.orderBy(F.desc("pmi"), "w1", "w2")
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+_KANON_K = 5  # minimum safe group size
+
+
+@query(
+    "q_llm_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT source, lang, n_chars // 100 AS len_bucket,
+             count(*)::BIGINT AS group_size
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT source, lang, len_bucket, group_size,
+           (group_size < {_KANON_K}) AS risky
+    FROM qi
+    """,
+)
+def q_llm_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification audit: group sizes over the quasi-identifier
+    tuple (source, lang, 100-char length bucket). A corpus release is
+    k-anonymous on these QIs iff no group is smaller than k — documents
+    in sub-k groups are linkable by metadata alone even after PII
+    redaction (q_llm_redact_pii removes the direct identifiers; THIS
+    catches the indirect ones). The full group-size table ships, with
+    the sub-k groups flagged, so the release decision is auditable.
+
+    100 TB plan: one partial+final aggregate on a low-cardinality
+    composite key — map-side combine collapses everything; no joins, no
+    windows, nothing driver-side. Generalizing a QI (coarser buckets)
+    to repair a risky release is a one-line change to the same plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "source",
+            "lang",
+            F.expr("n_chars div 100").alias("len_bucket"),
+        )
+        .agg(F.count("*").alias("group_size"))
+        .withColumn("risky", F.col("group_size") < _KANON_K)
+    )
+
+
+# Shannon-entropy term over exact integer counts: shared expression
+# text; the vocabulary-sized sum folds in DECIMAL(28,12).
+_ENTROPY_TERM = (
+    "(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))"
+)
+
+
+@query(
+    "q_diag_column_entropy",
+    oracle=f"""
+    WITH vals AS (
+      SELECT 'lang' AS col, lang AS v FROM documents
+      UNION ALL SELECT 'source', source FROM documents
+    ), counts AS (
+      SELECT col, v, count(*)::BIGINT AS c FROM vals GROUP BY col, v
+    ), tot AS (
+      SELECT col, sum(c)::BIGINT AS n, count(*)::BIGINT AS ndv
+      FROM counts GROUP BY col
+    )
+    SELECT counts.col, ndv, n AS n_rows,
+           round(CAST(-sum(CAST({_ENTROPY_TERM} AS DECIMAL(28,12)))
+                      AS DOUBLE), 6) AS entropy_nats,
+           round(ln(ndv), 6) AS max_entropy_nats,
+           (ndv <= 4096) AS dict_encode
+    FROM counts JOIN tot USING (col)
+    GROUP BY counts.col, ndv, n
+    """,
+)
+def q_diag_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding advisor: Shannon entropy of each candidate column's
+    value distribution next to its ln(NDV) ceiling — the two numbers
+    that decide parquet encodings (low NDV → dictionary; entropy near
+    the ceiling → dictionary indices won't RLE-compress; entropy far
+    below it → heavy skew, great RLE). The dict_encode flag applies the
+    standard page-dictionary cardinality cutoff.
+
+    Exactness: counts are exact integers; each entropy term is per-row
+    float math with shared expression text, and the NDV-sized sum folds
+    in DECIMAL(28,12) — the same order-independence technique as
+    q_llm_kl_divergence.
+
+    100 TB plan: one stacked pass over the two columns (partial+final
+    agg on (col, value) — uniform, low-cardinality), then all math on
+    the NDV-sized count table. For a wide table this extends to any
+    column list by adding UNION legs — still one scan per column, no
+    shuffles beyond the count agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vals = d.select(F.lit("lang").alias("col"), F.col("lang").alias("v")).unionAll(
+        d.select(F.lit("source").alias("col"), F.col("source").alias("v"))
+    )
+    counts = (
+        vals.groupBy("col", "v")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # feeds totals + the entropy agg
+    )
+    tot = counts.groupBy("col").agg(
+        F.sum("c").alias("n"), F.count("*").alias("ndv")
+    )
+    return (
+        counts.join(F.broadcast(tot), "col")
+        .groupBy("col", "ndv", "n")
+        .agg(
+            F.round(
+                (-F.sum(F.expr(f"CAST({_ENTROPY_TERM} AS DECIMAL(28,12))"))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .select(
+            "col",
+            "ndv",
+            F.col("n").alias("n_rows"),
+            "entropy_nats",
+            F.round(F.log(F.col("ndv").cast("double")), 6).alias(
+                "max_entropy_nats"
+            ),
+            (F.col("ndv") <= 4096).alias("dict_encode"),
+        )
+    )

@@ -219,6 +219,8 @@ DRIVER_ORDER: list[str] = [
     "q_stream_reorg",  # new r5: streaming reorg apply/rollback action log (2 micro-batches)
     "q_diag_table_stats",  # new r5: ANALYZE-style per-column profile (CBO statistics)
     "q_evt_gap_detection",  # new r5: missing-id backfill ranges, block-local islands/gaps
+    "q_llm_k_anonymity",  # new r5: quasi-identifier group-size audit (sub-k flagged)
+    "q_diag_column_entropy",  # new r5: Shannon-entropy encoding advisor (decimal-fold)
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",

@@ -118,6 +118,8 @@ ALLOW_SINGLE_PARTITION = {
     "q_evt_gap_detection",  # [rollup-win] merge + rank windows over the
                             # SPARSE gap list (missing-data-sized) +
                             # 1-row bounds agg
+    "q_diag_column_entropy",  # [final-agg] per-column totals over the
+                              # NDV-sized count table
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
