@@ -645,3 +645,42 @@ def test_pq_adc_beats_random_selection(spark, sf_dir):
         .collect()[0][0]
     )
     assert picked_mean < corpus_mean, (picked_mean, corpus_mean)
+
+
+def test_kneser_ney_cell_recomputes_from_raw_counts(spark, sf_dir):
+    """Recompute one reported P_kn from raw corpus counts in Python;
+    per-context ranks must be 1..5 with probabilities in (0, 1] and
+    non-increasing."""
+    from token_burn_listener_spark.llm.text import _KN_D
+
+    rows = QUERIES["q_llm_kneser_ney"](spark, sf_dir).collect()
+    assert rows
+    by_ctx: dict = {}
+    for r in rows:
+        by_ctx.setdefault(r.w1, []).append(r)
+    assert len(by_ctx) == 3
+    for ctx, rs in by_ctx.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        ps = [r.p_kn for r in rs]
+        assert ps == sorted(ps, reverse=True)
+        assert all(0 < p <= 1 for p in ps)
+    # independent recount of the single top cell from per-doc token
+    # lists (bigrams never span documents, so recount per doc)
+    top = max(rows, key=lambda r: (r.p_kn, r.w1))
+    d = load_table(spark, sf_dir, "documents")
+    docs = [r.text.split(" ") for r in d.select("text").collect()]
+    from collections import Counter
+
+    bc = Counter()
+    for t in docs:
+        for a, b in zip(t, t[1:]):
+            bc[(a, b)] += 1
+    c12 = bc[(top.w1, top.w2)]
+    c1 = sum(c for (a, _), c in bc.items() if a == top.w1)
+    n1p_w1 = sum(1 for (a, _) in bc if a == top.w1)
+    n1p_w2 = sum(1 for (_, b) in bc if b == top.w2)
+    nb = len(bc)
+    p = max(c12 - _KN_D, 0) / c1 + (_KN_D * n1p_w1 / c1) * (n1p_w2 / nb)
+    assert abs(p - top.p_kn) < 1e-5, (p, top.p_kn)
+    assert c12 == top.c12 and c1 == top.c1

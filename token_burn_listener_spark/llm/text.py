@@ -1639,3 +1639,118 @@ def q_diag_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ndv") <= 4096).alias("dict_encode"),
         )
     )
+
+
+_KN_D = 0.75  # absolute discount (the standard KN default)
+
+# Kneser-Ney bigram probability from five exact integers (c12, c1,
+# n1p_w1 = distinct continuations of w1, n1p_w2 = distinct contexts of
+# w2, nb = total distinct bigram types): per-row float math, shared
+# expression text, no engine-ordered sums anywhere.
+_KN_EXPR = (
+    f"greatest(c12 - {_KN_D}, 0) / CAST(c1 AS DOUBLE)"
+    f" + ({_KN_D} * n1p_w1 / CAST(c1 AS DOUBLE))"
+    f" * (n1p_w2 / CAST(nb AS DOUBLE))"
+)
+
+
+@query(
+    "q_llm_kneser_ney",
+    oracle=f"""
+    WITH big AS (
+      SELECT unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))])
+               AS gram
+      FROM (SELECT string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 2
+    ), bc AS (
+      SELECT string_split(gram, ' ')[1] AS w1,
+             string_split(gram, ' ')[2] AS w2,
+             count(*)::BIGINT AS c12
+      FROM big GROUP BY gram
+    ), ctx AS (
+      SELECT w1, sum(c12)::BIGINT AS c1,
+             count(*)::BIGINT AS n1p_w1
+      FROM bc GROUP BY w1
+    ), cont AS (
+      SELECT w2, count(*)::BIGINT AS n1p_w2 FROM bc GROUP BY w2
+    ), nbt AS (
+      SELECT count(*)::BIGINT AS nb FROM bc
+    ), top_ctx AS (
+      SELECT w1, c1, n1p_w1 FROM ctx ORDER BY c1 DESC, w1 LIMIT 3
+    ), scored AS (
+      SELECT b.w1, b.w2, b.c12, t.c1,
+             round({_KN_EXPR}, 6) AS p_kn
+      FROM bc b
+      JOIN top_ctx t USING (w1)
+      JOIN cont USING (w2)
+      CROSS JOIN nbt
+    ), ranked AS (
+      SELECT w1, w2, c12, c1, p_kn,
+             row_number() OVER (PARTITION BY w1
+                                ORDER BY p_kn DESC, w2) AS rnk
+      FROM scored
+    )
+    SELECT w1, w2, c12, c1, p_kn, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_llm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities — the reference
+    smoothing algorithm for count-based LMs, and a stronger quality
+    scorer than the raw bigram LM (q_llm_bigram_lm): the continuation
+    probability ranks a word by HOW MANY contexts it follows, not how
+    often — the fix for 'Francisco' (frequent but only after 'San').
+    Output: for the 3 highest-volume contexts, the top-5 observed next
+    tokens by P_kn(w2|w1) = max(c12-d,0)/c1 + (d·N1+(w1·)/c1)·(N1+(·w2)/N).
+
+    Exactness: all five inputs to the probability are exact integer
+    counts derived from ONE bigram count table (context totals and
+    continuation counts are re-aggs — no second corpus pass), the float
+    expression is per-row with shared text, and both the context top-3
+    and the per-context top-5 carry deterministic tie-breaks with rank
+    materialized.
+
+    100 TB plan: one bigram explode + (gram) partial+final agg; ctx and
+    cont are vocab-sized re-aggs of that PINNED table; the 3-row
+    context slice and vocab-sized continuation table broadcast; the
+    per-context rank window partitions on w1 — 3 bounded partitions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "zip_with("
+        "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),"
+        "  slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
+        "  (a, b) -> concat(a, ' ', b))"
+    )
+    bc = (
+        d.filter(F.size(F.split("text", " ")) >= 2)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c12"))
+        .select(
+            F.split("gram", " ").getItem(0).alias("w1"),
+            F.split("gram", " ").getItem(1).alias("w2"),
+            "c12",
+        )
+        .localCheckpoint(eager=False)  # feeds ctx, cont, nbt, and scoring
+    )
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1p_w1")
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").alias("n1p_w2"))
+    nbt = bc.agg(F.count("*").alias("nb"))
+    top_ctx = ctx.orderBy(F.desc("c1"), "w1").limit(3)
+    scored = (
+        bc.join(F.broadcast(top_ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "w1", "w2", "c12", "c1",
+            F.round(F.expr(_KN_EXPR), 6).alias("p_kn"),
+        )
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("p_kn"), "w2")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("w1", "w2", "c12", "c1", "p_kn", "rnk")
+    )

@@ -221,6 +221,7 @@ DRIVER_ORDER: list[str] = [
     "q_evt_gap_detection",  # new r5: missing-id backfill ranges, block-local islands/gaps
     "q_llm_k_anonymity",  # new r5: quasi-identifier group-size audit (sub-k flagged)
     "q_diag_column_entropy",  # new r5: Shannon-entropy encoding advisor (decimal-fold)
+    "q_llm_kneser_ney",  # new r5: KN-smoothed bigram probs, top-5 per top-3 contexts
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",

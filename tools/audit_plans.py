@@ -120,6 +120,8 @@ ALLOW_SINGLE_PARTITION = {
                             # 1-row bounds agg
     "q_diag_column_entropy",  # [final-agg] per-column totals over the
                               # NDV-sized count table
+    "q_llm_kneser_ney",  # [final-agg] 3-row context slice (TakeOrdered)
+                         # + 1-row bigram-type total
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
@@ -174,6 +176,8 @@ ALLOW_NESTED_LOOP = {
                           # the calendar-bounded hourly grid
     "q_evt_profile_similarity",  # broadcast crossJoins of the 1-row
                                  # query-id and query-norm aggs
+    "q_llm_kneser_ney",  # broadcast crossJoin of the 1-row bigram-type
+                         # total (the KN normalizer N)
 }
 
 # Keys allowed to statically scan one table >= 4 times (each a by-design
