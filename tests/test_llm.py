@@ -684,3 +684,33 @@ def test_kneser_ney_cell_recomputes_from_raw_counts(spark, sf_dir):
     p = max(c12 - _KN_D, 0) / c1 + (_KN_D * n1p_w1 / c1) * (n1p_w2 / nb)
     assert abs(p - top.p_kn) < 1e-5, (p, top.p_kn)
     assert c12 == top.c12 and c1 == top.c1
+
+
+def test_weighted_sample_overrepresents_heavy_docs(spark, sf_dir):
+    """The defining property of weighted sampling: the sample's mean
+    weight must exceed the corpus mean (long docs drawn more often),
+    ranks must be a 1..k total order, and every key must recompute from
+    its doc's hash-uniform and weight."""
+    import hashlib
+    import math
+
+    rows = QUERIES["q_llm_weighted_sample"](spark, sf_dir).collect()
+    assert len(rows) == 50
+    rows.sort(key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, 51))
+    keys = [r.es_key for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    for r in rows[:5]:  # recompute a handful of keys independently
+        u = (
+            int(hashlib.sha256(str(r.doc_id).encode()).hexdigest()[:12], 16)
+            + 1.0
+        ) / 281474976710656.0
+        assert abs(math.log(u) / r.w - r.es_key) < 1e-9
+    d = load_table(spark, sf_dir, "documents")
+    corpus_mean = (
+        d.select(F.size(F.split("text", " ")).alias("w"))
+        .agg(F.avg("w"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.w for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)

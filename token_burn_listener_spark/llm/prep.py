@@ -949,3 +949,71 @@ def q_llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sel_rank") <= F.col("target"))
         .select("doc_id", "lang", "sel_rank")
     )
+
+
+_WS_K = 50  # sample size
+
+# Efraimidis-Spirakis key in log space: ln(u)/w for a hash-derived
+# uniform u in (0,1] — monotone in u^(1/w), so top-k by this key IS the
+# weighted sample; per-row float math on shared expression text.
+_WS_U = (
+    "(CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 12), 16, 10)"
+    " AS DOUBLE) + 1.0) / 281474976710656.0"
+)
+_WS_U_DUCK = (
+    "(CAST(('0x' || substr(sha256(doc_id::VARCHAR), 1, 12)) AS BIGINT)"
+    "::DOUBLE + 1.0) / 281474976710656.0"
+)
+
+
+@query(
+    "q_llm_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' '))::BIGINT AS w,
+             round(ln({_WS_U_DUCK})
+                   / len(string_split(text, ' ')), 12) AS es_key
+      FROM documents
+    ), top AS (
+      SELECT doc_id, source, w, es_key FROM keyed
+      ORDER BY es_key DESC, doc_id LIMIT {_WS_K}
+    )
+    SELECT doc_id, source, w, es_key,
+           row_number() OVER (ORDER BY es_key DESC, doc_id) AS rnk
+    FROM top
+    """,
+)
+def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via Efraimidis-Spirakis:
+    each doc gets key u^(1/w) (computed in log space: ln(u)/w) for a
+    sha-derived uniform u and weight w = token count; the global top-50
+    keys ARE the weighted sample — longer documents proportionally more
+    likely, no sequential pass, no rejection loop. THE algorithm for
+    distributed weighted sampling: the top-k is mergeable across
+    partitions, so a 1000-executor corpus samples in one
+    TakeOrderedAndProject with zero coordination. sha-derived uniforms
+    (vs real RNG) make the sample reproducible across engines and runs
+    — a lineage property a training-data pipeline wants anyway.
+
+    Exactness: u is an exact 48-bit dyadic rational (exact in double),
+    w an exact integer; ln and the division are per-row with shared
+    expression text, rounded to 12 dp (the key only RANKS — its digits
+    don't feed downstream math). Unique doc_id tie-break totalizes the
+    order.
+
+    100 TB plan: map-only key computation (predicate-free scan,
+    projection-pruned to doc_id/source/text), then one global top-50 —
+    a TakeOrderedAndProject whose per-partition heaps never exceed k.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.size(F.split("text", " ")).cast("long")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        F.round(F.log(F.expr(_WS_U)) / w, 12).alias("es_key"),
+    )
+    top = keyed.orderBy(F.desc("es_key"), "doc_id").limit(_WS_K)
+    rnk = Window.orderBy(F.desc("es_key"), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(rnk))
