@@ -1873,3 +1873,79 @@ def q_evt_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
         F.row_number().over(Window.orderBy("gap_start")).alias("rnk"),
     )
+
+
+@query(
+    "q_evt_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d FROM events
+    ), grp AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS g
+      FROM days
+    ), streaks AS (
+      SELECT user_id, min(d) AS streak_start,
+             count(*)::BIGINT AS streak_len
+      FROM grp GROUP BY user_id, g
+    ), best AS (
+      SELECT user_id, streak_start, streak_len,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC, streak_start)
+               AS rn
+      FROM streaks
+    )
+    SELECT b.user_id, n.n_active_days, b.streak_len AS longest_streak,
+           b.streak_start
+    FROM best b
+    JOIN (SELECT user_id, count(*)::BIGINT AS n_active_days
+          FROM days GROUP BY user_id) n USING (user_id)
+    WHERE b.rn = 1
+    """,
+)
+def q_evt_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity streaks: the longest run of CONSECUTIVE active
+    days (and when it started), next to the total active-day count —
+    the engagement metric behind every 'N-day streak' product feature,
+    and the per-user form of gaps-and-islands (q_evt_gap_detection is
+    the corpus-global form over ids). The classic date-minus-row_number
+    constant-group trick: within a user, consecutive days share
+    (day - rank), so one window plus one groupBy finds every streak.
+
+    100 TB plan: the distinct (user, day) set collapses the corpus
+    first (partial+final agg — at most span-days rows per user); every
+    window after that partitions on user_id with bounded partitions
+    (≤ calendar days each), the same key the sessionize family already
+    shuffles on. Ties (two equal-length streaks) break on earliest
+    start — deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the streak and count branches
+    )
+    grp = days.withColumn(
+        "g", F.expr("d - CAST(row_number() OVER "
+                    "(PARTITION BY user_id ORDER BY d) AS INT)")
+    )
+    streaks = grp.groupBy("user_id", "g").agg(
+        F.min("d").alias("streak_start"), F.count("*").alias("streak_len")
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), "streak_start"
+    )
+    best = (
+        streaks.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+    )
+    counts = days.groupBy("user_id").agg(
+        F.count("*").alias("n_active_days")
+    )
+    return best.join(counts, "user_id").select(
+        "user_id",
+        "n_active_days",
+        F.col("streak_len").alias("longest_streak"),
+        "streak_start",
+    )

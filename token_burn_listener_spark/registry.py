@@ -223,6 +223,7 @@ DRIVER_ORDER: list[str] = [
     "q_diag_column_entropy",  # new r5: Shannon-entropy encoding advisor (decimal-fold)
     "q_llm_kneser_ney",  # new r5: KN-smoothed bigram probs, top-5 per top-3 contexts
     "q_llm_weighted_sample",  # new r5: Efraimidis-Spirakis top-k weighted sample
+    "q_evt_streaks",  # new r5: longest consecutive-day streak per user (islands)
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",
