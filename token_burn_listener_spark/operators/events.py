@@ -1811,7 +1811,12 @@ def q_evt_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_id")
     mn, mx = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
     ing = e.filter(F.col("event_id") % _GAP_DROP_MOD != 0)
-    blk = ing.withColumn("b", F.expr(f"event_id div {_GAP_BLK}"))
+    # FLOOR division (not Spark's truncating `div`): must agree with the
+    # Python `//` that sizes the grid below, or negative-id feeds would
+    # bucket rows into a different block than the grid expects
+    blk = ing.withColumn(
+        "b", F.floor(F.col("event_id") / _GAP_BLK).cast("long")
+    )
     w_blk = Window.partitionBy("b").orderBy("event_id")
     intra = (
         blk.withColumn("nx", F.lead("event_id").over(w_blk))

@@ -197,10 +197,11 @@ DRIVER_ORDER: list[str] = [
     "q_udtf",
     "q_udf_cogroup",
     # --- r07 pool (the r06 window above is FULL at 50; keys added from
-    # here on queue behind it and ride the r07 window). With the 16 keys
-    # below, the r07 window = canary + these 16 + 33 re-proof slots from
+    # here on queue behind it and ride the r07 window). With the 23 keys
+    # below, the r07 window = canary + these 23 + 26 re-proof slots from
     # the r01/r02 tail (oldest driver evidence first) — after r07 every
-    # key has a driver row and rotation becomes pure freshness cycling. ---
+    # key has a driver row and rotation becomes pure freshness cycling.
+    # KEEP THE ARITHMETIC CURRENT when appending here. ---
     "q_llm_temperature_mix",  # new r5: alpha=0.5 language-mix sampler
     "q_llm_delta_dedup",  # new r5: delta-vs-corpus incremental dedup (daily-ingest shape)
     "q_llm_bm25",  # new r5: BM25 ranked retrieval, fixed-order exact float fold

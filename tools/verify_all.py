@@ -49,14 +49,19 @@ print(f"entry={len(rows)} rows, {len(qs)} queries, {len(osql)} oracles")
 
 def run(name: str, cmd: list[str], expect: str | None = None) -> bool:
     t0 = time.time()
-    p = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
-    )
+    try:
+        p = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
+        )
+    except subprocess.TimeoutExpired:
+        # a hung gate must report as FAIL, not abort the whole chain
+        print(f"FAIL {name:12s} {time.time() - t0:6.1f}s  TIMEOUT (>3600s)")
+        return False
     ok = p.returncode == 0 and (expect is None or expect in p.stdout)
     tail = (p.stdout.strip().splitlines() or [""])[-1]
     print(f"{'PASS' if ok else 'FAIL'} {name:12s} {time.time() - t0:6.1f}s  {tail}")
     if not ok and p.stderr:
-        print(p.stderr.strip().splitlines()[-1])
+        print((p.stderr.strip().splitlines() or [""])[-1])
     return ok
 
 
