@@ -300,3 +300,14 @@ def test_stream_reorg_converges_to_batch_canonical(spark, sf_dir):
             (x for x in log if x.hash == r.hash), key=lambda x: x.batch_id
         )
         assert first.action == "apply" and first.batch_id < r.batch_id
+
+
+def test_stream_backfill_census_matches_batch_planner(spark, sf_dir):
+    """Twin equivalence: the monitor's batch-0 gap census must equal
+    the batch planner's totals, and after the backfill restart the
+    feed must report clean."""
+    log = {r.batch_id: r for r in QUERIES["q_stream_backfill"](spark, sf_dir).collect()}
+    plan = QUERIES["q_evt_gap_detection"](spark, sf_dir).collect()
+    assert log[0].n_gaps == len(plan)
+    assert log[0].n_missing == sum(r.n_missing for r in plan)
+    assert log[1].n_gaps == 0 and log[1].n_missing == 0

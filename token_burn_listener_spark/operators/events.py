@@ -1811,6 +1811,21 @@ def q_evt_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_id")
     mn, mx = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
     ing = e.filter(F.col("event_id") % _GAP_DROP_MOD != 0)
+    merged = detect_gaps(spark, ing, mn, mx)
+    return merged.select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
+        F.row_number().over(Window.orderBy("gap_start")).alias("rnk"),
+    )
+
+
+def detect_gaps(spark: SparkSession, ing: DataFrame, mn: int, mx: int) -> DataFrame:
+    """Block-local islands-and-gaps over an ``event_id`` column against
+    the expected universe [mn, mx]; returns MERGED missing ranges
+    (gap_start, gap_end). Shared by the batch planner above and the
+    streaming backfill monitor (each micro-batch re-detects over all
+    ids seen so far)."""
     # FLOOR division (not Spark's truncating `div`): must agree with the
     # Python `//` that sizes the grid below, or negative-id feeds would
     # bucket rows into a different block than the grid expects
@@ -1850,7 +1865,7 @@ def q_evt_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge block-boundary-adjacent ranges: a bounded window over the
     # SPARSE gap list only (never the corpus)
     w_m = Window.orderBy("gap_start")
-    merged = (
+    return (
         raw.withColumn("prev_end", F.lag("gap_end").over(w_m))
         .withColumn(
             "new_grp",
@@ -1871,12 +1886,6 @@ def q_evt_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("gap_start").alias("gap_start"),
             F.max("gap_end").alias("gap_end"),
         )
-    )
-    return merged.select(
-        "gap_start",
-        "gap_end",
-        (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
-        F.row_number().over(Window.orderBy("gap_start")).alias("rnk"),
     )
 
 
@@ -1953,4 +1962,71 @@ def q_evt_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active_days",
         F.col("streak_len").alias("longest_streak"),
         "streak_start",
+    )
+
+
+_MAD_SCALE = 1.4826  # normal-consistency constant
+_MAD_CUT = 3.5  # Iglewicz-Hoaglin modified z-score cutoff
+
+
+@query(
+    "q_evt_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type AS et,
+             quantile_cont(value, 0.5) AS med_v
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT et, med_v, quantile_cont(abs(value - med_v), 0.5) AS mad_v
+      FROM events e JOIN med ON e.event_type = med.et
+      GROUP BY et, med_v
+    )
+    SELECT event_id, e.event_type, round(value, 6) AS value,
+           round((value - med_v) / ({_MAD_SCALE} * mad_v), 6) AS mod_z
+    FROM events e JOIN mad ON e.event_type = mad.et
+    WHERE abs(value - med_v) / ({_MAD_SCALE} * mad_v) > {_MAD_CUT}
+    """,
+)
+def q_evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: the MAD (median absolute deviation)
+    modified z-score — the estimator q_evt_anomaly's mean/stddev gate
+    becomes once outliers are heavy enough to poison the very
+    statistics meant to catch them (one 10^6x spike inflates stddev
+    until nothing else flags; the median and MAD have 50% breakdown
+    points and don't move). Flags |modified z| > 3.5 per event_type,
+    the standard Iglewicz-Hoaglin cutoff.
+
+    Exactness: both medians use the same interpolated-quantile
+    definition on both engines (Spark percentile = DuckDB
+    quantile_cont, the pairing q_agg_percentile established); the
+    scoring is per-row float arithmetic against the broadcast 1-row-per
+    -type statistics, rounded to 6.
+
+    100 TB plan: two passes (median, then MAD about it) of
+    partial+final per-type aggregates with the tiny stats table
+    broadcast back — the second pass is the price of exactness; at
+    petabyte scale swap quantile_cont for approx_percentile and both
+    passes stay, just sketched. The filter runs scan-side against
+    broadcast constants.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy(F.col("event_type").alias("et")).agg(
+        F.percentile("value", 0.5).alias("med_v")
+    )
+    mad = (
+        e.join(F.broadcast(med), e["event_type"] == F.col("et"))
+        .groupBy("et", "med_v")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med_v")), 0.5).alias("mad_v"))
+        .localCheckpoint(eager=False)  # feeds the score and the filter
+    )
+    mod_z = (F.col("value") - F.col("med_v")) / (_MAD_SCALE * F.col("mad_v"))
+    return (
+        e.join(F.broadcast(mad), e["event_type"] == F.col("et"))
+        .filter(F.abs(F.col("value") - F.col("med_v")) / (_MAD_SCALE * F.col("mad_v")) > _MAD_CUT)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(mod_z, 6).alias("mod_z"),
+        )
     )

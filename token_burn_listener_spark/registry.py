@@ -225,6 +225,8 @@ DRIVER_ORDER: list[str] = [
     "q_llm_kneser_ney",  # new r5: KN-smoothed bigram probs, top-5 per top-3 contexts
     "q_llm_weighted_sample",  # new r5: Efraimidis-Spirakis top-k weighted sample
     "q_evt_streaks",  # new r5: longest consecutive-day streak per user (islands)
+    "q_evt_anomaly_mad",  # new r5: MAD modified z-score robust outlier gate
+    "q_stream_backfill",  # new r5: streaming gap monitor, holes close after restart
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",

@@ -1028,3 +1028,117 @@ def q_stream_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "action",
     )
+
+
+def _backfill_oracle() -> str:
+    # expected per-batch summary from the deterministic two-phase
+    # schedule: phase 1 = the holey feed (every 97th id missing), so the
+    # batch-0 row carries the batch planner's totals; phase 2 delivers
+    # the missing ids, so batch 1 reports a clean feed.
+    from token_burn_listener_spark.operators.events import _GAP_DROP_MOD
+
+    return f"""
+    WITH ing AS (
+      SELECT event_id FROM events WHERE event_id % {_GAP_DROP_MOD} != 0
+    ), bounds AS (
+      SELECT min(event_id) AS mn, max(event_id) AS mx FROM events
+    ), nxt AS (
+      SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS nx
+      FROM ing
+    ), raw_gaps AS (
+      SELECT event_id + 1 AS gap_start, nx - 1 AS gap_end
+      FROM nxt WHERE nx > event_id + 1
+      UNION ALL
+      SELECT mn, (SELECT min(event_id) FROM ing) - 1 FROM bounds
+      WHERE (SELECT min(event_id) FROM ing) > mn
+      UNION ALL
+      SELECT (SELECT max(event_id) FROM ing) + 1, mx FROM bounds
+      WHERE (SELECT max(event_id) FROM ing) < mx
+    )
+    SELECT CAST(0 AS BIGINT) AS batch_id,
+           count(*)::BIGINT AS n_gaps,
+           CAST(coalesce(sum(gap_end - gap_start + 1), 0) AS BIGINT)
+             AS n_missing
+    FROM raw_gaps
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    """
+
+
+@query("q_stream_backfill", oracle=_backfill_oracle())
+def q_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live cursor-integrity monitoring — q_evt_gap_detection's
+    streaming twin and the operational loop the reference listener
+    runs: watch the feed for missing id ranges, dispatch backfill, and
+    watch the holes CLOSE. Two phases with a genuine checkpoint restart
+    (the house recipe): phase 1 streams the holey feed (every 97th id
+    missing) — the monitor reports the full gap census; phase 2 streams
+    the backfilled ids and resumes from the same checkpoint — the
+    monitor reports zero gaps. Each micro-batch re-detects over ALL ids
+    seen so far with detect_gaps, the SAME block-local detector the
+    batch planner uses, and logs one summary row per batch id
+    (idempotent overwrite deltas — exactly-once across the restart).
+
+    100 TB plan: per-batch state is the seen-id parquet; re-detection
+    cost is dominated by the block-grain aggregate, and an incremental
+    deployment re-detects only blocks the batch touched (the detector
+    is block-local by construction — that's WHY it isn't the oracle's
+    global sort). The summary log is one row per batch.
+    """
+    import os
+
+    from token_burn_listener_spark.operators.events import (
+        _GAP_DROP_MOD,
+        detect_gaps,
+    )
+
+    e = events_df(spark, sf_dir).select("event_id")
+    mn, mx = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    base = fresh_run_dir("bkf")
+    replay, seen, log, cp = (
+        f"{base}/replay",
+        f"{base}/seen",
+        f"{base}/log",
+        f"{base}/cp",
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{seen}/batch={batch_id}")
+        all_ids = spark.read.parquet(seen).select("event_id")
+        gaps = detect_gaps(spark, all_ids, mn, mx)
+        summary = gaps.agg(
+            F.count("*").alias("n_gaps"),
+            F.coalesce(
+                F.sum(F.col("gap_end") - F.col("gap_start") + 1), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_missing"),
+        )
+        summary.write.mode("overwrite").parquet(f"{log}/batch={batch_id}")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema("event_id long").parquet(replay)
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.awaitTermination()
+
+    holey = e.filter(F.col("event_id") % _GAP_DROP_MOD != 0)
+    missing = e.filter(F.col("event_id") % _GAP_DROP_MOD == 0)
+    holey.coalesce(1).write.parquet(replay)
+    run_once()
+    missing.coalesce(1).write.mode("append").parquet(replay)
+    run_once()  # RESTART from the same checkpoint: only the backfill is new
+    out = spark.read.parquet(log)
+    n_batches = out.select("batch").distinct().count()
+    if n_batches != 2:
+        raise AssertionError(
+            f"restart schedule broken: {n_batches} logged micro-batches"
+        )
+    return out.select(
+        F.col("batch").cast("long").alias("batch_id"), "n_gaps", "n_missing"
+    )
