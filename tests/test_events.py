@@ -314,3 +314,20 @@ def test_gap_detection_conserves_missing_ids(spark, sf_dir):
             # strictly separated: adjacent ranges would mean merge failed
             assert r.gap_start > prev_end + 1
         prev_end = r.gap_end
+
+
+def test_cumulative_uniques_converges_to_total_distinct(spark, sf_dir):
+    """The curve's defining identities: the final cumulative value is
+    the corpus's total distinct-user count, the series is
+    non-decreasing, Σ new_users telescopes to the same total, and the
+    day grid is dense (one row per calendar day, no holes)."""
+    rows = QUERIES["q_evt_cumulative_uniques"](spark, sf_dir).collect()
+    rows.sort(key=lambda r: r.rnk)
+    e = load_table(spark, sf_dir, "events")
+    total = e.select("user_id").distinct().count()
+    assert rows[-1].cum_users == total
+    assert sum(r.new_users for r in rows) == total
+    cums = [r.cum_users for r in rows]
+    assert cums == sorted(cums)
+    days = [r.day for r in rows]
+    assert len(days) == (days[-1] - days[0]).days + 1

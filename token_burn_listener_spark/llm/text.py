@@ -1754,3 +1754,102 @@ def q_llm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("w1", "w2", "c12", "c1", "p_kn", "rnk")
     )
+
+
+# Jaccard between two distinct-token chunk sets, as |A∩B| / (|A|+|B|-|A∩B|)
+# on exact integers (array_union would double-count nothing anyway, but the
+# 3-term identity needs one intersect per pair instead of two list ops).
+def _chunk_expr(start: str, length: str) -> str:
+    return f"array_distinct(slice(split(text, ' '), {start}, {length}))"
+
+
+@query(
+    "q_llm_topic_boundaries",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ), q AS (
+      SELECT doc_id, len(tok) // 4 AS qlen, tok FROM t
+    ), chunks AS (
+      SELECT doc_id,
+             list_distinct(tok[1 : qlen]) AS c1,
+             list_distinct(tok[qlen + 1 : 2 * qlen]) AS c2,
+             list_distinct(tok[2 * qlen + 1 : 3 * qlen]) AS c3,
+             list_distinct(tok[3 * qlen + 1 : len(tok)]) AS c4
+      FROM q
+    ), sims AS (
+      SELECT doc_id,
+             round(len(list_intersect(c1, c2))::DOUBLE
+                   / (len(c1) + len(c2) - len(list_intersect(c1, c2))), 6)
+               AS j12,
+             round(len(list_intersect(c2, c3))::DOUBLE
+                   / (len(c2) + len(c3) - len(list_intersect(c2, c3))), 6)
+               AS j23,
+             round(len(list_intersect(c3, c4))::DOUBLE
+                   / (len(c3) + len(c4) - len(list_intersect(c3, c4))), 6)
+               AS j34
+      FROM chunks
+    )
+    SELECT doc_id, j12, j23, j34,
+           CASE WHEN j12 <= j23 AND j12 <= j34 THEN 1
+                WHEN j23 <= j34 THEN 2 ELSE 3 END AS boundary_idx
+    FROM sims
+    """,
+)
+def q_llm_topic_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-style topic-boundary detection: split each document
+    into four token-quarters, measure vocabulary Jaccard between
+    adjacent quarters, and mark the weakest seam (lowest similarity,
+    earliest on ties) as the topic boundary — the signal long-document
+    chunkers use to cut at topic shifts instead of blind fixed strides
+    (cf. q_llm_chunk's stride form and q_llm_cdc_chunking's
+    content-defined form; this one is MEANING-defined).
+
+    Exactness: chunk bounds are integer arithmetic on the token count,
+    all set sizes are exact integers (|A∪B| via the 3-term identity, so
+    one intersect per pair is the only list op), the ratio is per-row
+    float with 6-dp round, and the argmin is a pure CASE over the three
+    rounded values — identical branch logic both engines.
+
+    100 TB plan: entirely map-side — per-row array ops inside
+    whole-stage codegen, no shuffle, no window, no join; the scan
+    prunes to (doc_id, text). This is the shape to prefer whenever a
+    per-document signal needs no cross-document context.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok_n = F.size(F.split("text", " "))
+    q = d.filter(tok_n >= 8).select(
+        "doc_id",
+        F.expr("size(split(text, ' ')) div 4").alias("qlen"),
+        F.expr("size(split(text, ' '))").alias("n"),
+    )
+    c1 = _chunk_expr("1", "qlen")
+    c2 = _chunk_expr("qlen + 1", "qlen")
+    c3 = _chunk_expr("2 * qlen + 1", "qlen")
+    c4 = _chunk_expr("3 * qlen + 1", "n - 3 * qlen")
+
+    def jac(a: str, b: str) -> str:
+        return (
+            f"round(CAST(size(array_intersect({a}, {b})) AS DOUBLE)"
+            f" / (size({a}) + size({b}) - size(array_intersect({a}, {b}))), 6)"
+        )
+
+    sims = d.join(q, "doc_id").select(
+        "doc_id",
+        F.expr(jac(c1, c2)).alias("j12"),
+        F.expr(jac(c2, c3)).alias("j23"),
+        F.expr(jac(c3, c4)).alias("j34"),
+    )
+    return sims.select(
+        "doc_id",
+        "j12",
+        "j23",
+        "j34",
+        F.when(
+            (F.col("j12") <= F.col("j23")) & (F.col("j12") <= F.col("j34")), 1
+        )
+        .when(F.col("j23") <= F.col("j34"), 2)
+        .otherwise(3)
+        .alias("boundary_idx"),
+    )

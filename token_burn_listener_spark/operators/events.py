@@ -2030,3 +2030,76 @@ def q_evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mod_z, 6).alias("mod_z"),
         )
     )
+
+
+@query(
+    "q_evt_cumulative_uniques",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, date_trunc('day', min(ts))::DATE AS d0 FROM events
+      GROUP BY user_id
+    ), bounds AS (
+      SELECT date_trunc('day', min(ts))::DATE AS mn,
+             date_trunc('day', max(ts))::DATE AS mx
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), new_u AS (
+      SELECT d0 AS day, count(*)::BIGINT AS new_users FROM first_day
+      GROUP BY d0
+    )
+    SELECT g.day, coalesce(n.new_users, 0) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0))
+                OVER (ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users,
+           row_number() OVER (ORDER BY g.day) AS rnk
+    FROM grid g LEFT JOIN new_u n ON n.day = g.day
+    """,
+)
+def q_evt_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users per day — THE scale-trap query done
+    right. The naive plan (count DISTINCT user over an expanding
+    day-window) re-scans and re-dedups the whole history per day:
+    O(days x corpus). The first-seen trick makes it linear: a user
+    contributes to cumulative uniqueness exactly once, on their first
+    active day — so aggregate min(ts) per user, count per day, and a
+    cumulative sum over the dense calendar grid reproduces every
+    expanding-window distinct count with ONE corpus pass. Zero-new-user
+    days stay on the curve (dense grid), which growth accounting needs.
+
+    Exactness: everything is integer counts over exact date keys.
+
+    100 TB plan: one partial+final per-user agg (the only corpus
+    shuffle), a day-grain rollup, and a cumulative window over the
+    calendar-bounded grid. The naive form at the same scale is
+    days x that — this key IS the documentation of why first-seen
+    beats expanding-window DISTINCT.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0")
+    )
+    bounds = e.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("mn"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("mx"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("day")
+    ).localCheckpoint(eager=False)
+    new_u = first_day.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(new_u, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(w_cum).cast("long").alias("cum_users"),
+            F.row_number().over(Window.orderBy("day")).alias("rnk"),
+        )
+    )

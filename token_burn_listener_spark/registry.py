@@ -227,6 +227,8 @@ DRIVER_ORDER: list[str] = [
     "q_evt_streaks",  # new r5: longest consecutive-day streak per user (islands)
     "q_evt_anomaly_mad",  # new r5: MAD modified z-score robust outlier gate
     "q_stream_backfill",  # new r5: streaming gap monitor, holes close after restart
+    "q_evt_cumulative_uniques",  # new r5: cumulative DAU via the first-seen trick
+    "q_llm_topic_boundaries",  # new r5: TextTiling-style weakest-seam detection
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",

@@ -122,6 +122,8 @@ ALLOW_SINGLE_PARTITION = {
                               # NDV-sized count table
     "q_llm_kneser_ney",  # [final-agg] 3-row context slice (TakeOrdered)
                          # + 1-row bigram-type total
+    "q_evt_cumulative_uniques",  # [rollup-win] cum window over the
+                                 # calendar-bounded day grid + 1-row bounds
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
