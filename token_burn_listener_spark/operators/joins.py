@@ -571,3 +571,70 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_neighbors"),
         )
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS c_event_id, user_id AS c_user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ), matched AS (
+      SELECT p.event_id, c.c_event_id, c.c_ts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.c_ts, c.c_event_id) AS rn
+      FROM p JOIN c
+        ON p.user_id = c.c_user_id
+       AND c.c_ts >= p.ts
+       AND c.c_ts <= p.ts + INTERVAL 1 HOUR
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           m.c_event_id AS next_click_id
+    FROM p LEFT JOIN (SELECT event_id, c_event_id FROM matched WHERE rn = 1) m
+      USING (event_id)
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: each purchase matched to the
+    user's EARLIEST click at-or-after it, but only within 1 hour — the
+    other half of the merge_asof API surface (q_join_asof is the
+    backward form; `tolerance` is what keeps a forward match from
+    latching onto a click three weeks later and calling it attribution).
+    Ties on equal click timestamps break on c_event_id ASC — fully
+    deterministic on both engines, where native ASOF JOIN leaves the
+    choice unspecified.
+
+    100 TB plan: identical cost envelope to the backward form — the
+    band condition (user equi-key + bounded time window) keeps the
+    pre-window pair count per purchase bounded by per-user activity
+    within ONE HOUR (the tolerance is also the join's pruning bound, a
+    fact a range-join-capable planner exploits directly); the pick
+    window partitions per purchase.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    matched = p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.c_ts >= p.ts)
+        & (c.c_ts <= p.ts + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy("c_ts", "c_event_id")
+    best = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", F.col("c_event_id").alias("next_click_id"))
+    )
+    return p.join(best, "event_id", "left").select(
+        "event_id", "user_id", "ts", "next_click_id"
+    )

@@ -229,6 +229,7 @@ DRIVER_ORDER: list[str] = [
     "q_stream_backfill",  # new r5: streaming gap monitor, holes close after restart
     "q_evt_cumulative_uniques",  # new r5: cumulative DAU via the first-seen trick
     "q_llm_topic_boundaries",  # new r5: TextTiling-style weakest-seam detection
+    "q_join_asof_forward",  # new r5: forward as-of join with 1h tolerance
     # --- driver-proven in r04 (rotated to the back) ---
     "q_arr_basic",
     "q_scan_orc",
