@@ -1819,8 +1819,11 @@ def q_llm_topic_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     tok_n = F.size(F.split("text", " "))
+    # carry text in the same projection — a join back to d would add a
+    # corpus shuffle and falsify the map-only claim below
     q = d.filter(tok_n >= 8).select(
         "doc_id",
+        "text",
         F.expr("size(split(text, ' ')) div 4").alias("qlen"),
         F.expr("size(split(text, ' '))").alias("n"),
     )
@@ -1835,7 +1838,7 @@ def q_llm_topic_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (size({a}) + size({b}) - size(array_intersect({a}, {b}))), 6)"
         )
 
-    sims = d.join(q, "doc_id").select(
+    sims = q.select(
         "doc_id",
         F.expr(jac(c1, c2)).alias("j12"),
         F.expr(jac(c2, c3)).alias("j23"),

@@ -2019,10 +2019,16 @@ def q_evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.percentile(F.abs(F.col("value") - F.col("med_v")), 0.5).alias("mad_v"))
         .localCheckpoint(eager=False)  # feeds the score and the filter
     )
-    mod_z = (F.col("value") - F.col("med_v")) / (_MAD_SCALE * F.col("mad_v"))
+    # NULL on mad_v == 0 (a MAD collapse on heavily-tied data): matches
+    # the oracle's NULL-drop division semantics; an unguarded division
+    # would THROW under Spark 4's default ANSI mode where DuckDB drops
+    mod_z = F.when(
+        F.col("mad_v") != 0,
+        (F.col("value") - F.col("med_v")) / (_MAD_SCALE * F.col("mad_v")),
+    )
     return (
         e.join(F.broadcast(mad), e["event_type"] == F.col("et"))
-        .filter(F.abs(F.col("value") - F.col("med_v")) / (_MAD_SCALE * F.col("mad_v")) > _MAD_CUT)
+        .filter(F.abs(mod_z) > _MAD_CUT)
         .select(
             "event_id",
             "event_type",

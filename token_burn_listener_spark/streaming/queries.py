@@ -1085,7 +1085,6 @@ def q_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     is block-local by construction — that's WHY it isn't the oracle's
     global sort). The summary log is one row per batch.
     """
-    import os
 
     from token_burn_listener_spark.operators.events import (
         _GAP_DROP_MOD,
