@@ -14,6 +14,17 @@ Run-to-run noise: back-to-back runs at sf0.1 vary ±0.3-0.6 s per key on
 the shared local[32] JVM (scheduler + GC, not plan changes) — r4's
 q_llm_corpus_prep "+28%" reading (3.05 s) re-measured at 2.18/2.77 s in r5
 with an untouched plan; judge deltas under ~0.7 s are noise, not drift.
+
+Known fixed floor — q_stream_tumbling (~3.2 s, flat r3→r5): this is a REAL
+Structured Streaming run (trigger scheduling, per-micro-batch planning,
+state store commit/checkpoint fsyncs), so its cost is micro-batch machinery,
+not the aggregation — its batch twin q_agg_time_rollup computes the
+identical rollup in ~0.52 s and IS the plan-quality signal; the streaming
+key is kept in the headline set to guard the machinery's overhead from
+regressing, and its number should be read against that ~2.7 s fixed floor
+(per-key micro-batch count is already minimal: availableNow over the
+pre-materialized replay). q_stream_upsert_latest (headliner since r6)
+guards the other stateful axis — keyed state + restart/merge-on-read.
 """
 
 from __future__ import annotations
@@ -49,6 +60,7 @@ HEADLINE_KEYS = [
     "q_llm_kl_divergence",  # decimal-fold mixture drift (new in r5)
     "q_llm_pq_adc",         # PQ encode + broadcast-LUT ADC search (new in r5)
     "q_evt_survival",       # Kaplan-Meier return-time curve (new in r5)
+    "q_stream_upsert_latest",  # keyed stateful upsert + merge-on-read (new in r6)
 ]
 
 

@@ -331,3 +331,36 @@ def test_cumulative_uniques_converges_to_total_distinct(spark, sf_dir):
     assert cums == sorted(cums)
     days = [r.day for r in rows]
     assert len(days) == (days[-1] - days[0]).days + 1
+
+
+def test_detect_gaps_exact_at_extreme_and_negative_ids(spark):
+    """ADVICE r5: block bucketing must be exact integer floor division.
+    The old `F.floor(event_id / 100)` path went through double division,
+    which rounds ids above 2^53 (e.g. 2^53+15 -> 2^53+16), bucketing rows
+    into a different block than the Python `//`-sized grid expects and
+    silently corrupting gap ranges. Pin both regimes: ids just past the
+    double-precision cliff, and negative ids (floor != truncate)."""
+    from token_burn_listener_spark.operators.events import detect_gaps
+
+    base = 2**53  # doubles can no longer represent every integer here
+    big_ids = (
+        [base + k for k in range(10)] + [base + 15] + [base + 230, base + 235]
+    )
+    ing = spark.createDataFrame([(i,) for i in big_ids], "event_id long")
+    got = sorted(
+        (r.gap_start, r.gap_end)
+        for r in detect_gaps(spark, ing, base, base + 235).collect()
+    )
+    assert got == [
+        (base + 10, base + 14),
+        (base + 16, base + 229),
+        (base + 231, base + 234),
+    ]
+
+    neg_ids = [-250, -249, -245, -232, -230]
+    ing_n = spark.createDataFrame([(i,) for i in neg_ids], "event_id long")
+    got_n = sorted(
+        (r.gap_start, r.gap_end)
+        for r in detect_gaps(spark, ing_n, -250, -230).collect()
+    )
+    assert got_n == [(-248, -246), (-244, -233), (-231, -231)]

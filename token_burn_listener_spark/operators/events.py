@@ -1534,10 +1534,13 @@ _XCORR_MAX_LAG = 12  # hours
 
 # Pearson r from the five integer sums — all-integer inputs make every
 # Σ exact on both engines; the single float expression is shared text.
+# NULLIF guards the zero-variance denominator (a constant series at some
+# lag): Spark would emit NaN/Infinity where DuckDB emits NULL — NULLIF
+# makes both engines yield a deterministic NULL r for degenerate lags.
 _XCORR_R = (
     "(n * sxy - sx * sy)"
-    " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
-    "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+    " / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+    "          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)"
 )
 
 
@@ -1575,7 +1578,8 @@ _XCORR_R = (
       GROUP BY l.lag
     )
     SELECT lag, n, round({_XCORR_R}, 6) AS r,
-           row_number() OVER (ORDER BY round({_XCORR_R}, 6) DESC, lag) AS rnk
+           row_number() OVER (ORDER BY round({_XCORR_R}, 6) DESC NULLS LAST,
+                              lag) AS rnk
     FROM sums
     """,
 )
@@ -1649,7 +1653,8 @@ def q_evt_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     r = F.round(F.expr(_XCORR_R), 6)
-    w = Window.orderBy(F.desc(r), "lag")
+    # NULLS LAST explicit on both engines (degenerate zero-variance lags)
+    w = Window.orderBy(F.desc_nulls_last(r), "lag")
     return sums.select(
         "lag", "n", r.alias("r"), F.row_number().over(w).alias("rnk")
     )
@@ -1828,9 +1833,16 @@ def detect_gaps(spark: SparkSession, ing: DataFrame, mn: int, mx: int) -> DataFr
     ids seen so far)."""
     # FLOOR division (not Spark's truncating `div`): must agree with the
     # Python `//` that sizes the grid below, or negative-id feeds would
-    # bucket rows into a different block than the grid expects
+    # bucket rows into a different block than the grid expects. Kept in
+    # exact INTEGER arithmetic — F.floor(col / B) goes through double
+    # division, which mis-buckets |event_id| >= 2^53; subtracting the
+    # (always non-negative) pmod first makes the dividend an exact
+    # multiple of B, so truncating `div` == floor at any long magnitude.
     blk = ing.withColumn(
-        "b", F.floor(F.col("event_id") / _GAP_BLK).cast("long")
+        "b",
+        F.expr(
+            f"(event_id - pmod(event_id, {_GAP_BLK})) div {_GAP_BLK}"
+        ).cast("long"),
     )
     w_blk = Window.partitionBy("b").orderBy("event_id")
     intra = (
@@ -1982,9 +1994,10 @@ _MAD_CUT = 3.5  # Iglewicz-Hoaglin modified z-score cutoff
       GROUP BY et, med_v
     )
     SELECT event_id, e.event_type, round(value, 6) AS value,
-           round((value - med_v) / ({_MAD_SCALE} * mad_v), 6) AS mod_z
+           round((value - med_v) / ({_MAD_SCALE} * NULLIF(mad_v, 0)), 6)
+             AS mod_z
     FROM events e JOIN mad ON e.event_type = mad.et
-    WHERE abs(value - med_v) / ({_MAD_SCALE} * mad_v) > {_MAD_CUT}
+    WHERE abs(value - med_v) / ({_MAD_SCALE} * NULLIF(mad_v, 0)) > {_MAD_CUT}
     """,
 )
 def q_evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2019,9 +2032,11 @@ def q_evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.percentile(F.abs(F.col("value") - F.col("med_v")), 0.5).alias("mad_v"))
         .localCheckpoint(eager=False)  # feeds the score and the filter
     )
-    # NULL on mad_v == 0 (a MAD collapse on heavily-tied data): matches
-    # the oracle's NULL-drop division semantics; an unguarded division
-    # would THROW under Spark 4's default ANSI mode where DuckDB drops
+    # NULL on mad_v == 0 (a MAD collapse on heavily-tied data): the
+    # oracle encodes the SAME guard via NULLIF(mad_v, 0), so parity no
+    # longer depends on any engine's float-division-by-zero default
+    # (DuckDB 1.0 yields NULL, newer builds IEEE inf; Spark's ANSI mode
+    # would THROW) — both sides now deterministically drop those rows
     mod_z = F.when(
         F.col("mad_v") != 0,
         (F.col("value") - F.col("med_v")) / (_MAD_SCALE * F.col("mad_v")),

