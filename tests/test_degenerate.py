@@ -1,0 +1,151 @@
+"""Degenerate-data parity: prove the NULLIF/zero-guards on BOTH engines.
+
+The sf fixtures never exercise the guards added for ADVICE r5 (and the
+round-6 sweep of the same defect class): MAD collapse on heavily-tied
+values, zero-variance series in the cross-correlation, zero-variance
+arms in the Welch t-test. A guard that only one engine honors is a
+latent parity break that check_parity cannot see — so this suite builds
+tiny ADVERSARIAL events tables (constant values, constant hourly
+series), runs the registered Spark query AND its DuckDB oracle over the
+same parquet, and applies check_parity's own compare() — the identical
+row/column/value check the driver uses, now on inputs chosen to hit the
+degenerate branches.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from token_burn_listener_spark.registry import ORACLES, QUERIES, load_all_modules
+
+load_all_modules()
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _check_parity_module():
+    spec = importlib.util.spec_from_file_location(
+        "check_parity", os.path.join(_ROOT, "tools", "check_parity.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+compare = _check_parity_module().compare
+
+_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in µs
+
+
+def _write_events(dirpath: str, rows: list[tuple[int, int, int, str, float]]) -> str:
+    """Write an events.parquet matching the fixture schema (FIXTURES.md):
+    ts is nanosecond-precision, exactly like the driver-generated tables,
+    so tables.load_table's nanosAsLong conversion path is exercised too.
+    rows: (event_id, ts_offset_us from _BASE_US, user_id, event_type, value).
+    """
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [(_BASE_US + r[1]) * 1000 for r in rows], pa.timestamp("ns")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(dirpath, "events.parquet"))
+    return dirpath
+
+
+def _run_both(key: str, sf_dir: str, spark):
+    sdf = QUERIES[key](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    ddf = con.execute(ORACLES[key]).df()
+    problems = compare(key, sdf, ddf, strict_types=True)
+    assert not problems, f"{key} diverged on degenerate data: {problems}"
+    return sdf
+
+
+HOUR_US = 3_600_000_000
+
+
+def test_anomaly_mad_collapse_drops_identically(spark, tmp_path):
+    """One event_type is >50% a single value (MAD = 0, the collapse the
+    guard exists for) yet carries a wild outlier; another type is
+    well-spread. Both engines must drop every collapsed-type row (the
+    outlier included — modified z is undefined there, an upstream
+    policy decision, not a detection) and still flag the spread type's
+    outlier."""
+    rows = []
+    # MAD-collapse type: 9 ties + one enormous spike
+    for i in range(9):
+        rows.append((i, i * HOUR_US, i, "tied", 5.0))
+    rows.append((9, 9 * HOUR_US, 9, "tied", 1e6))
+    # healthy type: linear spread + one outlier far past 3.5 modified z
+    for i in range(9):
+        rows.append((100 + i, i * HOUR_US, i, "spread", 10.0 + i))
+    rows.append((109, 9 * HOUR_US, 9, "spread", 500.0))
+    sf = _write_events(str(tmp_path), rows)
+    out = _run_both("q_evt_anomaly_mad", sf, spark)
+    assert set(out["event_type"]) == {"spread"}
+    assert 109 in set(out["event_id"])
+    assert not any(out["event_type"] == "tied")
+
+
+def test_xcorr_constant_series_yields_null_r_identically(spark, tmp_path):
+    """The click series is exactly 1 event per hour (zero variance at
+    every lag): Pearson r is undefined, so every lag must come back
+    NULL — not NaN on one engine and NULL on the other — and the rank
+    column must still be a deterministic 1..N (NULLS LAST + lag
+    tie-break on both engines)."""
+    rows = []
+    eid = 0
+    for h in range(36):
+        rows.append((eid, h * HOUR_US, h % 5, "click", 1.0))
+        eid += 1
+        # purchases vary: h % 3 extra events in the same hour
+        for k in range(h % 3):
+            rows.append((eid, h * HOUR_US + k + 1, h % 5, "purchase", 1.0))
+            eid += 1
+    sf = _write_events(str(tmp_path), rows)
+    out = _run_both("q_evt_xcorr", sf, spark)
+    assert out["r"].isna().all()
+    assert sorted(out["rnk"]) == list(range(1, len(out) + 1))
+    # NULLS LAST + lag tie-break == rank follows ascending lag exactly
+    assert list(out.sort_values("rnk")["lag"]) == sorted(out["lag"])
+
+
+def test_ab_test_zero_variance_arms_yield_null_t_identically(spark, tmp_path):
+    """Every event of one type has the same value, so both arms have
+    zero sample variance and the Welch denominator is 0: t must be NULL
+    on both engines (not Infinity/NaN on Spark), and the row itself must
+    survive with its means intact."""
+    rows = []
+    # enough distinct users that the sha-based split populates both arms;
+    # constant value => var_samp = 0 in each arm (n >= 2 per arm)
+    for i in range(40):
+        rows.append((i, i * HOUR_US // 4, i, "constant", 7.5))
+    # a healthy type as the control: values vary with the user id
+    for i in range(40):
+        rows.append((100 + i, i * HOUR_US // 4, i, "varying", float(1 + i)))
+    sf = _write_events(str(tmp_path), rows)
+    out = _run_both("q_evt_ab_test", sf, spark)
+    const = out[out["event_type"] == "constant"]
+    assert len(const) == 1
+    assert const["t_stat"].isna().all()
+    assert float(const["mean_a"].iloc[0]) == 7.5
+    vary = out[out["event_type"] == "varying"]
+    assert len(vary) == 1 and vary["t_stat"].notna().all()

@@ -617,9 +617,11 @@ _PRUNE_SIM = 0.35
       FROM embeddings
     )
     SELECT vec_id, v.label,
-           round(sum(val * c) / (sqrt(sum(val * val)) * sqrt(sum(c * c))), 6)
+           round(sum(val * c)
+                 / NULLIF(sqrt(sum(val * val)) * sqrt(sum(c * c)), 0), 6)
              AS centroid_sim,
-           (sum(val * c) / (sqrt(sum(val * val)) * sqrt(sum(c * c)))
+           (sum(val * c)
+            / NULLIF(sqrt(sum(val * val)) * sqrt(sum(c * c)), 0)
             >= {_PRUNE_SIM}) AS pruned
     FROM v JOIN cent ON v.label = cent.label AND v.pos = cent.pos
     GROUP BY 1, 2
@@ -651,9 +653,14 @@ def q_llm_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.groupBy(F.col("label").alias("cl"), F.col("pos").alias("cp"))
         .agg(F.round(F.avg("val"), 6).alias("c"))
     )
-    sim = F.sum(F.col("val") * F.col("c")) / (
+    # NULLIF (both engines): an all-zero vector or centroid would zero the
+    # denominator — Spark emits NaN where DuckDB emits NULL; cosine is
+    # undefined there, so both sides yield a deterministic NULL (and a
+    # NULL `pruned` flag — such vectors need an explicit policy upstream)
+    sim = F.sum(F.col("val") * F.col("c")) / F.nullif(
         F.sqrt(F.sum(F.col("val") * F.col("val")))
-        * F.sqrt(F.sum(F.col("c") * F.col("c")))
+        * F.sqrt(F.sum(F.col("c") * F.col("c"))),
+        F.lit(0.0),
     )
     return (
         v.join(

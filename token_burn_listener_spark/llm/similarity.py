@@ -42,6 +42,14 @@ def dot(a, b) -> Column:
 
 
 def l2(a) -> Column:
+    """L2 norm. Data contract: embeddings are non-zero vectors (the
+    fixture generator guarantees it; a production pipeline must drop or
+    impute zero/missing vectors upstream). On a zero vector cosine is
+    undefined and BOTH engines degrade the same undefined way (NaN from
+    the 0/0 — DuckDB's list_cosine_similarity divides identically), so
+    the keys sharing that builtin oracle stay unguarded by design; keys
+    with hand-written norms on both sides (q_llm_semantic_prune,
+    q_evt_profile_similarity-style) carry explicit NULLIF guards."""
     return F.sqrt(dot(a, a))
 
 

@@ -937,7 +937,8 @@ def q_evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.event_type,
            CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
            round(a.mu, 6) AS mean_a, round(b.mu, 6) AS mean_b,
-           round((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat
+           round((a.mu - b.mu) / NULLIF(sqrt(a.v / a.n + b.v / b.n), 0),
+                 6) AS t_stat
     FROM stats a JOIN stats b USING (event_type)
     WHERE a.arm = 'A' AND b.arm = 'B'
     """,
@@ -992,9 +993,17 @@ def q_evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.round("mu_a", 6).alias("mean_a"),
             F.round("mu_b", 6).alias("mean_b"),
+            # NULLIF (both engines): two zero-variance arms give a 0
+            # denominator — Spark would emit NaN/Infinity where DuckDB
+            # emits NULL; t undefined there, so a deterministic NULL
             F.round(
                 (F.col("mu_a") - F.col("mu_b"))
-                / F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")),
+                / F.nullif(
+                    F.sqrt(
+                        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+                    ),
+                    F.lit(0.0),
+                ),
                 6,
             ).alias("t_stat"),
         )

@@ -62,6 +62,12 @@ PROBE_KEYS = [
     "q_llm_kl_divergence",
     "q_evt_survival",
     "q_llm_pq_adc",
+    # r6 additions: the block-local gap detector (its output tracks MISSING
+    # data, so the probe checks the detection machinery scales with input,
+    # not gaps) and the first-seen cumulative-uniques (the documented
+    # days×corpus trap — the probe proves the one-pass form stays linear)
+    "q_evt_gap_detection",
+    "q_evt_cumulative_uniques",
 ]
 
 
