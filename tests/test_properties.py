@@ -272,3 +272,48 @@ def test_flag_canonical_matches_reference_walk(spark, hmax, forks):
         if r.canonical
     }
     assert got == _reference_canonical(blocks, _REORG_DEPTH)
+
+
+# ---------------------------------------------------------------------------
+# Gap detection vs a complement-interval reference on random id sets.
+# The in-fixture oracle only sees the one deterministic drop pattern
+# (event_id % 7 == 0); this exercises arbitrary presence sets — and at
+# three base magnitudes, including past the double-precision integer
+# cliff (2^53) where the pre-r6 float bucketing silently mis-binned.
+
+
+def _reference_gaps(present: set[int], mn: int, mx: int) -> list[tuple[int, int]]:
+    out = []
+    run = None
+    for i in range(mn, mx + 1):
+        if i not in present:
+            run = (run[0], i) if run else (i, i)
+        elif run:
+            out.append(run)
+            run = None
+    if run:
+        out.append(run)
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.sampled_from([-300, 0, 2**53]),
+    offsets=st.sets(st.integers(0, 119), min_size=1, max_size=80),
+)
+def test_detect_gaps_matches_complement_reference(spark, base, offsets):
+    from token_burn_listener_spark.operators.events import detect_gaps
+
+    ids = sorted(base + o for o in offsets)
+    mn, mx = ids[0], ids[-1]
+    ing = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    got = sorted(
+        (r.gap_start, r.gap_end)
+        for r in detect_gaps(spark, ing, mn, mx).collect()
+    )
+    assert got == _reference_gaps(set(ids), mn, mx)
