@@ -1,17 +1,20 @@
 """One-command verification: every gate in the order the drivers run them.
 
-Chains the six checks documented in .claude/skills/verify/SKILL.md —
-driver-contract simulation, full DuckDB oracle parity, the pytest suite,
-the physical-plan audit, the bench record, and the docs-drift gate — each
-in a FRESH subprocess (the external drivers are separate processes too,
-and a shared session would mask conf-dependent bugs like the
-nanosAsLong runtime flip). Prints one PASS/FAIL line per gate and exits
-non-zero if any gate fails. Runs are sequential on purpose: scratch-dir
-materialization is safe per-process, not cross-process.
+Chains the seven checks documented in .claude/skills/verify/SKILL.md —
+driver-contract simulation, full DuckDB oracle parity, the next driver
+window rehearsed under a VANILLA session (tools/rehearse_window.py, r6),
+the pytest suite, the physical-plan audit, the bench record, and the
+docs-drift gate — each in a FRESH subprocess (the external drivers are
+separate processes too, and a shared session would mask conf-dependent
+bugs like the nanosAsLong runtime flip). Prints one PASS/FAIL line per
+gate and exits non-zero if any gate fails. Runs are sequential on
+purpose: scratch-dir materialization is safe per-process, not
+cross-process.
 
 Usage: python tools/verify_all.py [--fast]
-  --fast skips the two long gates (full parity, bench) for a quick
-  inner-loop check; a round must ship only after a FULL run.
+  --fast skips the three long gates (full parity, window rehearsal,
+  bench) for a quick inner-loop check; a round must ship only after a
+  FULL run.
 """
 
 from __future__ import annotations
@@ -78,6 +81,10 @@ def main() -> int:
         gates.insert(
             1, ("parity", [py, "tools/check_parity.py", "--strict-types"], " 0 fail")
         )
+        # the NEXT driver window, exactly as the driver will run it
+        # (vanilla session, contract import) — catches session-conf
+        # dependencies that get_spark-based parity can mask
+        gates.insert(2, ("window", [py, "tools/rehearse_window.py"], " 0 fail"))
         gates.append(("bench", [py, "bench.py"], '"failed": []'))
     results = [run(name, cmd, expect) for name, cmd, expect in gates]
     n_fail = results.count(False)
