@@ -637,6 +637,9 @@ def q_llm_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .groupBy(F.lower("tok").alias("token"))
         .agg(F.count("*").alias("exact_cnt"))
+        # pinned: cnt feeds the sketch build, the estimate join, and the
+        # top-k — unpinned, the token explode+shuffle re-runs per branch
+        .localCheckpoint(eager=False)
     )
     sha = F.sha2("token", 256)
     hs = F.explode(

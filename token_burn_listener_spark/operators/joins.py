@@ -458,14 +458,21 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    dim_keys = c.select("c_custkey")
+    # pinned: dim_keys feeds the bitmap build AND the exact semi join;
+    # words is probed by THREE broadcast joins below — unpinned, each
+    # reference re-scanned customer (4 static scans measured; now 1)
+    dim_keys = c.select("c_custkey").localCheckpoint(eager=False)
     bits = dim_keys.select(
         F.explode(F.array(*positions("c_custkey"))).alias("pos")
     ).distinct()
-    words = bits.groupBy((F.col("pos") / 64).cast("long").alias("widx")).agg(
-        F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")).alias(
-            "word"
+    words = (
+        bits.groupBy((F.col("pos") / 64).cast("long").alias("widx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
+            ).alias("word")
         )
+        .localCheckpoint(eager=False)  # the ~1 KiB bitmap, built once
     )
 
     o = load_table(spark, sf_dir, "orders").select(

@@ -183,14 +183,11 @@ ALLOW_NESTED_LOOP = {
 }
 
 # Keys allowed to statically scan one table >= 4 times (each a by-design
-# shape, not a shared-subtree blowup):
-ALLOW_RESCAN = {
-    "q_cdc_merge",   # 4 DIFFERENT pushed filters of orders synthesize the
-                     # base + 3-op changelog (fixture stand-in; production
-                     # reads a real log table — one scan each)
-    "q_join_bloom",  # the bloom build pass + probe pass scan the same
-                     # table by construction (runtime-filter demo)
-}
+# shape, not a shared-subtree blowup). Emptied in r6: q_cdc_merge and
+# q_join_bloom — the former members — now pin their shared subtree with
+# localCheckpoint (orders-projection / bloom bitmap built once), so any
+# future >= 4x rescan is a regression this gate should flag again.
+ALLOW_RESCAN: set[str] = set()
 
 # B11 exists to prove the Python surface; Python eval is expected there.
 # The q_src_* keys are the custom Python DataSource (sources/feed.py):
