@@ -66,13 +66,34 @@ def _write_events(dirpath: str, rows: list[tuple[int, int, int, str, float]]) ->
     return dirpath
 
 
+def _write_embeddings(
+    dirpath: str, rows: list[tuple[int, list[float], int]]
+) -> str:
+    """Write an embeddings.parquet matching the fixture schema
+    (vec_id int64, embedding list<float>, label int32)."""
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(dirpath, "embeddings.parquet"))
+    return dirpath
+
+
 def _run_both(key: str, sf_dir: str, spark):
     sdf = QUERIES[key](spark, sf_dir).toPandas()
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/events.parquet')"
-    )
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            t = f[: -len(".parquet")]
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, f)}')"
+            )
     ddf = con.execute(ORACLES[key]).df()
     problems = compare(key, sdf, ddf, strict_types=True)
     assert not problems, f"{key} diverged on degenerate data: {problems}"
@@ -149,3 +170,44 @@ def test_ab_test_zero_variance_arms_yield_null_t_identically(spark, tmp_path):
     assert float(const["mean_a"].iloc[0]) == 7.5
     vary = out[out["event_type"] == "varying"]
     assert len(vary) == 1 and vary["t_stat"].notna().all()
+
+
+def test_survival_total_return_pins_curve_to_zero(spark, tmp_path):
+    """Every user returns at exactly the same 1-hour gap and every last
+    event lands on the corpus end (censor duration 0): the 1 h bucket has
+    n_events == n_risk, where the raw Kaplan-Meier factor is ln(0). The
+    `dead` flag must pin survival to exactly 0.0 — identically on both
+    engines — instead of one engine's ln(0) = -inf and the other's NULL."""
+    rows = []
+    eid = 0
+    for uid in (1, 2):
+        for h in (0, 1, 2):
+            rows.append((eid, h * HOUR_US, uid, "click", 1.0))
+            eid += 1
+    sf = _write_events(str(tmp_path), rows)
+    out = _run_both("q_evt_survival", sf, spark)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["dur_h"], r["n_events"], r["n_risk"]) == (1, 4, 4)
+    assert r["survival"] == 0.0
+
+
+def test_semantic_prune_zero_vector_yields_null_identically(spark, tmp_path):
+    """A zero embedding has no defined cosine to its centroid: the
+    NULLIF-guarded norms must yield NULL centroid_sim AND a NULL pruned
+    flag on both engines (not NaN on one and NULL on the other), while
+    the healthy vectors in the same cluster keep real scores."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 0.0, 0.0], 0),  # the degenerate vector
+        (3, [0.0, 0.0, 1.0, 1.0], 1),
+        (4, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    sf = _write_embeddings(str(tmp_path), rows)
+    out = _run_both("q_llm_semantic_prune", sf, spark)
+    z = out[out["vec_id"] == 2]
+    assert len(z) == 1
+    assert z["centroid_sim"].isna().all() and z["pruned"].isna().all()
+    healthy = out[out["vec_id"] != 2]
+    assert healthy["centroid_sim"].notna().all()
