@@ -19,12 +19,18 @@ Known fixed floor — q_stream_tumbling (~3.2 s, flat r3→r5): this is a REAL
 Structured Streaming run (trigger scheduling, per-micro-batch planning,
 state store commit/checkpoint fsyncs), so its cost is micro-batch machinery,
 not the aggregation — its batch twin q_agg_time_rollup computes the
-identical rollup in ~0.52 s and IS the plan-quality signal; the streaming
-key is kept in the headline set to guard the machinery's overhead from
-regressing, and its number should be read against that ~2.7 s fixed floor
+identical rollup in ~0.52 s and IS the plan-quality signal. The floor was
+MEASURED in r6 by running a stateless pass-through stream (same replay
+source, same run_to_memory harness, projection only, no state): 2.24 s —
+i.e. ~2/3 of tumbling's 3.3 s is stream start/checkpoint/stop machinery
+that exists before any aggregation, and the stateful rollup adds ~1.2 s
+(vs 0.7 s batch: the delta is state-store commit per partition). The
+streaming key stays in the headline set to guard that machinery overhead
+from regressing; read its number against the ~2.2 s measured floor
 (per-key micro-batch count is already minimal: availableNow over the
-pre-materialized replay). q_stream_upsert_latest (headliner since r6)
-guards the other stateful axis — keyed state + restart/merge-on-read.
+single-file pre-materialized replay). q_stream_upsert_latest (headliner
+since r6) guards the other stateful axis — keyed state + restart/
+merge-on-read.
 """
 
 from __future__ import annotations
