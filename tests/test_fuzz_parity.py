@@ -1,0 +1,75 @@
+"""Property-based cross-engine fuzzing: random events tables through BOTH
+engines.
+
+check_parity proves Spark ≡ DuckDB on the ONE driver-generated
+distribution; test_degenerate.py proves hand-picked adversarial inputs.
+This suite closes the space in between: hypothesis generates random
+events tables — with deliberately collision-prone domains — and asserts
+exact parity on the keys whose semantics live at boundaries the fixture
+rarely hits:
+
+- timestamps quantized to 5-minute slots, so EXACT 30-minute session
+  gaps, exact as-of tolerance edges, and cross-user ts ties are common
+  rather than measure-zero;
+- values quantized to multiples of 0.25 (exact dyadic doubles), so sums
+  are exact and 6-dp rounding cannot straddle a half-ulp boundary
+  differently per engine;
+- several users over several days, so day-grain keys (streaks,
+  cumulative uniques) see both dense runs and holes.
+
+Derandomized (fixed seed) so CI stays deterministic.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.test_degenerate import _run_both, _write_events
+
+_FIVE_MIN_US = 300_000_000
+_DAY_SLOTS = 288  # 5-min slots per day
+
+# (user_id, day, slot): small domains on purpose — ties and exact-gap
+# collisions should be COMMON in the sample, not rare
+_event = st.tuples(
+    st.integers(0, 3),  # user_id
+    st.integers(0, 13),  # day
+    st.integers(0, 47),  # 5-min slot within the first 4 hours of the day
+    st.sampled_from(["click", "purchase", "view", "signup"]),
+    st.integers(0, 400),  # value = this / 4 (exact dyadic)
+)
+
+_FUZZ_KEYS = [
+    "q_evt_sessionize",  # >= 30-min gap boundary (half-open session_window)
+    "q_join_asof_forward",  # 1 h tolerance edge + equi-key tie-breaks
+    "q_evt_streaks",  # consecutive-day islands with duplicate days
+    "q_evt_transitions",  # per-user (ts, event_id) ordered lag pairs
+    "q_evt_resample",  # dense hour grid between data-derived bounds
+    "q_evt_cumulative_uniques",  # first-seen trick over the day grid
+    "q_evt_dynamic_sessions",  # per-event dynamic gap (type-dependent)
+    "q_evt_rolling_active",  # DAU/WAU day-grid range join
+]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=st.lists(_event, min_size=5, max_size=60))
+def test_random_events_tables_match_duckdb(spark, tmp_path_factory, events):
+    rows = [
+        (
+            eid,
+            (day * _DAY_SLOTS + slot) * _FIVE_MIN_US,
+            uid,
+            etype,
+            val / 4.0,
+        )
+        for eid, (uid, day, slot, etype, val) in enumerate(events)
+    ]
+    sf = _write_events(str(tmp_path_factory.mktemp("fuzz")), rows)
+    for key in _FUZZ_KEYS:
+        _run_both(key, sf, spark)
