@@ -73,3 +73,67 @@ def test_random_events_tables_match_duckdb(spark, tmp_path_factory, events):
     sf = _write_events(str(tmp_path_factory.mktemp("fuzz")), rows)
     for key in _FUZZ_KEYS:
         _run_both(key, sf, spark)
+
+
+# ---------------------------------------------------------------------------
+# Documents fuzz: random word-salad corpora with deliberately SHORT texts,
+# heavy word repetition, and exact duplicate documents — the branches the
+# text-analytics guards exist for (texts narrower than the shingle/chunk
+# width, 100%-repetition docs, duplicate fingerprints) but the fixture's
+# 48..553-char texts never produce.
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_VOCAB = ["a", "bb", "the", "token", "burn", "of", "xylophone", "data"]
+
+
+def _write_documents(dirpath: str, texts: list[str]) -> str:
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(
+                [["de", "en", "es", "fr", "zh"][i % 5] for i in range(len(texts))],
+                pa.string(),
+            ),
+            "source": pa.array(
+                [f"src{i % 4}" for i in range(len(texts))], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(dirpath, "documents.parquet"))
+    return dirpath
+
+
+_DOC_FUZZ_KEYS = [
+    "q_llm_ngrams",  # 3-gram explode on possibly-1-token docs
+    "q_llm_doc_stats",  # per-source aggregates over tiny corpora
+    "q_llm_token_count",  # whitespace tokenization exactness
+    "q_llm_repetition",  # distinct/total gram ratio, 100%-repeat docs
+    "q_llm_fingerprint",  # rolling-hash fingerprints incl. exact dups
+    "q_llm_chunk",  # stride chunking of docs shorter than one chunk
+    "q_llm_quality_score",  # length/stopword ratio mix on short docs
+    "q_llm_jaccard_pairs",  # shingle guard: texts narrower than 5 chars
+    "q_llm_text_filter",  # gate predicates at their thresholds
+]
+
+_doc = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12).map(
+    " ".join
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_doc, min_size=2, max_size=25))
+def test_random_documents_tables_match_duckdb(spark, tmp_path_factory, texts):
+    sf = _write_documents(str(tmp_path_factory.mktemp("docfuzz")), texts)
+    for key in _DOC_FUZZ_KEYS:
+        _run_both(key, sf, spark)
