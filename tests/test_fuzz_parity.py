@@ -49,6 +49,8 @@ _FUZZ_KEYS = [
     "q_evt_cumulative_uniques",  # first-seen trick over the day grid
     "q_evt_dynamic_sessions",  # per-event dynamic gap (type-dependent)
     "q_evt_rolling_active",  # DAU/WAU day-grid range join
+    "q_cdc_scd2",  # SCD2 interval tiling with ts ties
+    "q_cdc_pit_join",  # AS OF version resolution at boundary instants
 ]
 
 
@@ -136,4 +138,62 @@ _doc = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12).map(
 def test_random_documents_tables_match_duckdb(spark, tmp_path_factory, texts):
     sf = _write_documents(str(tmp_path_factory.mktemp("docfuzz")), texts)
     for key in _DOC_FUZZ_KEYS:
+        _run_both(key, sf, spark)
+
+
+# ---------------------------------------------------------------------------
+# Orders fuzz: the CDC keys synthesize their snapshots/changelogs from
+# key-modulus arithmetic over orders (mod 2/3/10 for snapshot-diff,
+# mod 2/5/7/11 for MERGE) — random unique key sets exercise every
+# membership-combination branch (kept / inserted / updated / deleted /
+# delete-then-reinsert), where the fixture's dense 0..N keys walk the
+# residues in one fixed pattern.
+
+
+_1995_MS = 788_918_400_000  # 1995-01-01 UTC — fixture o_orderdate is ms
+
+
+def _write_orders(dirpath: str, keys: list[int], prices: list[float]) -> str:
+    # dates fan out from 1995 at ~5-month steps per key residue, so the
+    # incr-agg 1997-01-01 base/delta cutoff lands INSIDE the generated
+    # range (both branches populated) for any non-tiny key set
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "o_custkey": pa.array([k % 6 for k in keys], pa.int64()),
+            "o_totalprice": pa.array(prices, pa.float64()),
+            "o_orderdate": pa.array(
+                [_1995_MS + (k % 12) * 13_000_000_000 for k in keys],
+                pa.timestamp("ms"),
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(dirpath, "orders.parquet"))
+    return dirpath
+
+
+_ORDERS_FUZZ_KEYS = [
+    "q_cdc_snapshot_diff",  # insert/delete/update branch per key residue
+    "q_cdc_merge",  # latest-op-wins incl. delete-then-reinsert
+    "q_cdc_incr_agg",  # partial-agg merge over random custkey groups
+]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.sets(st.integers(0, 154), min_size=3, max_size=60),
+    price_seed=st.lists(st.integers(1, 4000), min_size=60, max_size=60),
+)
+def test_random_orders_tables_match_duckdb(
+    spark, tmp_path_factory, keys, price_seed
+):
+    ks = sorted(keys)
+    prices = [price_seed[i % len(price_seed)] / 4.0 for i in range(len(ks))]
+    sf = _write_orders(str(tmp_path_factory.mktemp("ordfuzz")), ks, prices)
+    for key in _ORDERS_FUZZ_KEYS:
         _run_both(key, sf, spark)
