@@ -176,6 +176,20 @@ _ORDERS_FUZZ_KEYS = [
     "q_cdc_snapshot_diff",  # insert/delete/update branch per key residue
     "q_cdc_merge",  # latest-op-wins incl. delete-then-reinsert
     "q_cdc_incr_agg",  # partial-agg merge over random custkey groups
+    # B5/B6 window-and-sort keys: the generator's duplicate o_orderdate
+    # values (12 distinct dates) make RANGE-frame peer groups and ordering
+    # ties COMMON, and the shrunk price lists make rank ties on
+    # o_totalprice common — exactly where an under-specified total order
+    # would diverge between engines
+    "q_win_row_number",
+    "q_win_running",
+    "q_win_range_frame",
+    "q_win_first_last",
+    "q_win_topk_group",
+    "q_topk_global",
+    "q_limit",
+    "q_agg_minmax_by",
+    "q_agg_having",
 ]
 
 
