@@ -51,6 +51,20 @@ _FUZZ_KEYS = [
     "q_evt_rolling_active",  # DAU/WAU day-grid range join
     "q_cdc_scd2",  # SCD2 interval tiling with ts ties
     "q_cdc_pit_join",  # AS OF version resolution at boundary instants
+    "q_join_asof",  # backward as-of matching at exact-tie instants
+    "q_evt_funnel",  # ordered step matching on sparse conversions
+    "q_evt_funnel_latency",  # step-gap percentiles incl. zero gaps
+    "q_evt_windowed_funnel",  # deadline boundary (gap == window edge)
+    "q_evt_attribution",  # lookback boundary + same-instant touchpoints
+    "q_evt_retention",  # day-grain cohort buckets
+    "q_evt_cohort_ltv",  # week cohorts + cumulative curves
+    "q_evt_rfm",  # ntile terciles over heavily-tied scores
+    "q_evt_histogram",  # fixed-width value bins at bin edges
+    "q_evt_anomaly",  # mean/stddev gate on tiny tied groups
+    "q_evt_forecast_naive",  # 24 h self-join on sparse hour sets
+    "q_evt_pareto",  # top-decile cutoff with tied totals
+    "q_evt_paths",  # 3-step lead paths with ts ties
+    "q_agg_time_rollup",  # hour-grain rollup (the batch twin)
 ]
 
 

@@ -1022,7 +1022,7 @@ def q_evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN total >= p90 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_top_users,
            round(sum(CASE WHEN total >= p90 THEN total ELSE 0 END)
-                 / sum(total), 6) AS top_decile_share
+                 / NULLIF(sum(total), 0), 6) AS top_decile_share
     FROM u, thr
     """,
 )
@@ -1049,8 +1049,13 @@ def q_evt_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_users"),
             F.sum(F.when(top, 1).otherwise(0)).alias("n_top_users"),
+            # NULLIF (both engines): an all-zero-value corpus zeroes the
+            # denominator — Spark 4's ANSI mode THROWS on the division
+            # where DuckDB yields NULL (found by tests/test_fuzz_parity);
+            # concentration share is undefined there, so NULL on both
             F.round(
-                F.sum(F.when(top, F.col("total")).otherwise(0.0)) / F.sum("total"),
+                F.sum(F.when(top, F.col("total")).otherwise(0.0))
+                / F.nullif(F.sum("total"), F.lit(0.0)),
                 6,
             ).alias("top_decile_share"),
         )
