@@ -135,6 +135,16 @@ _DOC_FUZZ_KEYS = [
     "q_llm_quality_score",  # length/stopword ratio mix on short docs
     "q_llm_jaccard_pairs",  # shingle guard: texts narrower than 5 chars
     "q_llm_text_filter",  # gate predicates at their thresholds
+    "q_llm_lang_id",  # n-gram heuristic on single-word docs
+    "q_llm_winnow",  # winnowing windows wider than the token stream
+    "q_llm_zipf",  # regr_slope with near-degenerate rank/freq variance
+    "q_llm_ngram_novelty",  # first-occurrence ordering with dup docs
+    "q_llm_length_buckets",  # bucket edges at exact multiples
+    "q_llm_curriculum",  # length-staged phases over tiny corpora
+    "q_llm_dup_rate_by_source",  # per-source dup fraction incl. 100%
+    "q_llm_subdoc_dup",  # chunk-level duplication on sub-chunk docs
+    "q_llm_heaps_law",  # vocab growth at corpus quartile boundaries
+    "q_llm_source_overlap",  # pairwise vocab Jaccard incl. identical
 ]
 
 _doc = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12).map(
