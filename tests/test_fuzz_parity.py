@@ -145,6 +145,20 @@ _DOC_FUZZ_KEYS = [
     "q_llm_subdoc_dup",  # chunk-level duplication on sub-chunk docs
     "q_llm_heaps_law",  # vocab growth at corpus quartile boundaries
     "q_llm_source_overlap",  # pairwise vocab Jaccard incl. identical
+    # corpus-prep pipeline: deterministic-hash assignment and the
+    # sequential packing fold over arbitrary corpora
+    "q_llm_split",  # sha-derived train/val/test membership
+    "q_llm_global_shuffle",  # hash permutation must stay a bijection
+    "q_llm_sample_stratified",  # sqrt-budget strata incl. 1-doc strata
+    "q_llm_mix_domains",  # language-mix targets over skewed lang counts
+    "q_llm_pack_sequences",  # next-fit fold vs the recursive-CTE oracle
+    "q_llm_decontaminate",  # tiny/empty eval slices (doc_id % 37)
+    "q_llm_corpus_prep",  # the gate->dedup composition end to end
+    "q_llm_tokenize",  # token explode exactness
+    "q_llm_term_stats",  # df/tf aggregates over tiny vocab
+    "q_llm_inverted_index",  # posting lists with total-order asserts
+    "q_llm_bigram_lm",  # self-trained char-bigram model on short text
+    "q_llm_ccnet_buckets",  # perplexity terciles over tied scores
 ]
 
 _doc = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12).map(
