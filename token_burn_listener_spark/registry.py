@@ -69,83 +69,47 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #            text scan, HLL union, triangles, transitions, bloom join,
 #            fuzzy dup, random projection, split, length buckets, zipf,
 #            CMS top-k) — 47 green, 3 no-oracle by design, 0 red.
-#   r06 window (positions 1-50, THIS round — the queue pre-ordered in r05,
-#            promoted verbatim): canary + the 49 remaining-longest-unseen
-#            keys — the r5-added octet (lsh/ann recall, listener e2e, media
-#            decode, dup-rate, novelty, curriculum, embedding coverage),
-#            the r4b tail (zorder … tfidf_exact), the 3 Python sources and
-#            the 7 UDF-surface keys. After r06 the unseen pool = exactly
-#            the 28-key r07 pool below.
-#   r07 window (promote verbatim next round): canary + the 28-key r07 pool
-#            + the FIRST 21 keys of the re-proof tail (r01/r02 block,
-#            oldest driver evidence first: q_scan_projection_pushdown …
-#            q_join_left). 1 + 28 + 21 = 50. After r07 every key has a
-#            driver row and rotation becomes pure freshness cycling — each
-#            round, rotate the just-proven block to the back of the tail.
-#            KEEP THE ARITHMETIC CURRENT: any key added during r06+ queues
-#            behind the r07 pool and displaces a re-proof slot 1:1; adding
-#            more than 21 keys across r06+r07 pushes unseen keys past r07.
-#            r06 POLICY (VERDICT r5 #2): new-key additions frozen.
+#   r06 proved: canary + the 49 remaining-longest-unseen keys — the
+#            r5-added octet (lsh/ann recall, listener e2e, media decode,
+#            dup-rate, novelty, curriculum, embedding coverage), the r4b
+#            tail (zorder … tfidf_exact), the 3 Python sources and the 7
+#            UDF-surface keys — 50 green, 0 red, 0 rows-only (the first
+#            fully-green window).
+#   r07 window (positions 1-50, THIS round — promoted verbatim from the
+#            queue r05 pre-ordered): canary + the 28-key pool that was the
+#            only driver-unseen block left + the FIRST 21 re-proof keys of
+#            the staleness tail (r01/r02 evidence:
+#            q_scan_projection_pushdown … q_join_right; the old comment's
+#            "… q_join_left" was an off-by-one — the 1 + 28 + 21 = 50
+#            arithmetic is authoritative). After r07 EVERY registered key
+#            has driver evidence; the unseen pool is drained for good.
+#
+# STANDING INVARIANT (r07 onward — freshness cycling, no bespoke plans):
+#   head 50 = canary + the 49 keys with the STALEST driver evidence. After
+#   each judged round, rotate the just-proven head block (minus the canary)
+#   to the BACK of the list; positions 1-50 are then mechanically the next
+#   window. A NEW key (no driver evidence) is inserted directly after the
+#   canary — stalest possible — and costs exactly one freshness slot.
+#
+#   r08 window (already in position — promoting it is a no-op; listed so
+#   the next round can verify positions 1-50 against this comment):
+#   q_scan_parquet q_join_full q_join_semi q_join_anti q_join_cross
+#   q_join_theta q_join_interval q_join_asof q_join_star q_join_salted
+#   q_agg_global q_agg_groupby q_agg_count_distinct q_agg_approx_distinct
+#   q_agg_sum_distinct q_agg_rollup q_agg_cube q_agg_grouping_sets
+#   q_agg_collect q_agg_stddev q_agg_corr q_agg_minmax_by q_agg_percentile
+#   q_agg_conditional q_agg_having q_agg_pivot q_agg_time_rollup
+#   q_agg_approx_percentile q_win_row_number q_str_basic q_str_split
+#   q_str_regex q_date_parts q_date_arith q_date_unix q_math_fns q_math_conv
+#   q_arr_hof q_arr_explode q_arr_zip q_map_json q_json_tuple q_json_to
+#   q_hash_sha2 q_hash_md5 q_hash_xxhash q_win_rank q_win_ntile q_win_pct
+#   q_win_lag_lead
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r06 driver window (positions 1-50) ---
-    "q_scan_parquet",  # canary: driver-proven five times, cheapest probe
-    # Keys added during r05 — never driver-checked
-    "q_llm_lsh_recall",  # new r5: MinHash-band recall vs exact pairs (exact oracle)
-    "q_llm_ann_recall",  # new r5: sign-LSH recall@10 vs brute force (exact oracle)
-    "q_stream_listener_e2e",  # new r5: full listener pipeline (source->decode->
-    #   exactly-once DB upsert, mid-backfill restart) — the reference flagship
-    "q_llm_media_decode",  # new r5: REAL stdlib PPM/WAV decoders vs analytic oracle
-    "q_llm_dup_rate_by_source",  # new r5: per-source exact-dup governance report
-    "q_llm_ngram_novelty",  # new r5: per-doc first-occurrence 3-gram novelty
-    "q_llm_curriculum",  # new r5: length-staged phases + hash-ranked order
-    "q_llm_embedding_coverage",  # new r5: doc<->vector referential-integrity audit
-    # r4b tail — never driver-checked
-    "q_stream_chained",  # new r4b: chained stateful ops (hourly->daily windows)
-    "q_sink_zorder",  # new r4b: Z-order clustered sink, 2-D footer skipping asserted
-    "q_llm_hard_negatives",  # new r4b: contrastive hard-negative mining (top-1 cross-label)
-    "q_llm_dsir",  # new r4b: DSIR importance weights (target-vs-corpus bigram LR)
-    "q_evt_dynamic_sessions",  # new r4b: per-event dynamic-gap session_window
-    "q_llm_training_manifest",  # new r4b: gates+dedup -> split -> pack composition
-    "q_scan_time_travel",  # new r4b: manifest-pinned snapshot read (lakehouse core)
-    "q_llm_ccnet_buckets",  # new r4b: perplexity head/middle/tail terciles
-    "q_diag_join_skew",  # new r4b: join-key skew profiling (salt-or-not gauge)
-    "q_stream_dynamic_session",  # new r4b: streaming twin of dynamic-gap sessions
-    "q_llm_bpe_merges",  # new r4b: BPE first-merge pair statistics (vocab-sized)
-    "q_evt_windowed_funnel",  # new r4b: deadline-constrained conversion funnel
-    "q_graph_pagerank",  # new r4b: 2-iteration PageRank on the near-dup graph
-    "q_scan_csv_corrupt",  # new r4b: PERMISSIVE dirty-CSV ingest with quarantine col
-    "q_evt_rfm",  # new r4b: RFM user segmentation (tercile-scored churn/value grid)
-    "q_evt_rolling_active",  # new r4b: DAU/WAU/stickiness via day-grid range join
-    "q_cdc_pit_join",  # new r4b: point-in-time (AS OF) join vs SCD2 versions
-    "q_diag_dq_checks",  # new r4b: data-contract validation (nulls/RI/PK/ranges)
-    "q_evt_attribution",  # new r4b: last-touch attribution with lookback window
-    "q_evt_paths",  # new r4b: top-10 3-step behavioral paths
-    "q_join_range_bucketed",  # new r4b: band join as bucket equi-join (range-join hint form)
-    "q_llm_subdoc_dup",  # new r4b: chunk-level duplication fraction per doc
-    "q_llm_leak_check",  # new r4b: cross-split exact-dup leakage audit
-    "q_llm_source_overlap",  # new r4b: pairwise source-vocabulary Jaccard matrix
-    "q_evt_forecast_naive",  # new r4b: seasonal-naive forecast baseline + MAE/MAPE
-    "q_evt_cohort_ltv",  # new r4b: cumulative LTV-per-user curves by cohort
-    "q_llm_minhash_exact",  # new r4b: deterministic-hash MinHash LSH (exact oracle)
-    "q_evt_ab_test",  # new r4b: hash-armed A/B readout with Welch t-statistic
-    "q_evt_pareto",  # new r4b: top-decile value-concentration report
-    "q_llm_heaps_law",  # new r4b: vocabulary-growth curve at corpus quartiles
-    "q_llm_tfidf_exact",  # new r4b: vocabulary-keyed TF-IDF top-3 (exact oracle)
-    # Python source/sink + UDF surface — never driver-checked
-    "q_src_python_batch",
-    "q_src_python_stream",
-    "q_src_python_sink",
-    "q_udf_python",
-    "q_udf_pandas_scalar",
-    "q_udf_pandas_agg",
-    "q_udf_grouped_map",
-    "q_udf_map_iter",
-    "q_udtf",
-    "q_udf_cogroup",
-    # --- r07 pool (28 keys, all added during r05; the r06 window above is
-    # FULL at 50, so these ride the r07 window: canary + these 28 + the
-    # first 21 re-proof keys of the tail below = 50 exactly). ---
+    # --- r07 driver window (positions 1-50) ---
+    "q_scan_parquet",  # canary: driver-proven six times, cheapest probe
+    # r07 pool — the 28 keys that had never had a driver row before this
+    # round (all added during r05). First-ever driver evidence lands in r07.
     "q_llm_temperature_mix",  # new r5: alpha=0.5 language-mix sampler
     "q_llm_delta_dedup",  # new r5: delta-vs-corpus incremental dedup (daily-ingest shape)
     "q_llm_bm25",  # new r5: BM25 ranked retrieval, fixed-order exact float fold
@@ -377,6 +341,60 @@ DRIVER_ORDER: list[str] = [
     "q_llm_length_buckets",
     "q_llm_zipf",
     "q_llm_cms_topk",
+    # driver-proven in r06 (the r5 octet, r4b tail, Python sources, UDFs)
+    # Keys added during r05 — never driver-checked
+    "q_llm_lsh_recall",  # new r5: MinHash-band recall vs exact pairs (exact oracle)
+    "q_llm_ann_recall",  # new r5: sign-LSH recall@10 vs brute force (exact oracle)
+    "q_stream_listener_e2e",  # new r5: full listener pipeline (source->decode->
+    #   exactly-once DB upsert, mid-backfill restart) — the reference flagship
+    "q_llm_media_decode",  # new r5: REAL stdlib PPM/WAV decoders vs analytic oracle
+    "q_llm_dup_rate_by_source",  # new r5: per-source exact-dup governance report
+    "q_llm_ngram_novelty",  # new r5: per-doc first-occurrence 3-gram novelty
+    "q_llm_curriculum",  # new r5: length-staged phases + hash-ranked order
+    "q_llm_embedding_coverage",  # new r5: doc<->vector referential-integrity audit
+    # r4b tail — never driver-checked
+    "q_stream_chained",  # new r4b: chained stateful ops (hourly->daily windows)
+    "q_sink_zorder",  # new r4b: Z-order clustered sink, 2-D footer skipping asserted
+    "q_llm_hard_negatives",  # new r4b: contrastive hard-negative mining (top-1 cross-label)
+    "q_llm_dsir",  # new r4b: DSIR importance weights (target-vs-corpus bigram LR)
+    "q_evt_dynamic_sessions",  # new r4b: per-event dynamic-gap session_window
+    "q_llm_training_manifest",  # new r4b: gates+dedup -> split -> pack composition
+    "q_scan_time_travel",  # new r4b: manifest-pinned snapshot read (lakehouse core)
+    "q_llm_ccnet_buckets",  # new r4b: perplexity head/middle/tail terciles
+    "q_diag_join_skew",  # new r4b: join-key skew profiling (salt-or-not gauge)
+    "q_stream_dynamic_session",  # new r4b: streaming twin of dynamic-gap sessions
+    "q_llm_bpe_merges",  # new r4b: BPE first-merge pair statistics (vocab-sized)
+    "q_evt_windowed_funnel",  # new r4b: deadline-constrained conversion funnel
+    "q_graph_pagerank",  # new r4b: 2-iteration PageRank on the near-dup graph
+    "q_scan_csv_corrupt",  # new r4b: PERMISSIVE dirty-CSV ingest with quarantine col
+    "q_evt_rfm",  # new r4b: RFM user segmentation (tercile-scored churn/value grid)
+    "q_evt_rolling_active",  # new r4b: DAU/WAU/stickiness via day-grid range join
+    "q_cdc_pit_join",  # new r4b: point-in-time (AS OF) join vs SCD2 versions
+    "q_diag_dq_checks",  # new r4b: data-contract validation (nulls/RI/PK/ranges)
+    "q_evt_attribution",  # new r4b: last-touch attribution with lookback window
+    "q_evt_paths",  # new r4b: top-10 3-step behavioral paths
+    "q_join_range_bucketed",  # new r4b: band join as bucket equi-join (range-join hint form)
+    "q_llm_subdoc_dup",  # new r4b: chunk-level duplication fraction per doc
+    "q_llm_leak_check",  # new r4b: cross-split exact-dup leakage audit
+    "q_llm_source_overlap",  # new r4b: pairwise source-vocabulary Jaccard matrix
+    "q_evt_forecast_naive",  # new r4b: seasonal-naive forecast baseline + MAE/MAPE
+    "q_evt_cohort_ltv",  # new r4b: cumulative LTV-per-user curves by cohort
+    "q_llm_minhash_exact",  # new r4b: deterministic-hash MinHash LSH (exact oracle)
+    "q_evt_ab_test",  # new r4b: hash-armed A/B readout with Welch t-statistic
+    "q_evt_pareto",  # new r4b: top-decile value-concentration report
+    "q_llm_heaps_law",  # new r4b: vocabulary-growth curve at corpus quartiles
+    "q_llm_tfidf_exact",  # new r4b: vocabulary-keyed TF-IDF top-3 (exact oracle)
+    # Python source/sink + UDF surface — never driver-checked
+    "q_src_python_batch",
+    "q_src_python_stream",
+    "q_src_python_sink",
+    "q_udf_python",
+    "q_udf_pandas_scalar",
+    "q_udf_pandas_agg",
+    "q_udf_grouped_map",
+    "q_udf_map_iter",
+    "q_udtf",
+    "q_udf_cogroup",
 ]
 
 
