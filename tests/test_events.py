@@ -364,3 +364,26 @@ def test_detect_gaps_exact_at_extreme_and_negative_ids(spark):
         for r in detect_gaps(spark, ing_n, -250, -230).collect()
     )
     assert got_n == [(-248, -246), (-244, -233), (-231, -231)]
+
+    # ADVICE r6: ids within one block of Long.MIN_VALUE. The previous
+    # `(event_id - pmod(event_id, B)) div B` bucketing overflowed the
+    # subtraction here (ANSI throw); the div-plus-floor-correction form
+    # has no subtraction on event_id and stays exact at the extreme.
+    lo = -(2**63)  # Long.MIN_VALUE
+    min_ids = [lo, lo + 1, lo + 5, lo + 40]
+    ing_m = spark.createDataFrame([(i,) for i in min_ids], "event_id long")
+    got_m = sorted(
+        (r.gap_start, r.gap_end)
+        for r in detect_gaps(spark, ing_m, lo, lo + 40).collect()
+    )
+    assert got_m == [(lo + 2, lo + 4), (lo + 6, lo + 39)]
+
+    hi = 2**63 - 1  # Long.MAX_VALUE: the lead filter's event_id+1 and the
+    # top grid block's b*B + B-1 both sit past the long range here
+    max_ids = [hi - 40, hi - 5, hi - 1, hi]
+    ing_x = spark.createDataFrame([(i,) for i in max_ids], "event_id long")
+    got_x = sorted(
+        (r.gap_start, r.gap_end)
+        for r in detect_gaps(spark, ing_x, hi - 40, hi).collect()
+    )
+    assert got_x == [(hi - 39, hi - 6), (hi - 4, hi - 2)]

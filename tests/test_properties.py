@@ -303,7 +303,7 @@ def _reference_gaps(present: set[int], mn: int, mx: int) -> list[tuple[int, int]
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
-    base=st.sampled_from([-300, 0, 2**53]),
+    base=st.sampled_from([-300, 0, 2**53, -(2**63), 2**63 - 120]),
     offsets=st.sets(st.integers(0, 119), min_size=1, max_size=80),
 )
 def test_detect_gaps_matches_complement_reference(spark, base, offsets):

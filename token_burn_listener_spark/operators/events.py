@@ -1849,19 +1849,28 @@ def detect_gaps(spark: SparkSession, ing: DataFrame, mn: int, mx: int) -> DataFr
     # Python `//` that sizes the grid below, or negative-id feeds would
     # bucket rows into a different block than the grid expects. Kept in
     # exact INTEGER arithmetic — F.floor(col / B) goes through double
-    # division, which mis-buckets |event_id| >= 2^53; subtracting the
-    # (always non-negative) pmod first makes the dividend an exact
-    # multiple of B, so truncating `div` == floor at any long magnitude.
+    # division, which mis-buckets |event_id| >= 2^53. Truncating `div`
+    # plus an explicit -1 correction for negative non-multiples equals
+    # floor at EVERY long value: no term here can overflow — unlike the
+    # earlier `(event_id - pmod(...)) div B` form, whose subtraction
+    # overflowed for event_id within one block of Long.MIN_VALUE
+    # (ADVICE r6).
     blk = ing.withColumn(
         "b",
         F.expr(
-            f"(event_id - pmod(event_id, {_GAP_BLK})) div {_GAP_BLK}"
+            f"event_id div {_GAP_BLK} - "
+            f"(case when event_id % {_GAP_BLK} < 0 then 1 else 0 end)"
         ).cast("long"),
     )
     w_blk = Window.partitionBy("b").orderBy("event_id")
+    # try_add: `event_id + 1` in the filter would ANSI-throw for
+    # event_id = Long.MAX_VALUE even though its lead is NULL (the operands
+    # of `>` evaluate first). try_add -> NULL -> comparison NULL -> row
+    # filtered, which is also semantically right (nothing follows MAX).
+    # The post-filter projections only see rows where the +1 was exact.
     intra = (
         blk.withColumn("nx", F.lead("event_id").over(w_blk))
-        .filter(F.col("nx") > F.col("event_id") + 1)
+        .filter(F.col("nx") > F.expr("try_add(event_id, 1L)"))
         .select(
             (F.col("event_id") + 1).alias("gap_start"),
             (F.col("nx") - 1).alias("gap_end"),
@@ -1870,10 +1879,25 @@ def detect_gaps(spark: SparkSession, ing: DataFrame, mn: int, mx: int) -> DataFr
     blkagg = blk.groupBy("b").agg(
         F.min("event_id").alias("bmin"), F.max("event_id").alias("bmax")
     )
+    # Grid bounds in exact DECIMAL, not long: for the outermost blocks the
+    # raw `b*B` / `b*B + B-1` can leave the long range even when the
+    # CLAMPED bound is in range (e.g. mn = Long.MIN: b_min*B underflows
+    # long while b_min*B + B-1 = mn+7 is a perfectly good long), so no
+    # try_*-then-clamp trick is sound. Decimal math is exact here
+    # (|b*B| < 10^19 << 10^23 capacity) and the clamped result is always
+    # in [mn, mx], so the cast back to long is ANSI-safe. Cost: decimal
+    # arithmetic on the GRID only (corpus_ids/B rows), never the corpus
+    # (ADVICE r6).
     grid = spark.range(mn // _GAP_BLK, mx // _GAP_BLK + 1).select(
         F.col("id").alias("b"),
-        F.greatest(F.col("id") * _GAP_BLK, F.lit(mn)).alias("bs"),
-        F.least(F.col("id") * _GAP_BLK + _GAP_BLK - 1, F.lit(mx)).alias("be"),
+        F.expr(
+            f"cast(greatest(cast(id as decimal(20,0)) * {_GAP_BLK}, "
+            f"cast({mn} as decimal(20,0))) as long)"
+        ).alias("bs"),
+        F.expr(
+            f"cast(least(cast(id as decimal(20,0)) * {_GAP_BLK} "
+            f"+ {_GAP_BLK - 1}, cast({mx} as decimal(20,0))) as long)"
+        ).alias("be"),
     )
     edges = grid.join(blkagg, "b", "left")
     head = edges.filter(
