@@ -211,3 +211,64 @@ def test_semantic_prune_zero_vector_yields_null_identically(spark, tmp_path):
     assert z["centroid_sim"].isna().all() and z["pruned"].isna().all()
     healthy = out[out["vec_id"] != 2]
     assert healthy["centroid_sim"].notna().all()
+
+
+def test_cosine_family_rejects_zero_vectors_identically(spark, tmp_path):
+    """ADVICE-r6-class crash, found in r7: a zero vector's cosine division
+    THROWS under Spark 4's default ANSI mode (the q_evt_pareto class)
+    while DuckDB's list_cosine_similarity returns -1.0 — so the cosine
+    keys enforce the data contract IN-QUERY (similarity.nonzero + nz_sql)
+    and must exclude the zero vector from every pair/top-k on BOTH
+    engines, while keeping all healthy rows. The mean/L2 keys, by
+    contrast, must treat it as an ordinary point."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 0.0, 0.0], 1),  # the degenerate vector
+        (3, [0.0, 0.0, 1.0, 1.0], 1),
+    ]
+    sf = _write_embeddings(str(tmp_path), rows)
+
+    top = _run_both("q_llm_cosine_topk", sf, spark)
+    assert len(top) == 3  # pairs among {0, 1, 3} only
+    assert 2 not in set(top["vec_a"]) | set(top["vec_b"])
+
+    knn = _run_both("q_llm_knn_query", sf, spark)
+    assert set(knn["vec_id"]) == {1, 3}
+
+    neg = _run_both("q_llm_hard_negatives", sf, spark)
+    assert 2 not in set(neg["vec_id"]) | set(neg["neg_id"])
+
+    cent = _run_both("q_llm_centroids", sf, spark)  # mean family: included
+    # label 1's centroid averages the zero vector in: [0, 0, .5, .5]
+    c1 = cent[cent["label"] == 1].sort_values("pos")["c"].tolist()
+    assert c1 == [0.0, 0.0, 0.5, 0.5]
+
+
+def test_lsh_recall_with_no_exact_pairs_yields_null_identically(
+    spark, tmp_path
+):
+    """A corpus whose sampled pair set is EMPTY (no two documents reach
+    Jaccard 0.4) zeroes the recall denominator — Spark ANSI would throw
+    on the division where DuckDB yields NULL, so both sides carry a
+    NULLIF: recall over an empty reference set is a deterministic NULL
+    on BOTH engines, with the zero counts still reported."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["completely different alpha", "nothing shared here omega"]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["src0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(tmp_path), "documents.parquet"))
+    out = _run_both("q_llm_lsh_recall", str(tmp_path), spark)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["n_exact"], r["n_found"]) == (0, 0)
+    assert out["recall"].isna().all()

@@ -159,6 +159,13 @@ _DOC_FUZZ_KEYS = [
     "q_llm_inverted_index",  # posting lists with total-order asserts
     "q_llm_bigram_lm",  # self-trained char-bigram model on short text
     "q_llm_ccnet_buckets",  # perplexity terciles over tied scores
+    # r7 additions: the exact-oracle dedup family, incl. corpora whose
+    # sampled pair set is EMPTY (recall denominator = 0, the NULLIF
+    # branch) and sub-shingle-width / fully-duplicated texts
+    "q_llm_lsh_recall",  # banding recall vs exact pairs; n_exact=0 -> NULL
+    "q_llm_minhash_exact",  # deterministic-hash LSH candidate pairs
+    "q_llm_fuzzy_dup",  # ED-Join prefix buckets on tiny token streams
+    "q_llm_delta_dedup",  # incl. the empty-delta (doc_id % 10) branch
 ]
 
 _doc = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12).map(
@@ -248,4 +255,70 @@ def test_random_orders_tables_match_duckdb(
     prices = [price_seed[i % len(price_seed)] / 4.0 for i in range(len(ks))]
     sf = _write_orders(str(tmp_path_factory.mktemp("ordfuzz")), ks, prices)
     for key in _ORDERS_FUZZ_KEYS:
+        _run_both(key, sf, spark)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings fuzz (VERDICT r6 #6): random 64-dim vector corpora that
+# INCLUDE all-zero vectors — the cosine family's crash class (Spark 4's
+# ANSI mode throws DIVIDE_BY_ZERO on the 0-norm division while DuckDB's
+# list_cosine_similarity returns -1.0). The in-query contract enforcement
+# (similarity.nonzero / nz_sql) must reject them IDENTICALLY on both
+# engines; the L2/mean-based keys (centroids, kmeans, random projection,
+# PQ) must accept them as ordinary points. Components are multiples of
+# 0.25 (exact dyadic), so dots/distances/averages are exact in both
+# engines' partial-aggregation orders and round(·, 6) cannot straddle a
+# half-ulp boundary differently per engine. The vec_id 0 QUERY vector is
+# pinned non-zero (part of the query-key operator spec, see l2()).
+
+from tests.test_degenerate import _write_embeddings
+
+_EMB_DIM = 64
+_EMB_VALS = [-1.0, -0.5, 0.25, 0.5, 1.0, 2.0]
+
+_emb_row = st.tuples(
+    st.booleans(),  # True -> all-zero vector (the degenerate case)
+    st.lists(
+        st.sampled_from(_EMB_VALS), min_size=_EMB_DIM, max_size=_EMB_DIM
+    ),
+    st.integers(0, 2),  # label
+)
+
+_EMB_FUZZ_KEYS = [
+    # cosine family: zero vectors must be rejected identically
+    "q_llm_cosine_topk",  # all-pairs top-20 with rejected zero rows
+    "q_llm_knn_query",  # query-vs-corpus scan after rejection
+    "q_llm_knn_classify",  # probe batch and corpus both enforced
+    "q_llm_hard_negatives",  # cross-label top-1 after rejection
+    "q_llm_emb_near_dup",  # Spark scan-filter vs DuckDB's -1.0-below-threshold
+    "q_graph_triangles",  # identical edge sets incl. rejected vertices
+    "q_graph_pagerank",  # identical vertex/edge sets
+    "q_llm_ivf_search",  # centroid training + probing on the enforced scan
+    "q_llm_ann_recall",  # bucket bits + recall on the enforced scan
+    "q_llm_semantic_prune",  # the NULL-yielding guard: degenerate row VISIBLE
+    # L2/mean family: zero vectors are ordinary points, no rejection
+    "q_llm_centroids",
+    "q_llm_kmeans",  # incl. mid-iteration empty clusters (duplicate inits)
+    "q_llm_random_projection",
+    "q_llm_pq_adc",  # L2 codebooks/ADC; zero vectors quantize like any other
+]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_emb_row, min_size=2, max_size=18))
+def test_random_embeddings_tables_match_duckdb(
+    spark, tmp_path_factory, rows
+):
+    recs = []
+    for vid, (is_zero, vec, label) in enumerate(rows):
+        if is_zero and vid != 0:
+            vec = [0.0] * _EMB_DIM
+        recs.append((vid, [float(x) for x in vec], label))
+    sf = _write_embeddings(str(tmp_path_factory.mktemp("embfuzz")), recs)
+    for key in _EMB_FUZZ_KEYS:
         _run_both(key, sf, spark)

@@ -214,10 +214,20 @@ def q_llm_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibrated to the fixture — max pairwise cosine ≈ 0.51). Brute force
     here; at 100 TB candidate generation moves to the LSH-bucket join
     (q_llm_ann_lsh) with this exact computation applied per candidate.
-    """
-    from token_burn_listener_spark.llm.similarity import as_double, dot, l2
 
-    e = load_table(spark, sf_dir, "embeddings")
+    Zero vectors: rejected at the Spark scan (similarity.nonzero — the
+    unguarded division would ANSI-throw); the oracle needs no predicate
+    because DuckDB's list_cosine_similarity returns -1.0 for a zero
+    vector, which the >= 0.45 threshold excludes — the same pair set.
+    """
+    from token_burn_listener_spark.llm.similarity import (
+        as_double,
+        dot,
+        l2,
+        nonzero,
+    )
+
+    e = nonzero(load_table(spark, sf_dir, "embeddings"))
     a = e.select(F.col("vec_id").alias("vec_a"), as_double("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), as_double("embedding").alias("eb"))
     cos = dot("ea", "eb") / (l2("ea") * l2("eb"))
@@ -548,10 +558,19 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency (degree ≥ d → sampled closure estimate) — bounds the b-key
     explosion the same way production triangle counters (e.g. Cohen's
     MapReduce scheme) do.
-    """
-    from token_burn_listener_spark.llm.similarity import as_double, dot, l2
 
-    e = load_table(spark, sf_dir, "embeddings")
+    Zero vectors: rejected at the Spark scan (similarity.nonzero); the
+    oracle's >= threshold already excludes them (DuckDB's builtin yields
+    -1.0 for a zero vector) — identical edge sets, no division reached.
+    """
+    from token_burn_listener_spark.llm.similarity import (
+        as_double,
+        dot,
+        l2,
+        nonzero,
+    )
+
+    e = nonzero(load_table(spark, sf_dir, "embeddings"))
     a = e.select(F.col("vec_id").alias("va"), as_double("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vb"), as_double("embedding").alias("eb"))
     cos = dot("ea", "eb") / (l2("ea") * l2("eb"))
@@ -711,11 +730,20 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final sum. Iterating further is a driver loop over the same
     plan with lineage cut per round (the q_llm_dup_clusters pattern). The
     node count enters as a broadcast 1-row aggregate, never a collect.
+
+    Zero vectors: rejected at the Spark scan (similarity.nonzero); the
+    oracle's >= threshold already excludes them (DuckDB's builtin yields
+    -1.0 for a zero vector) — identical vertex/edge sets either way.
     """
-    from token_burn_listener_spark.llm.similarity import as_double, dot, l2
+    from token_burn_listener_spark.llm.similarity import (
+        as_double,
+        dot,
+        l2,
+        nonzero,
+    )
     from token_burn_listener_spark.operators.ranking import with_total_count
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = nonzero(load_table(spark, sf_dir, "embeddings"))
     a = e.select(F.col("vec_id").alias("va"), as_double("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vb"), as_double("embedding").alias("eb"))
     cos = dot("ea", "eb") / (l2("ea") * l2("eb"))
@@ -984,7 +1012,7 @@ _LSH_RECALL_SETS = f"""
     SELECT (SELECT count(*) FROM exact) AS n_exact,
            (SELECT count(*) FROM found) AS n_found,
            round((SELECT count(*) FROM found)::DOUBLE
-                 / (SELECT count(*) FROM exact), 6) AS recall
+                 / NULLIF((SELECT count(*) FROM exact), 0), 6) AS recall
     """,
 )
 def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,12 +1096,18 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac_c >= 0.4)
         .agg(F.count("*").alias("n_found"))
     )
+    # NULLIF (both engines): a corpus whose 25% sample has NO exact
+    # near-dup pairs zeroes the denominator — Spark ANSI throws where
+    # DuckDB yields NULL (the q_evt_pareto crash class); recall over an
+    # empty reference set is undefined, so NULL on both
     return n_exact.crossJoin(n_found).select(
         "n_exact",
         "n_found",
-        F.round(F.col("n_found").cast("double") / F.col("n_exact"), 6).alias(
-            "recall"
-        ),
+        F.round(
+            F.col("n_found").cast("double")
+            / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
     )
 
 

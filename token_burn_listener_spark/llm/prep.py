@@ -654,9 +654,13 @@ def q_llm_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("val"), 6).alias("c"))
     )
     # NULLIF (both engines): an all-zero vector or centroid would zero the
-    # denominator — Spark emits NaN where DuckDB emits NULL; cosine is
+    # denominator — Spark 4's ANSI mode THROWS on the double division
+    # (the q_evt_pareto crash class) where DuckDB yields NULL; cosine is
     # undefined there, so both sides yield a deterministic NULL (and a
-    # NULL `pruned` flag — such vectors need an explicit policy upstream)
+    # NULL `pruned` flag — such vectors need an explicit policy upstream).
+    # Unlike the top-k/pair keys (which REJECT zero vectors at the scan,
+    # similarity.nonzero), this audit keeps the degenerate row VISIBLE —
+    # proven by tests/test_degenerate.py.
     sim = F.sum(F.col("val") * F.col("c")) / F.nullif(
         F.sqrt(F.sum(F.col("val") * F.col("val")))
         * F.sqrt(F.sum(F.col("c") * F.col("c"))),

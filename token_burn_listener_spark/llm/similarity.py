@@ -42,25 +42,46 @@ def dot(a, b) -> Column:
 
 
 def l2(a) -> Column:
-    """L2 norm. Data contract: embeddings are non-zero vectors (the
-    fixture generator guarantees it; a production pipeline must drop or
-    impute zero/missing vectors upstream). On a zero vector cosine is
-    undefined and BOTH engines degrade the same undefined way (NaN from
-    the 0/0 — DuckDB's list_cosine_similarity divides identically), so
-    the keys sharing that builtin oracle stay unguarded by design; keys
-    with hand-written norms on both sides (q_llm_semantic_prune,
-    q_evt_profile_similarity-style) carry explicit NULLIF guards."""
+    """L2 norm. A zero vector has norm 0 and NO defined cosine — and the
+    engines do NOT degrade the same way (measured, r7): Spark 4's default
+    ANSI mode THROWS DIVIDE_BY_ZERO on the double division (the
+    q_evt_pareto crash class) while DuckDB's list_cosine_similarity
+    returns -1.0. So the cosine family enforces the data contract
+    IN-QUERY: every consumer scans through ``nonzero()`` (Spark) with the
+    matching ``nz_sql()`` predicate in its oracle, rejecting zero vectors
+    identically on both engines before any division. NULL-ELEMENT vectors
+    remain a contract violation (DuckDB's list functions raise
+    InvalidInput on them; Spark silently NULL-propagates) — reject them
+    upstream. q_llm_semantic_prune keeps its NULL-yielding NULLIF guard
+    instead (scored-audit semantics: the degenerate row stays visible)."""
     return F.sqrt(dot(a, a))
+
+
+def nonzero(e: DataFrame) -> DataFrame:
+    """Embeddings scan with the zero-vector contract ENFORCED: rejects
+    rows whose vector has zero squared norm (exactly the all-zero
+    vectors — a float sum of squares is 0 iff every component is 0,
+    barring sub-1e-162 underflow). Scan-side placement prunes BEFORE any
+    O(n²) pair join. The DuckDB twin is ``nz_sql()``."""
+    v = as_double("embedding")
+    return e.filter(dot(v, v) != 0.0)
+
+
+def nz_sql(col: str = "embedding") -> str:
+    """DuckDB predicate matching ``nonzero()``: same rejection set (zero
+    squared norm), applied to the same scan."""
+    return f"list_inner_product({col}::DOUBLE[], {col}::DOUBLE[]) <> 0"
 
 
 @query(
     "q_llm_cosine_topk",
-    oracle="""
+    oracle=f"""
     WITH p AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_cosine_similarity(a.embedding::DOUBLE[],
                                           b.embedding::DOUBLE[]), 6) AS cos_sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {nz_sql('a.embedding')} AND {nz_sql('b.embedding')}
     ),
     top AS (
       SELECT vec_a, vec_b, cos_sim FROM p
@@ -79,7 +100,7 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     note) but computed on the 20-row TakeOrderedAndProject result, not the
     full pair set.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = nonzero(load_table(spark, sf_dir, "embeddings"))
     a = e.select(
         F.col("vec_id").alias("vec_a"), as_double("embedding").alias("ea")
     )
@@ -99,14 +120,14 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_knn_query",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT vec_id,
              round(list_cosine_similarity(
                  embedding::DOUBLE[],
                  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),
                6) AS cos_sim
-      FROM embeddings WHERE vec_id <> 0
+      FROM embeddings WHERE vec_id <> 0 AND {nz_sql()}
     ),
     top AS (SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10)
     SELECT vec_id, cos_sim,
@@ -119,9 +140,13 @@ def q_llm_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query vector is collected once (64 floats, bounded) and inlined as
     a literal array — the broadcast-scalar pattern: the scan stays a single
-    map-side pass plus a k-row global top-k.
+    map-side pass plus a k-row global top-k. Corpus-side zero vectors are
+    rejected at the scan (nonzero/nz_sql, see l2); the QUERY vector is
+    part of the operator spec — missing or all-zero vec_id 0 is a caller
+    error and raises here (IndexError), as documented for the query-style
+    keys.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = nonzero(load_table(spark, sf_dir, "embeddings"))
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     qcol = F.array(*[F.lit(float(v)) for v in qvec])
     sims = (
@@ -149,12 +174,14 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets; approxNearestNeighbors probes the query's buckets instead of
     scanning the corpus. Euclidean distance on unit-normalized vectors is
     monotone in cosine (d² = 2 − 2·cos), so the ANN ranking is
-    cosine-consistent.
+    cosine-consistent. Zero vectors cannot be unit-normalized and are
+    rejected at the scan (nonzero); an all-zero QUERY vector is a caller
+    error (the vec_id 0 lookup then raises IndexError).
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = nonzero(load_table(spark, sf_dir, "embeddings"))
     unit = F.transform(
         as_double("embedding"), lambda x: x / l2(as_double("embedding"))
     )
@@ -197,13 +224,14 @@ def q_llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_ivf_search",
-    oracle="""
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    oracle=f"""
+    WITH enz AS (SELECT * FROM embeddings WHERE {nz_sql()}),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM enz WHERE vec_id = 0),
     cent AS (
       SELECT label, pos, avg(val) AS c FROM (
         SELECT label, unnest(range(len(embedding))) AS pos,
                unnest(embedding::DOUBLE[]) AS val
-        FROM embeddings) x
+        FROM enz) x
       GROUP BY 1, 2
     ),
     cdist AS (
@@ -217,7 +245,7 @@ def q_llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.vec_id,
              round(list_cosine_similarity(e.embedding::DOUBLE[],
                                           (SELECT qv FROM q)), 6) AS cos_sim
-      FROM embeddings e JOIN probed USING (label)
+      FROM enz e JOIN probed USING (label)
       WHERE e.vec_id <> 0
     ),
     top AS (SELECT vec_id, cos_sim FROM cand
@@ -237,9 +265,12 @@ def q_llm_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, then brute-force ONLY the probed clusters — a partition-pruned
     scan of ~nprobe/nlist of the corpus instead of all of it. Fully
     declarative: centroid ranking is a 640-row aggregate, probed-cluster
-    routing is a broadcast join.
+    routing is a broadcast join. Zero vectors are rejected at the scan
+    (nonzero/nz_sql, see l2) — both the IVF training set and the probed
+    candidates read the contract-enforced corpus; an all-zero QUERY
+    vector is a caller error (IndexError at the vec_id 0 lookup).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = nonzero(load_table(spark, sf_dir, "embeddings"))
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     qcol = F.array(*[F.lit(float(v)) for v in qvec])
 
@@ -273,21 +304,28 @@ _KMEANS_K = 4
 _KMEANS_ITERS = 2
 
 
-def _centroid_literals(rows, k: int):
-    """(cluster, pos, c) rows → list of k literal array Columns (bounded:
-    k × dim doubles — the broadcast-centroids step of distributed Lloyd)."""
+def _centroid_literals(rows):
+    """(cluster, pos, c) rows → [(cluster_id, literal array Column)] for
+    the clusters that HAVE members (bounded: ≤ k × dim doubles — the
+    broadcast-centroids step of distributed Lloyd). A cluster can empty
+    out mid-iteration (duplicate init centroids lose every argmin tie to
+    the lower id); it then simply has no centroid next round — the same
+    drop the oracle's unrolled CTEs perform, and why ids are carried
+    explicitly instead of re-enumerated (re-numbering would shift every
+    later cluster's id and break the (d2, cluster) tiebreak parity)."""
     by_cluster: dict[int, dict[int, float]] = {}
     for r in rows:
         by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["c"]
     out = []
-    for c in range(k):
+    for c in sorted(by_cluster):
         d = by_cluster[c]
-        out.append(F.array(*[F.lit(d[p]) for p in sorted(d)]))
+        out.append((c, F.array(*[F.lit(d[p]) for p in sorted(d)])))
     return out
 
 
 def _assign(e: DataFrame, cents: list) -> DataFrame:
-    """Map-side cluster assignment: argmin over k centroid literals.
+    """Map-side cluster assignment: argmin over [(cluster_id, centroid)]
+    literals.
 
     d² per centroid is an in-row left fold (index order, matching the
     oracle's list_sum); the argmin is array_min over (d2, cluster) structs
@@ -296,16 +334,19 @@ def _assign(e: DataFrame, cents: list) -> DataFrame:
     """
     v = as_double("embedding")
     d2s = [
-        F.aggregate(
-            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        (
+            cid,
+            F.aggregate(
+                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
-        for c in cents
+        for cid, c in cents
     ]
     choice = F.array_min(
-        F.array(*[F.struct(d.alias("d2"), F.lit(i).alias("cluster"))
-                  for i, d in enumerate(d2s)])
+        F.array(*[F.struct(d.alias("d2"), F.lit(cid).alias("cluster"))
+                  for cid, d in d2s])
     )
     return e.select("vec_id", "embedding", choice["cluster"].alias("cluster"))
 
@@ -316,7 +357,8 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str, n_iters: int) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     init = e.orderBy("vec_id").limit(_KMEANS_K).select("embedding").collect()
     cents = [
-        F.array(*[F.lit(float(x)) for x in r["embedding"]]) for r in init
+        (i, F.array(*[F.lit(float(x)) for x in r["embedding"]]))
+        for i, r in enumerate(init)
     ]
     assign = _assign(e, cents)
     for _ in range(n_iters - 1):
@@ -328,7 +370,7 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str, n_iters: int) -> DataFrame:
             .agg(F.avg("val").alias("c"))
             .collect()  # bounded: k × dim rows — the broadcast step
         )
-        assign = _assign(e, _centroid_literals(cent_rows, _KMEANS_K))
+        assign = _assign(e, _centroid_literals(cent_rows))
     sizes = assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
     cent = (
         assign.select(
@@ -419,8 +461,9 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_knn_classify",
-    oracle="""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE {nz_sql()}),
     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
     scored AS (
       SELECT q.qid, e.vec_id, e.label,
@@ -455,8 +498,10 @@ def q_llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     once regardless of batch size. Tie-break: most votes, then lowest
     label — Spark via min_by on a (-votes, label) struct, the oracle via
     an equivalent rank window (DuckDB's min_by lacks struct ordering).
+    Zero vectors are rejected at the scan (nonzero/nz_sql, see l2) —
+    both the probe batch and the corpus read the enforced scan.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = nonzero(load_table(spark, sf_dir, "embeddings"))
     qside = (
         e.filter(F.col("vec_id") < 20)
         .select(F.col("vec_id").alias("qid"), as_double("embedding").alias("qv"))
@@ -543,13 +588,14 @@ def q_llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_hard_negatives",
-    oracle="""
+    oracle=f"""
     WITH p AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS neg_id, b.label AS neg_label,
              round(list_cosine_similarity(a.embedding::DOUBLE[],
                                           b.embedding::DOUBLE[]), 6) AS cos_sim
       FROM embeddings a JOIN embeddings b
         ON a.label <> b.label AND a.vec_id < 50
+      WHERE {nz_sql('a.embedding')} AND {nz_sql('b.embedding')}
     ), ranked AS (
       SELECT *, row_number() OVER (
         PARTITION BY vec_id ORDER BY cos_sim DESC, neg_id) AS rk
@@ -570,9 +616,10 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts this becomes the IVF/LSH candidate path of q_llm_ivf_search —
     mine negatives only among same-cluster candidates — which trades exact
     hardest-negative for probe-bounded work; the exact broadcast form is
-    the oracle-checkable fixture-scale twin.
+    the oracle-checkable fixture-scale twin. Zero vectors are rejected at
+    the scan on both sides (nonzero/nz_sql, see l2).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = nonzero(load_table(spark, sf_dir, "embeddings"))
     anchors = e.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
@@ -674,6 +721,7 @@ def _ann_oracle() -> str:
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE {nz_sql()}
     ), bits AS (
       SELECT vec_id, emb, {bit_cols} FROM e
     ), bk AS (
@@ -715,9 +763,12 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the 1-row query's 4 bucket ids; only the matched buckets
     (~L/2^k of the corpus per table) are scored. The brute-force top-10 is
     the fixture-scale denominator — production estimates recall on a
-    sampled query set the same way.
+    sampled query set the same way. Zero vectors are rejected at the scan
+    (nonzero/nz_sql, see l2); if the QUERY vector itself is zero, both
+    engines degrade identically to the 1-row (0, 0, 0.0) report (the
+    filtered query side is empty — no division is ever reached).
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = nonzero(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double("embedding").alias("emb")
     )
     # pinned: this IS the materialized LSH index (vectors + bucket ids,

@@ -144,7 +144,7 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
                                   THEN l_extendedprice * (1 - l_discount)
                                   ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4)
+                 / NULLIF(sum(l_extendedprice * (1 - l_discount)), 0), 4)
            AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -172,9 +172,13 @@ def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, l["l_partkey"] == p["p_partkey"])
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
-                "promo_revenue_pct"
-            )
+            # NULLIF (both engines): an all-zero-revenue slice zeroes the
+            # denominator — Spark 4's ANSI mode THROWS on the division
+            # where DuckDB yields NULL (the q_evt_pareto crash class);
+            # the share is undefined there, so NULL on both
+            F.round(
+                100.0 * F.sum(promo) / F.nullif(F.sum(rev), F.lit(0.0)), 4
+            ).alias("promo_revenue_pct")
         )
     )
 
@@ -378,7 +382,7 @@ def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_year,
            round(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol ELSE 0 END)
-                 / sum(vol), 6) AS mkt_share
+                 / NULLIF(sum(vol), 0), 6) AS mkt_share
     FROM rev GROUP BY o_year
     """,
 )
@@ -420,7 +424,14 @@ def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
-        .agg(F.round(F.sum(national) / F.sum(vol), 6).alias("mkt_share"))
+        # NULLIF (both engines): an all-zero-volume year zeroes the
+        # denominator — Spark ANSI throws where DuckDB yields NULL; the
+        # share is undefined there, so NULL on both
+        .agg(
+            F.round(
+                F.sum(national) / F.nullif(F.sum(vol), F.lit(0.0)), 6
+            ).alias("mkt_share")
+        )
     )
 
 
