@@ -68,7 +68,19 @@ PROBE_KEYS = [
     # days×corpus trap — the probe proves the one-pass form stays linear)
     "q_evt_gap_detection",
     "q_evt_cumulative_uniques",
+    # r7 (VERDICT r6 #7): the first STREAMING probe — keyed stateless
+    # upsert through the real availableNow harness (4 rate-limited
+    # micro-batches + merge-on-read compaction). Extends the empirical
+    # scale record to the stream axis: per-batch work must scale with
+    # batch rows while the ~2.2 s machinery floor (bench.py) stays fixed.
+    "q_stream_upsert_latest",
 ]
+
+# Streaming probes get one UNTIMED warm call per root first: the first
+# invocation materializes the N×-scaled replay files (a one-time scratch
+# build, not the plan under test); checkpoints are fresh per call
+# (fresh_run_dir), so the timed run still replays the full stream.
+STREAM_KEYS = {"q_stream_upsert_latest"}
 
 
 def build_scaled(spark, n: int) -> str:
@@ -112,6 +124,9 @@ def main() -> int:
     report = {}
     for k in PROBE_KEYS:
         fn = QUERIES[k]
+        if k in STREAM_KEYS:
+            fn(spark, SF_DIR).count()
+            fn(spark, scaled).count()
         # count(), not collect(): sessionize/cdc_merge emit one row per
         # (user, session)/key, so their OUTPUT grows with the input and a
         # collect() would time driver-side row transfer, not the plan
