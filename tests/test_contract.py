@@ -25,6 +25,31 @@ def test_bench_headline_keys_registered():
     assert not missing, f"bench references unimplemented keys: {missing}"
 
 
+def test_next_driver_window_comment_matches_positions():
+    """Freshness-cycling drift guard (registry.py STANDING INVARIANT):
+    the next-round window written out in the rotation comment must be
+    EXACTLY the canary plus the keys at DRIVER_ORDER positions 50..98 —
+    the slice that becomes the head after the mechanical rotation edit.
+    If an insertion/promotion shifts the queue, this fails until the
+    comment is rewritten, keeping the documented plan machine-true."""
+    import re
+
+    import token_burn_listener_spark.registry as registry
+
+    src = open(registry.__file__, encoding="utf-8").read()
+    m = re.search(
+        r"r\d\d window \(already in position.*?\n(.*?)\n# ---", src, re.S
+    )
+    assert m, "rotation comment lost its next-window listing"
+    listed = re.findall(r"q_\w+", m.group(1))
+    order = registry.DRIVER_ORDER
+    assert listed == [order[0]] + order[50:99], (
+        "next-window comment diverged from DRIVER_ORDER positions: "
+        f"comment has {len(listed)} keys, first mismatch at "
+        f"{next((i for i, (a, b) in enumerate(zip(listed, [order[0]] + order[50:99])) if a != b), 'length')}"
+    )
+
+
 def test_materialize_ignores_partial_dirs(tmp_path):
     """A crashed (no _SUCCESS) scratch dir must be rebuilt, not reused."""
     final = str(tmp_path / "copy")
