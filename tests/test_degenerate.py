@@ -272,3 +272,122 @@ def test_lsh_recall_with_no_exact_pairs_yields_null_identically(
     r = out.iloc[0]
     assert (r["n_exact"], r["n_found"]) == (0, 0)
     assert out["recall"].isna().all()
+
+
+def _write_tpch_minimal(dirpath: str, zero_prices: bool) -> str:
+    """Minimal TPC-H slice exercising the q14/q8 share denominators:
+    every lineitem row lands inside both queries' date windows and joins
+    through part / orders->customer->AMERICA / supplier->nation, so with
+    ``zero_prices`` the revenue sums are EXACTLY zero (not empty) — the
+    ANSI-throw branch the NULLIF guards exist for."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    price = 0.0 if zero_prices else 100.0
+    # 1997-02-01 00:00:00 UTC in µs — inside q14's [1997-01-01, 1997-07-01)
+    ship_us = 852_076_800_000_000
+    # 1995-06-01 00:00:00 UTC in µs — inside q8's [1995-01-01, 1997-01-01)
+    order_us = 801_964_800_000_000
+    tables = {
+        "lineitem": pa.table(
+            {
+                "l_orderkey": pa.array([1, 2], pa.int64()),
+                "l_partkey": pa.array([10, 10], pa.int64()),
+                "l_suppkey": pa.array([20, 20], pa.int64()),
+                "l_linenumber": pa.array([1, 1], pa.int32()),
+                "l_quantity": pa.array([1.0, 1.0], pa.float64()),
+                "l_extendedprice": pa.array([price, price], pa.float64()),
+                "l_discount": pa.array([0.0, 0.5], pa.float64()),
+                "l_tax": pa.array([0.0, 0.0], pa.float64()),
+                "l_returnflag": pa.array(["N", "N"], pa.string()),
+                "l_linestatus": pa.array(["O", "O"], pa.string()),
+                "l_shipdate": pa.array([ship_us, ship_us], pa.timestamp("us")),
+            }
+        ),
+        "part": pa.table(
+            {
+                "p_partkey": pa.array([10], pa.int64()),
+                "p_name": pa.array(["widget"], pa.string()),
+                "p_brand": pa.array(["B1"], pa.string()),
+                "p_type": pa.array(["PROMO"], pa.string()),
+                "p_size": pa.array([1], pa.int32()),
+                "p_retailprice": pa.array([1.0], pa.float64()),
+            }
+        ),
+        "orders": pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([30, 30], pa.int64()),
+                "o_orderstatus": pa.array(["O", "O"], pa.string()),
+                "o_totalprice": pa.array([price, price], pa.float64()),
+                "o_orderdate": pa.array(
+                    [order_us, order_us], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "1-URGENT"], pa.string()
+                ),
+            }
+        ),
+        "customer": pa.table(
+            {
+                "c_custkey": pa.array([30], pa.int64()),
+                "c_name": pa.array(["c"], pa.string()),
+                "c_nationkey": pa.array([1], pa.int32()),
+                "c_acctbal": pa.array([0.0], pa.float64()),
+                "c_mktsegment": pa.array(["BUILDING"], pa.string()),
+            }
+        ),
+        "supplier": pa.table(
+            {
+                "s_suppkey": pa.array([20], pa.int64()),
+                "s_name": pa.array(["s"], pa.string()),
+                "s_nationkey": pa.array([2], pa.int32()),
+                "s_acctbal": pa.array([0.0], pa.float64()),
+            }
+        ),
+        "nation": pa.table(
+            {
+                "n_nationkey": pa.array([1, 2], pa.int32()),
+                "n_name": pa.array(["NATION_1", "NATION_2"], pa.string()),
+                "n_regionkey": pa.array([0, 0], pa.int32()),
+            }
+        ),
+        "region": pa.table(
+            {
+                "r_regionkey": pa.array([0], pa.int32()),
+                "r_name": pa.array(["AMERICA"], pa.string()),
+            }
+        ),
+    }
+    for name, t in tables.items():
+        pq.write_table(t, os.path.join(dirpath, f"{name}.parquet"))
+    return dirpath
+
+
+def test_tpch_share_ratios_with_zero_revenue_yield_null_identically(
+    spark, tmp_path
+):
+    """All-zero extended prices zero the q14 promo-share and q8
+    market-share denominators on a NON-empty joined slice — Spark ANSI
+    would throw on the division where DuckDB yields NULL. Both NULLIF
+    guards must produce a deterministic NULL share on BOTH engines, and
+    a healthy-price control corpus must keep real values."""
+    zero_dir = str(tmp_path / "zero")
+    os.makedirs(zero_dir)
+    _write_tpch_minimal(zero_dir, zero_prices=True)
+
+    q14 = _run_both("q_tpch_q14ish", zero_dir, spark)
+    assert len(q14) == 1
+    assert q14["promo_revenue_pct"].isna().all()
+
+    q8 = _run_both("q_tpch_q8ish", zero_dir, spark)
+    assert len(q8) == 1  # the 1995 year group EXISTS, share undefined
+    assert q8["mkt_share"].isna().all()
+
+    ctrl_dir = str(tmp_path / "ctrl")
+    os.makedirs(ctrl_dir)
+    _write_tpch_minimal(ctrl_dir, zero_prices=False)
+    q14c = _run_both("q_tpch_q14ish", ctrl_dir, spark)
+    assert q14c["promo_revenue_pct"].notna().all()
+    q8c = _run_both("q_tpch_q8ish", ctrl_dir, spark)
+    assert q8c["mkt_share"].notna().all()
