@@ -322,3 +322,159 @@ def test_random_embeddings_tables_match_duckdb(
     sf = _write_embeddings(str(tmp_path_factory.mktemp("embfuzz")), recs)
     for key in _EMB_FUZZ_KEYS:
         _run_both(key, sf, spark)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H fuzz: random lineitem/orders/part/customer slices through the
+# TPC-H-shaped keys reachable with those four tables. Every float is
+# dyadic-exact by construction (quarter prices, {0, 1/16, 1/8, 1/4}
+# discounts — 1/16 sits INSIDE Q6's [0.05, 0.07] discount window), so
+# revenue sums are exact in any summation order and cross-engine rounding
+# cannot flip. Orders span keys with NO lineitems and customers with NO
+# orders (the EXISTS-false / zero-count / anti branches), quantities
+# straddle the Q6/Q17/Q18 thresholds, dates land exactly on month
+# boundaries (the filters' cutoff instants), and zero prices are common
+# enough to hit the Q14 NULLIF share denominator.
+
+_1995_US = 788_918_400_000_000  # 1995-01-01 UTC in µs
+_MONTH_US = 2_629_800_000_000  # ~1-month stride; cutoffs hit via k=0 rows
+
+_TPCH_FUZZ_KEYS = [
+    "q_tpch_q4ish",  # EXISTS lineitem per order, date-windowed
+    "q_tpch_q6ish",  # BETWEEN discount window + qty threshold
+    "q_tpch_q12ish",  # priority counts over the order join
+    "q_tpch_q13ish",  # orders-per-customer incl. zero-order customers
+    "q_tpch_q14ish",  # promo share incl. the zero-revenue NULLIF branch
+    "q_tpch_q17ish",  # below-0.2x-avg-quantity trigger per part
+    "q_tpch_q18ish",  # HAVING sum(qty) threshold at exact integer ties
+    "q_tpch_q19ish",  # brand/size/qty band predicates
+    "q_tpch_q22ish",  # zero-order (anti) customers with balance filter
+]
+
+# (orderkey, partkey, qty, price_quarters, discount_idx, ship_month, flag)
+_line = st.tuples(
+    st.integers(0, 24),
+    st.integers(0, 5),
+    st.integers(1, 60),
+    st.sampled_from([0, 0, 4, 401, 1000, 3999]),  # /4; zeros common
+    st.integers(0, 3),  # -> [0.0, 0.0625, 0.125, 0.25]
+    st.integers(0, 40),
+    st.sampled_from(["N", "R", "A"]),
+)
+
+_DISCOUNTS = [0.0, 0.0625, 0.125, 0.25]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _write_tpch_fuzz(dirpath: str, lines: list[tuple]) -> str:
+    n_orders = 28  # > max lineitem orderkey: some orders have no lines
+    pa_tables = {
+        "lineitem": pa.table(
+            {
+                "l_orderkey": pa.array([l[0] for l in lines], pa.int64()),
+                "l_partkey": pa.array([l[1] for l in lines], pa.int64()),
+                "l_suppkey": pa.array(
+                    [l[0] % 4 for l in lines], pa.int64()
+                ),
+                "l_linenumber": pa.array(
+                    list(range(1, len(lines) + 1)), pa.int32()
+                ),
+                "l_quantity": pa.array(
+                    [float(l[2]) for l in lines], pa.float64()
+                ),
+                "l_extendedprice": pa.array(
+                    [l[3] / 4.0 for l in lines], pa.float64()
+                ),
+                "l_discount": pa.array(
+                    [_DISCOUNTS[l[4]] for l in lines], pa.float64()
+                ),
+                "l_tax": pa.array([0.0] * len(lines), pa.float64()),
+                "l_returnflag": pa.array([l[6] for l in lines], pa.string()),
+                "l_linestatus": pa.array(
+                    ["O" if l[0] % 2 else "F" for l in lines], pa.string()
+                ),
+                "l_shipdate": pa.array(
+                    [_1995_US + l[5] * _MONTH_US for l in lines],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        "orders": pa.table(
+            {
+                "o_orderkey": pa.array(range(n_orders), pa.int64()),
+                "o_custkey": pa.array(
+                    [k % 9 for k in range(n_orders)], pa.int64()
+                ),
+                "o_orderstatus": pa.array(
+                    ["O" if k % 3 else "F" for k in range(n_orders)],
+                    pa.string(),
+                ),
+                "o_totalprice": pa.array(
+                    [(k * 397 % 2000) / 4.0 for k in range(n_orders)],
+                    pa.float64(),
+                ),
+                "o_orderdate": pa.array(
+                    [_1995_US + (k % 40) * _MONTH_US for k in range(n_orders)],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(
+                    [_PRIORITIES[k % 5] for k in range(n_orders)], pa.string()
+                ),
+            }
+        ),
+        "part": pa.table(
+            {
+                "p_partkey": pa.array(range(6), pa.int64()),
+                "p_name": pa.array([f"part{k}" for k in range(6)], pa.string()),
+                "p_brand": pa.array(
+                    [f"Brand#{k % 3 + 1}" for k in range(6)], pa.string()
+                ),
+                "p_type": pa.array(
+                    ["PROMO" if k % 2 else "STANDARD" for k in range(6)],
+                    pa.string(),
+                ),
+                "p_size": pa.array(
+                    [k * 9 % 50 + 1 for k in range(6)], pa.int32()
+                ),
+                "p_retailprice": pa.array(
+                    [100.25 * (k + 1) for k in range(6)], pa.float64()
+                ),
+            }
+        ),
+        "customer": pa.table(
+            {
+                "c_custkey": pa.array(range(12), pa.int64()),
+                "c_name": pa.array(
+                    [f"Customer#{k}" for k in range(12)], pa.string()
+                ),
+                "c_nationkey": pa.array(
+                    [k % 5 for k in range(12)], pa.int32()
+                ),
+                "c_acctbal": pa.array(
+                    [(k * 83 % 160 - 40) / 4.0 for k in range(12)],
+                    pa.float64(),
+                ),
+                "c_mktsegment": pa.array(
+                    [["BUILDING", "AUTOMOBILE", "MACHINERY"][k % 3]
+                     for k in range(12)],
+                    pa.string(),
+                ),
+            }
+        ),
+    }
+    for name, t in pa_tables.items():
+        pq.write_table(t, os.path.join(dirpath, f"{name}.parquet"))
+    return dirpath
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=st.lists(_line, min_size=3, max_size=70))
+def test_random_tpch_tables_match_duckdb(spark, tmp_path_factory, lines):
+    sf = _write_tpch_fuzz(str(tmp_path_factory.mktemp("tpchfuzz")), lines)
+    for key in _TPCH_FUZZ_KEYS:
+        _run_both(key, sf, spark)
