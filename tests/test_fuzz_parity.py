@@ -349,6 +349,47 @@ _TPCH_FUZZ_KEYS = [
     "q_tpch_q18ish",  # HAVING sum(qty) threshold at exact integer ties
     "q_tpch_q19ish",  # brand/size/qty band predicates
     "q_tpch_q22ish",  # zero-order (anti) customers with balance filter
+    # full-dimension shapes (supplier/nation/region generated to the
+    # fixture's value scheme so the region/nation filters stay live)
+    "q_tpch_q2ish",  # min-cost supplier per part, region-filtered
+    "q_tpch_q5ish",  # region revenue by nation
+    "q_tpch_q7ish",  # cross-nation shipping volumes
+    "q_tpch_q8ish",  # market share incl. the zero-volume NULLIF branch
+    "q_tpch_q9ish",  # profit by nation and year
+    "q_tpch_q10ish",  # returned-item revenue per customer
+    "q_tpch_q11ish",  # inventory-value threshold slice
+    "q_tpch_q15ish",  # top supplier(s) by revenue incl. exact ties
+    "q_tpch_q16ish",  # supplier counts per part attribute
+    "q_tpch_q20ish",  # suppliers above half-year part volume
+    "q_tpch_q21ish",  # multi-supplier late-order anti/semi stack
+    # subqueries + non-event joins + lineitem/orders aggregates: the
+    # relational core over the same random slices (ties everywhere)
+    "q_sub_scalar",
+    "q_sub_in",
+    "q_sub_correlated",
+    "q_join_inner_broadcast",
+    "q_join_inner_smj",
+    "q_join_inner_shj",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta",
+    "q_join_star",
+    "q_join_bloom",
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_sum_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_collect",
+    "q_agg_stddev",
+    "q_agg_corr",
+    "q_agg_conditional",
+    "q_diag_join_skew",
 ]
 
 # (orderkey, partkey, qty, price_quarters, discount_idx, ship_month, flag)
@@ -457,6 +498,43 @@ def _write_tpch_fuzz(dirpath: str, lines: list[tuple]) -> str:
                 "c_mktsegment": pa.array(
                     [["BUILDING", "AUTOMOBILE", "MACHINERY"][k % 3]
                      for k in range(12)],
+                    pa.string(),
+                ),
+            }
+        ),
+        # dims follow the fixture's value scheme (region names, NATION_k
+        # with regionkey k % 5) so q2/q5/q7/q8's region and NATION_7
+        # filters select non-empty slices; s_nationkey spans an AMERICA
+        # nation (1) and NATION_7 to populate both sides of q8's share
+        "supplier": pa.table(
+            {
+                "s_suppkey": pa.array(range(4), pa.int64()),
+                "s_name": pa.array(
+                    [f"Supplier#{k}" for k in range(4)], pa.string()
+                ),
+                "s_nationkey": pa.array([7, 3, 12, 1], pa.int32()),
+                "s_acctbal": pa.array(
+                    [(k * 61 % 120 - 20) / 4.0 for k in range(4)],
+                    pa.float64(),
+                ),
+            }
+        ),
+        "nation": pa.table(
+            {
+                "n_nationkey": pa.array(range(25), pa.int32()),
+                "n_name": pa.array(
+                    [f"NATION_{k}" for k in range(25)], pa.string()
+                ),
+                "n_regionkey": pa.array(
+                    [k % 5 for k in range(25)], pa.int32()
+                ),
+            }
+        ),
+        "region": pa.table(
+            {
+                "r_regionkey": pa.array(range(5), pa.int32()),
+                "r_name": pa.array(
+                    ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
                     pa.string(),
                 ),
             }

@@ -253,14 +253,28 @@ def q_agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlation / covariance aggregates."""
+    """Correlation / covariance aggregates.
+
+    corr is computed as covar_samp / NULLIF(sx*sy, 0), not F.corr:
+    Spark's corr builtin THROWS under default ANSI mode on a
+    zero-variance group (its final ck/sqrt(xMk*yMk) hits 0/0; found by
+    the TPC-H fuzz on duplicate-row slices) while DuckDB's corr yields
+    NULL. covar_samp/stddev_samp degrade safely on their own (0.0 for
+    constant groups, NULL for n=1 — measured), so the ratio is NULL
+    exactly where DuckDB's corr is NULL, and the (n-1) normalizations
+    cancel so healthy groups agree to the shared 6-dp rounding.
+    """
+    sx = F.stddev_samp("l_extendedprice")
+    sy = F.stddev_samp("l_quantity")
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
-                "corr_price_qty"
-            ),
+            F.round(
+                F.covar_samp("l_extendedprice", "l_quantity")
+                / F.nullif(sx * sy, F.lit(0.0)),
+                6,
+            ).alias("corr_price_qty"),
             F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
                 "covar_price_qty"
             ),
