@@ -65,6 +65,12 @@ _FUZZ_KEYS = [
     "q_evt_pareto",  # top-decile cutoff with tied totals
     "q_evt_paths",  # 3-step lead paths with ts ties
     "q_agg_time_rollup",  # hour-grain rollup (the batch twin)
+    # B8 scalar keys reading events: date/unix conversions at quantized
+    # instants, JSON parsing over the props column
+    "q_date_unix",
+    "q_map_json",
+    "q_json_tuple",
+    "q_json_to",
 ]
 
 
@@ -235,6 +241,12 @@ _ORDERS_FUZZ_KEYS = [
     "q_limit",
     "q_agg_minmax_by",
     "q_agg_having",
+    # B8 scalar keys reading orders: date parts/arithmetic at the
+    # generator's duplicated dates, hex/struct round-trips on random keys
+    "q_date_parts",
+    "q_date_arith",
+    "q_math_conv",
+    "q_struct_ops",
 ]
 
 
@@ -301,6 +313,11 @@ _EMB_FUZZ_KEYS = [
     "q_llm_kmeans",  # incl. mid-iteration empty clusters (duplicate inits)
     "q_llm_random_projection",
     "q_llm_pq_adc",  # L2 codebooks/ADC; zero vectors quantize like any other
+    # B8 array keys: higher-order folds/explodes/zips over the same
+    # random vectors (total functions — zero vectors are ordinary input)
+    "q_arr_hof",
+    "q_arr_explode",
+    "q_arr_zip",
 ]
 
 
@@ -387,9 +404,10 @@ _TPCH_FUZZ_KEYS = [
     "q_agg_grouping_sets",
     "q_agg_collect",
     "q_agg_stddev",
-    "q_agg_corr",
+    "q_agg_corr",  # incl. zero-variance groups (the covar/NULLIF form)
     "q_agg_conditional",
     "q_diag_join_skew",
+    "q_math_fns",  # round/floor/sqrt/ln over random non-negative prices
 ]
 
 # (orderkey, partkey, qty, price_quarters, discount_idx, ship_month, flag)
