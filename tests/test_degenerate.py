@@ -239,6 +239,13 @@ def test_cosine_family_rejects_zero_vectors_identically(spark, tmp_path):
     neg = _run_both("q_llm_hard_negatives", sf, spark)
     assert 2 not in set(neg["vec_id"]) | set(neg["neg_id"])
 
+    # components: the zero vector stays a VERTEX (edges are filtered,
+    # the vertex universe is not) and must come back a singleton
+    comp = _run_both("q_llm_dup_clusters", sf, spark)
+    assert len(comp) == 4  # every vector labeled, zero vec included
+    z_comp = comp[comp["vec_id"] == 2]
+    assert z_comp["component_id"].tolist() == [2]  # its own component
+
     cent = _run_both("q_llm_centroids", sf, spark)  # mean family: included
     # label 1's centroid averages the zero vector in: [0, 0, .5, .5]
     c1 = cent[cent["label"] == 1].sort_values("pos")["c"].tolist()
@@ -284,7 +291,8 @@ def _write_tpch_minimal(dirpath: str, zero_prices: bool) -> str:
     import pyarrow.parquet as pq
 
     price = 0.0 if zero_prices else 100.0
-    # 1997-02-01 00:00:00 UTC in µs — inside q14's [1997-01-01, 1997-07-01)
+    # 1997-01-01 00:00:00 UTC in µs — q14's inclusive lower window edge
+    # (deliberately ON the boundary: >= must keep it)
     ship_us = 852_076_800_000_000
     # 1995-06-01 00:00:00 UTC in µs — inside q8's [1995-01-01, 1997-01-01)
     order_us = 801_964_800_000_000

@@ -172,6 +172,7 @@ _DOC_FUZZ_KEYS = [
     "q_llm_minhash_exact",  # deterministic-hash LSH candidate pairs
     "q_llm_fuzzy_dup",  # ED-Join prefix buckets on tiny token streams
     "q_llm_delta_dedup",  # incl. the empty-delta (doc_id % 10) branch
+    "q_llm_dedup_survivors",  # pairs -> components -> quality argmax
 ]
 
 _doc = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12).map(
@@ -307,6 +308,8 @@ _EMB_FUZZ_KEYS = [
     "q_graph_pagerank",  # identical vertex/edge sets
     "q_llm_ivf_search",  # centroid training + probing on the enforced scan
     "q_llm_ann_recall",  # bucket bits + recall on the enforced scan
+    "q_llm_dup_clusters",  # zero vec = singleton component (edges filtered,
+    # vertices not) — the key the r7 review caught missing from the sweep
     "q_llm_semantic_prune",  # the NULL-yielding guard: degenerate row VISIBLE
     # L2/mean family: zero vectors are ordinary points, no rejection
     "q_llm_centroids",

@@ -345,12 +345,29 @@ def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH keys (q_llm_near_dedup / q_llm_ann_lsh) and this component pass
     runs unchanged on those edges. The DuckDB oracle computes the same
     components via recursive transitive closure.
+
+    Zero vectors: the EDGE derivation runs on the nonzero scan (the
+    unguarded division would ANSI-throw), but the VERTEX universe stays
+    the full table — a zero vector has no defined cosine to anything, so
+    it is a singleton component, exactly what the oracle produces
+    (list_cosine_similarity's -1.0 fails the threshold, and the LEFT
+    JOIN keeps the vertex).
     """
-    from token_burn_listener_spark.llm.similarity import as_double, dot, l2
+    from token_burn_listener_spark.llm.similarity import (
+        as_double,
+        dot,
+        l2,
+        nonzero,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("va"), as_double("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"), as_double("embedding").alias("eb"))
+    enz = nonzero(e)
+    a = enz.select(
+        F.col("vec_id").alias("va"), as_double("embedding").alias("ea")
+    )
+    b = enz.select(
+        F.col("vec_id").alias("vb"), as_double("embedding").alias("eb")
+    )
     cos = dot("ea", "eb") / (l2("ea") * l2("eb"))
     pairs = (
         a.crossJoin(b)
