@@ -84,6 +84,77 @@ def _write_embeddings(
     return dirpath
 
 
+# One source of truth for the fixture's TPC-H column sets and dtypes
+# (mirrors /root/testdata/sf*/; timestamps are µs ints). Both adversarial
+# writers (_write_tpch_minimal here, _write_tpch_fuzz in the fuzz suite)
+# build through this so a fixture schema change breaks in ONE place.
+_TPCH_SCHEMAS = {
+    "lineitem": {
+        "l_orderkey": pa.int64(),
+        "l_partkey": pa.int64(),
+        "l_suppkey": pa.int64(),
+        "l_linenumber": pa.int32(),
+        "l_quantity": pa.float64(),
+        "l_extendedprice": pa.float64(),
+        "l_discount": pa.float64(),
+        "l_tax": pa.float64(),
+        "l_returnflag": pa.string(),
+        "l_linestatus": pa.string(),
+        "l_shipdate": pa.timestamp("us"),
+    },
+    "orders": {
+        "o_orderkey": pa.int64(),
+        "o_custkey": pa.int64(),
+        "o_orderstatus": pa.string(),
+        "o_totalprice": pa.float64(),
+        "o_orderdate": pa.timestamp("us"),
+        "o_orderpriority": pa.string(),
+    },
+    "part": {
+        "p_partkey": pa.int64(),
+        "p_name": pa.string(),
+        "p_brand": pa.string(),
+        "p_type": pa.string(),
+        "p_size": pa.int32(),
+        "p_retailprice": pa.float64(),
+    },
+    "customer": {
+        "c_custkey": pa.int64(),
+        "c_name": pa.string(),
+        "c_nationkey": pa.int32(),
+        "c_acctbal": pa.float64(),
+        "c_mktsegment": pa.string(),
+    },
+    "supplier": {
+        "s_suppkey": pa.int64(),
+        "s_name": pa.string(),
+        "s_nationkey": pa.int32(),
+        "s_acctbal": pa.float64(),
+    },
+    "nation": {
+        "n_nationkey": pa.int32(),
+        "n_name": pa.string(),
+        "n_regionkey": pa.int32(),
+    },
+    "region": {"r_regionkey": pa.int32(), "r_name": pa.string()},
+}
+
+
+def write_tpch_tables(dirpath: str, data: dict[str, dict[str, list]]) -> str:
+    """Write TPC-H parquet files from plain column lists, typing every
+    column from _TPCH_SCHEMAS. Column sets must match exactly."""
+    for name, cols in data.items():
+        schema = _TPCH_SCHEMAS[name]
+        assert set(cols) == set(schema), (
+            f"{name}: columns {sorted(cols)} != fixture {sorted(schema)}"
+        )
+        table = pa.table(
+            {c: pa.array(vals, schema[c]) for c, vals in cols.items()}
+        )
+        pq.write_table(table, os.path.join(dirpath, f"{name}.parquet"))
+    return dirpath
+
+
 def _run_both(key: str, sf_dir: str, spark):
     sdf = QUERIES[key](spark, sf_dir).toPandas()
     con = duckdb.connect()
@@ -287,89 +358,65 @@ def _write_tpch_minimal(dirpath: str, zero_prices: bool) -> str:
     through part / orders->customer->AMERICA / supplier->nation, so with
     ``zero_prices`` the revenue sums are EXACTLY zero (not empty) — the
     ANSI-throw branch the NULLIF guards exist for."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     price = 0.0 if zero_prices else 100.0
     # 1997-01-01 00:00:00 UTC in µs — q14's inclusive lower window edge
     # (deliberately ON the boundary: >= must keep it)
     ship_us = 852_076_800_000_000
     # 1995-06-01 00:00:00 UTC in µs — inside q8's [1995-01-01, 1997-01-01)
     order_us = 801_964_800_000_000
-    tables = {
-        "lineitem": pa.table(
-            {
-                "l_orderkey": pa.array([1, 2], pa.int64()),
-                "l_partkey": pa.array([10, 10], pa.int64()),
-                "l_suppkey": pa.array([20, 20], pa.int64()),
-                "l_linenumber": pa.array([1, 1], pa.int32()),
-                "l_quantity": pa.array([1.0, 1.0], pa.float64()),
-                "l_extendedprice": pa.array([price, price], pa.float64()),
-                "l_discount": pa.array([0.0, 0.5], pa.float64()),
-                "l_tax": pa.array([0.0, 0.0], pa.float64()),
-                "l_returnflag": pa.array(["N", "N"], pa.string()),
-                "l_linestatus": pa.array(["O", "O"], pa.string()),
-                "l_shipdate": pa.array([ship_us, ship_us], pa.timestamp("us")),
-            }
-        ),
-        "part": pa.table(
-            {
-                "p_partkey": pa.array([10], pa.int64()),
-                "p_name": pa.array(["widget"], pa.string()),
-                "p_brand": pa.array(["B1"], pa.string()),
-                "p_type": pa.array(["PROMO"], pa.string()),
-                "p_size": pa.array([1], pa.int32()),
-                "p_retailprice": pa.array([1.0], pa.float64()),
-            }
-        ),
-        "orders": pa.table(
-            {
-                "o_orderkey": pa.array([1, 2], pa.int64()),
-                "o_custkey": pa.array([30, 30], pa.int64()),
-                "o_orderstatus": pa.array(["O", "O"], pa.string()),
-                "o_totalprice": pa.array([price, price], pa.float64()),
-                "o_orderdate": pa.array(
-                    [order_us, order_us], pa.timestamp("us")
-                ),
-                "o_orderpriority": pa.array(
-                    ["1-URGENT", "1-URGENT"], pa.string()
-                ),
-            }
-        ),
-        "customer": pa.table(
-            {
-                "c_custkey": pa.array([30], pa.int64()),
-                "c_name": pa.array(["c"], pa.string()),
-                "c_nationkey": pa.array([1], pa.int32()),
-                "c_acctbal": pa.array([0.0], pa.float64()),
-                "c_mktsegment": pa.array(["BUILDING"], pa.string()),
-            }
-        ),
-        "supplier": pa.table(
-            {
-                "s_suppkey": pa.array([20], pa.int64()),
-                "s_name": pa.array(["s"], pa.string()),
-                "s_nationkey": pa.array([2], pa.int32()),
-                "s_acctbal": pa.array([0.0], pa.float64()),
-            }
-        ),
-        "nation": pa.table(
-            {
-                "n_nationkey": pa.array([1, 2], pa.int32()),
-                "n_name": pa.array(["NATION_1", "NATION_2"], pa.string()),
-                "n_regionkey": pa.array([0, 0], pa.int32()),
-            }
-        ),
-        "region": pa.table(
-            {
-                "r_regionkey": pa.array([0], pa.int32()),
-                "r_name": pa.array(["AMERICA"], pa.string()),
-            }
-        ),
-    }
-    for name, t in tables.items():
-        pq.write_table(t, os.path.join(dirpath, f"{name}.parquet"))
-    return dirpath
+    return write_tpch_tables(
+        dirpath,
+        {
+            "lineitem": {
+                "l_orderkey": [1, 2],
+                "l_partkey": [10, 10],
+                "l_suppkey": [20, 20],
+                "l_linenumber": [1, 1],
+                "l_quantity": [1.0, 1.0],
+                "l_extendedprice": [price, price],
+                "l_discount": [0.0, 0.5],
+                "l_tax": [0.0, 0.0],
+                "l_returnflag": ["N", "N"],
+                "l_linestatus": ["O", "O"],
+                "l_shipdate": [ship_us, ship_us],
+            },
+            "orders": {
+                "o_orderkey": [1, 2],
+                "o_custkey": [30, 30],
+                "o_orderstatus": ["O", "O"],
+                "o_totalprice": [price, price],
+                "o_orderdate": [order_us, order_us],
+                "o_orderpriority": ["1-URGENT", "1-URGENT"],
+            },
+            "part": {
+                "p_partkey": [10],
+                "p_name": ["widget"],
+                "p_brand": ["B1"],
+                "p_type": ["PROMO"],
+                "p_size": [1],
+                "p_retailprice": [1.0],
+            },
+            "customer": {
+                "c_custkey": [30],
+                "c_name": ["c"],
+                "c_nationkey": [1],
+                "c_acctbal": [0.0],
+                "c_mktsegment": ["BUILDING"],
+            },
+            "supplier": {
+                "s_suppkey": [20],
+                "s_name": ["s"],
+                "s_nationkey": [2],
+                "s_acctbal": [0.0],
+            },
+            "nation": {
+                "n_nationkey": [1, 2],
+                "n_name": ["NATION_1", "NATION_2"],
+                "n_regionkey": [0, 0],
+            },
+            "region": {"r_regionkey": [0], "r_name": ["AMERICA"]},
+        },
+    )
 
 
 def test_tpch_share_ratios_with_zero_revenue_yield_null_identically(

@@ -356,8 +356,19 @@ def test_random_embeddings_tables_match_duckdb(
 # boundaries (the filters' cutoff instants), and zero prices are common
 # enough to hit the Q14 NULLIF share denominator.
 
-_1995_US = 788_918_400_000_000  # 1995-01-01 UTC in µs
-_MONTH_US = 2_629_800_000_000  # ~1-month stride; cutoffs hit via k=0 rows
+# True calendar month starts 1995-01 .. 1998-05 in µs: ship/order dates
+# land EXACTLY on the queries' month-boundary cutoff instants (>=/< edges)
+import datetime as _dt
+
+_MONTHS_US = [
+    int(
+        _dt.datetime(
+            1995 + m // 12, m % 12 + 1, 1, tzinfo=_dt.timezone.utc
+        ).timestamp()
+        * 1_000_000
+    )
+    for m in range(41)
+]
 
 _TPCH_FUZZ_KEYS = [
     "q_tpch_q4ish",  # EXISTS lineitem per order, date-windowed
@@ -429,141 +440,82 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
 def _write_tpch_fuzz(dirpath: str, lines: list[tuple]) -> str:
+    from tests.test_degenerate import write_tpch_tables
+
     n_orders = 28  # > max lineitem orderkey: some orders have no lines
-    pa_tables = {
-        "lineitem": pa.table(
-            {
-                "l_orderkey": pa.array([l[0] for l in lines], pa.int64()),
-                "l_partkey": pa.array([l[1] for l in lines], pa.int64()),
-                "l_suppkey": pa.array(
-                    [l[0] % 4 for l in lines], pa.int64()
-                ),
-                "l_linenumber": pa.array(
-                    list(range(1, len(lines) + 1)), pa.int32()
-                ),
-                "l_quantity": pa.array(
-                    [float(l[2]) for l in lines], pa.float64()
-                ),
-                "l_extendedprice": pa.array(
-                    [l[3] / 4.0 for l in lines], pa.float64()
-                ),
-                "l_discount": pa.array(
-                    [_DISCOUNTS[l[4]] for l in lines], pa.float64()
-                ),
-                "l_tax": pa.array([0.0] * len(lines), pa.float64()),
-                "l_returnflag": pa.array([l[6] for l in lines], pa.string()),
-                "l_linestatus": pa.array(
-                    ["O" if l[0] % 2 else "F" for l in lines], pa.string()
-                ),
-                "l_shipdate": pa.array(
-                    [_1995_US + l[5] * _MONTH_US for l in lines],
-                    pa.timestamp("us"),
-                ),
-            }
-        ),
-        "orders": pa.table(
-            {
-                "o_orderkey": pa.array(range(n_orders), pa.int64()),
-                "o_custkey": pa.array(
-                    [k % 9 for k in range(n_orders)], pa.int64()
-                ),
-                "o_orderstatus": pa.array(
-                    ["O" if k % 3 else "F" for k in range(n_orders)],
-                    pa.string(),
-                ),
-                "o_totalprice": pa.array(
-                    [(k * 397 % 2000) / 4.0 for k in range(n_orders)],
-                    pa.float64(),
-                ),
-                "o_orderdate": pa.array(
-                    [_1995_US + (k % 40) * _MONTH_US for k in range(n_orders)],
-                    pa.timestamp("us"),
-                ),
-                "o_orderpriority": pa.array(
-                    [_PRIORITIES[k % 5] for k in range(n_orders)], pa.string()
-                ),
-            }
-        ),
-        "part": pa.table(
-            {
-                "p_partkey": pa.array(range(6), pa.int64()),
-                "p_name": pa.array([f"part{k}" for k in range(6)], pa.string()),
-                "p_brand": pa.array(
-                    [f"Brand#{k % 3 + 1}" for k in range(6)], pa.string()
-                ),
-                "p_type": pa.array(
-                    ["PROMO" if k % 2 else "STANDARD" for k in range(6)],
-                    pa.string(),
-                ),
-                "p_size": pa.array(
-                    [k * 9 % 50 + 1 for k in range(6)], pa.int32()
-                ),
-                "p_retailprice": pa.array(
-                    [100.25 * (k + 1) for k in range(6)], pa.float64()
-                ),
-            }
-        ),
-        "customer": pa.table(
-            {
-                "c_custkey": pa.array(range(12), pa.int64()),
-                "c_name": pa.array(
-                    [f"Customer#{k}" for k in range(12)], pa.string()
-                ),
-                "c_nationkey": pa.array(
-                    [k % 5 for k in range(12)], pa.int32()
-                ),
-                "c_acctbal": pa.array(
-                    [(k * 83 % 160 - 40) / 4.0 for k in range(12)],
-                    pa.float64(),
-                ),
-                "c_mktsegment": pa.array(
-                    [["BUILDING", "AUTOMOBILE", "MACHINERY"][k % 3]
-                     for k in range(12)],
-                    pa.string(),
-                ),
-            }
-        ),
-        # dims follow the fixture's value scheme (region names, NATION_k
-        # with regionkey k % 5) so q2/q5/q7/q8's region and NATION_7
-        # filters select non-empty slices; s_nationkey spans an AMERICA
-        # nation (1) and NATION_7 to populate both sides of q8's share
-        "supplier": pa.table(
-            {
-                "s_suppkey": pa.array(range(4), pa.int64()),
-                "s_name": pa.array(
-                    [f"Supplier#{k}" for k in range(4)], pa.string()
-                ),
-                "s_nationkey": pa.array([7, 3, 12, 1], pa.int32()),
-                "s_acctbal": pa.array(
-                    [(k * 61 % 120 - 20) / 4.0 for k in range(4)],
-                    pa.float64(),
-                ),
-            }
-        ),
-        "nation": pa.table(
-            {
-                "n_nationkey": pa.array(range(25), pa.int32()),
-                "n_name": pa.array(
-                    [f"NATION_{k}" for k in range(25)], pa.string()
-                ),
-                "n_regionkey": pa.array(
-                    [k % 5 for k in range(25)], pa.int32()
-                ),
-            }
-        ),
-        "region": pa.table(
-            {
-                "r_regionkey": pa.array(range(5), pa.int32()),
-                "r_name": pa.array(
-                    ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
-                    pa.string(),
-                ),
-            }
-        ),
-    }
-    for name, t in pa_tables.items():
-        pq.write_table(t, os.path.join(dirpath, f"{name}.parquet"))
-    return dirpath
+    return write_tpch_tables(
+        dirpath,
+        {
+            "lineitem": {
+                "l_orderkey": [l[0] for l in lines],
+                "l_partkey": [l[1] for l in lines],
+                "l_suppkey": [l[0] % 4 for l in lines],
+                "l_linenumber": list(range(1, len(lines) + 1)),
+                "l_quantity": [float(l[2]) for l in lines],
+                "l_extendedprice": [l[3] / 4.0 for l in lines],
+                "l_discount": [_DISCOUNTS[l[4]] for l in lines],
+                "l_tax": [0.0] * len(lines),
+                "l_returnflag": [l[6] for l in lines],
+                "l_linestatus": ["O" if l[0] % 2 else "F" for l in lines],
+                "l_shipdate": [_MONTHS_US[l[5]] for l in lines],
+            },
+            "orders": {
+                "o_orderkey": list(range(n_orders)),
+                "o_custkey": [k % 9 for k in range(n_orders)],
+                "o_orderstatus": [
+                    "O" if k % 3 else "F" for k in range(n_orders)
+                ],
+                "o_totalprice": [
+                    (k * 397 % 2000) / 4.0 for k in range(n_orders)
+                ],
+                "o_orderdate": [_MONTHS_US[k % 40] for k in range(n_orders)],
+                "o_orderpriority": [
+                    _PRIORITIES[k % 5] for k in range(n_orders)
+                ],
+            },
+            "part": {
+                "p_partkey": list(range(6)),
+                "p_name": [f"part{k}" for k in range(6)],
+                "p_brand": [f"Brand#{k % 3 + 1}" for k in range(6)],
+                "p_type": [
+                    "PROMO" if k % 2 else "STANDARD" for k in range(6)
+                ],
+                "p_size": [k * 9 % 50 + 1 for k in range(6)],
+                "p_retailprice": [100.25 * (k + 1) for k in range(6)],
+            },
+            "customer": {
+                "c_custkey": list(range(12)),
+                "c_name": [f"Customer#{k}" for k in range(12)],
+                "c_nationkey": [k % 5 for k in range(12)],
+                "c_acctbal": [(k * 83 % 160 - 40) / 4.0 for k in range(12)],
+                "c_mktsegment": [
+                    ["BUILDING", "AUTOMOBILE", "MACHINERY"][k % 3]
+                    for k in range(12)
+                ],
+            },
+            # dims follow the fixture's value scheme (region names,
+            # NATION_k with regionkey k % 5) so q2/q5/q7/q8's region and
+            # NATION_7 filters select non-empty slices; s_nationkey spans
+            # an AMERICA nation (1) and NATION_7 for both sides of q8
+            "supplier": {
+                "s_suppkey": list(range(4)),
+                "s_name": [f"Supplier#{k}" for k in range(4)],
+                "s_nationkey": [7, 3, 12, 1],
+                "s_acctbal": [(k * 61 % 120 - 20) / 4.0 for k in range(4)],
+            },
+            "nation": {
+                "n_nationkey": list(range(25)),
+                "n_name": [f"NATION_{k}" for k in range(25)],
+                "n_regionkey": [k % 5 for k in range(25)],
+            },
+            "region": {
+                "r_regionkey": list(range(5)),
+                "r_name": [
+                    "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
+                ],
+            },
+        },
+    )
 
 
 @settings(

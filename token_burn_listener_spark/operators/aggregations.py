@@ -246,39 +246,65 @@ def q_agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_corr",
     oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*)::DOUBLE AS n,
+             sum(l_extendedprice) AS sx, sum(l_quantity) AS sy,
+             sum(l_extendedprice * l_quantity) AS sxy,
+             sum(l_extendedprice * l_extendedprice) AS sxx,
+             sum(l_quantity * l_quantity) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
-           round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_price_qty
-    FROM lineitem GROUP BY l_returnflag
+           round((n * sxy - sx * sy)
+                 / NULLIF(sqrt(greatest((n * sxx - sx * sx)
+                                        * (n * syy - sy * sy), 0)), 0),
+                 6) AS corr_price_qty,
+           round((n * sxy - sx * sy) / NULLIF(n * (n - 1), 0), 2)
+             AS covar_price_qty
+    FROM s
     """,
 )
 def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlation / covariance aggregates.
+    """Correlation / covariance aggregates, from raw moments on BOTH
+    engines (not the builtins):
 
-    corr is computed as covar_samp / NULLIF(sx*sy, 0), not F.corr:
-    Spark's corr builtin THROWS under default ANSI mode on a
-    zero-variance group (its final ck/sqrt(xMk*yMk) hits 0/0; found by
-    the TPC-H fuzz on duplicate-row slices) while DuckDB's corr yields
-    NULL. covar_samp/stddev_samp degrade safely on their own (0.0 for
-    constant groups, NULL for n=1 — measured), so the ratio is NULL
-    exactly where DuckDB's corr is NULL, and the (n-1) normalizations
-    cancel so healthy groups agree to the shared 6-dp rounding.
+    - Spark's corr builtin THROWS under default ANSI mode on a
+      zero-variance group (its final ck/sqrt(xMk*yMk) hits 0/0; found by
+      the TPC-H fuzz on duplicate-row slices) while DuckDB's corr yields
+      NULL.
+    - The builtins also accumulate through engine-specific Welford
+      routes, so a builtin-vs-anything pairing is only equal up to ulp —
+      a latent round(·, 6) boundary flake. The shared six-sum formula
+      (n·Sxy − Sx·Sy over the clamped variance product) makes both
+      engines run the SAME op sequence: bit-identical on exact-sum
+      (dyadic) fuzz data, ulp-equal-then-rounded on the fixture.
+    - greatest(·, 0): near-zero variance can go fractionally negative
+      from cancellation in float; clamp → sqrt(0) → NULLIF → NULL, the
+      same undefined-corr answer, never a sqrt-of-negative.
+    - NULLIF(n·(n−1), 0) gives covar_samp's n=1 NULL.
     """
-    sx = F.stddev_samp("l_extendedprice")
-    sy = F.stddev_samp("l_quantity")
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(
-                F.covar_samp("l_extendedprice", "l_quantity")
-                / F.nullif(sx * sy, F.lit(0.0)),
-                6,
-            ).alias("corr_price_qty"),
-            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
-                "covar_price_qty"
-            ),
-        )
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("l_extendedprice").alias("sx"),
+        F.sum("l_quantity").alias("sy"),
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("sxy"),
+        F.sum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    den = F.nullif(F.sqrt(F.greatest(vx * vy, F.lit(0.0))), F.lit(0.0))
+    return g.select(
+        "l_returnflag",
+        F.round(num / den, 6).alias("corr_price_qty"),
+        F.round(
+            num / F.nullif(F.col("n") * (F.col("n") - 1), F.lit(0.0)), 2
+        ).alias("covar_price_qty"),
     )
 
 
