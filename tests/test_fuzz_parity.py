@@ -71,6 +71,10 @@ _FUZZ_KEYS = [
     "q_map_json",
     "q_json_tuple",
     "q_json_to",
+    # B5 window keys reading events: lag/lead and sliding frames over
+    # the tie-heavy quantized timestamps
+    "q_win_lag_lead",
+    "q_win_sliding",
 ]
 
 
@@ -213,10 +217,21 @@ def _write_orders(dirpath: str, keys: list[int], prices: list[float]) -> str:
         {
             "o_orderkey": pa.array(keys, pa.int64()),
             "o_custkey": pa.array([k % 6 for k in keys], pa.int64()),
+            "o_orderstatus": pa.array(
+                ["O" if k % 3 else "F" for k in keys], pa.string()
+            ),
             "o_totalprice": pa.array(prices, pa.float64()),
             "o_orderdate": pa.array(
                 [_1995_MS + (k % 12) * 13_000_000_000 for k in keys],
                 pa.timestamp("ms"),
+            ),
+            "o_orderpriority": pa.array(
+                [
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                     "5-LOW"][k % 5]
+                    for k in keys
+                ],
+                pa.string(),
             ),
         }
     )
@@ -248,6 +263,15 @@ _ORDERS_FUZZ_KEYS = [
     "q_date_arith",
     "q_math_conv",
     "q_struct_ops",
+    # B7 set ops: bag vs set semantics over random duplicate-heavy key
+    # slices (the >350000 price side is often EMPTY here — a boundary of
+    # its own for INTERSECT/EXCEPT ALL)
+    "q_set_union_all",
+    "q_set_union",
+    "q_set_intersect",
+    "q_set_intersect_all",
+    "q_set_except",
+    "q_set_except_all",
 ]
 
 
@@ -422,6 +446,8 @@ _TPCH_FUZZ_KEYS = [
     "q_agg_conditional",
     "q_diag_join_skew",
     "q_math_fns",  # round/floor/sqrt/ln over random non-negative prices
+    "q_win_rank",  # rank/dense_rank ties on quantized lineitem prices
+    "q_set_distinct",  # full-row dedup over the random lineitem slice
 ]
 
 # (orderkey, partkey, qty, price_quarters, discount_idx, ship_month, flag)
