@@ -1,21 +1,27 @@
-"""Property-based cross-engine fuzzing: random events tables through BOTH
-engines.
+"""Property-based cross-engine fuzzing: random tables through BOTH engines.
 
 check_parity proves Spark ≡ DuckDB on the ONE driver-generated
 distribution; test_degenerate.py proves hand-picked adversarial inputs.
 This suite closes the space in between: hypothesis generates random
-events tables — with deliberately collision-prone domains — and asserts
-exact parity on the keys whose semantics live at boundaries the fixture
-rarely hits:
+tables — with deliberately collision-prone domains — and asserts exact
+parity on the keys whose semantics live at boundaries the fixture
+rarely hits. Five suites (events, documents, orders, embeddings,
+TPC-H), 155 keys, 775 cross-engine runs per execution. Shared design
+rules:
 
-- timestamps quantized to 5-minute slots, so EXACT 30-minute session
-  gaps, exact as-of tolerance edges, and cross-user ts ties are common
-  rather than measure-zero;
-- values quantized to multiples of 0.25 (exact dyadic doubles), so sums
-  are exact and 6-dp rounding cannot straddle a half-ulp boundary
+- timestamps quantized to 5-minute slots (events) or calendar month
+  starts (TPC-H), so EXACT session gaps, as-of tolerance edges, and
+  filter-cutoff instants are common rather than measure-zero;
+- floats quantized to exact dyadic values (quarter prices, sixteenth
+  discounts, quarter-step vector components), so sums are exact in ANY
+  summation order and 6-dp rounding cannot straddle a half-ulp boundary
   differently per engine;
-- several users over several days, so day-grain keys (streaks,
-  cumulative uniques) see both dense runs and holes.
+- degenerate slices are generated ON PURPOSE: all-zero embeddings,
+  zero-revenue groups, empty pair samples, lineitem-less orders,
+  duplicate rows — the branches the NULLIF/rejection guards exist for.
+  This suite has caught real ANSI-mode crashes before any driver run
+  (r6: pareto; r7: the cosine family, the recall denominator, two TPC-H
+  shares, and the corr builtin).
 
 Derandomized (fixed seed) so CI stays deterministic.
 """
