@@ -121,13 +121,14 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_llm_knn_query",
     oracle=f"""
-    WITH s AS (
+    WITH enz AS (SELECT * FROM embeddings WHERE {nz_sql()}),
+    s AS (
       SELECT vec_id,
              round(list_cosine_similarity(
                  embedding::DOUBLE[],
-                 (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),
+                 (SELECT embedding::DOUBLE[] FROM enz WHERE vec_id = 0)),
                6) AS cos_sim
-      FROM embeddings WHERE vec_id <> 0 AND {nz_sql()}
+      FROM enz WHERE vec_id <> 0
     ),
     top AS (SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10)
     SELECT vec_id, cos_sim,
@@ -144,7 +145,11 @@ def q_llm_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejected at the scan (nonzero/nz_sql, see l2); the QUERY vector is
     part of the operator spec — missing or all-zero vec_id 0 is a caller
     error and raises here (IndexError), as documented for the query-style
-    keys.
+    keys. The oracle's query subselect reads the same nz-filtered scan
+    (``enz``, matching q_llm_ivf_search's form), so a violated caller
+    contract fails on BOTH engines — DuckDB's list_cosine_similarity
+    errors on the NULL from the empty subselect — instead of the oracle
+    silently computing against an unfiltered table.
     """
     e = nonzero(load_table(spark, sf_dir, "embeddings"))
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]

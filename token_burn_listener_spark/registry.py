@@ -75,14 +75,17 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #            tail (zorder … tfidf_exact), the 3 Python sources and the 7
 #            UDF-surface keys — 50 green, 0 red, 0 rows-only (the first
 #            fully-green window).
-#   r07 window (positions 1-50, THIS round — promoted verbatim from the
-#            queue r05 pre-ordered): canary + the 28-key pool that was the
-#            only driver-unseen block left + the FIRST 21 re-proof keys of
-#            the staleness tail (r01/r02 evidence:
-#            q_scan_projection_pushdown … q_join_right; the old comment's
-#            "… q_join_left" was an off-by-one — the 1 + 28 + 21 = 50
-#            arithmetic is authoritative). After r07 EVERY registered key
-#            has driver evidence; the unseen pool is drained for good.
+#   r07 proved: canary + the 28-key pool (the last driver-unseen block)
+#            + the first 21 re-proof keys of the staleness tail — 49
+#            green, 1 rows-only by design (q_scan_binaryfile), 0 red.
+#            After r07 EVERY registered key has driver evidence; the
+#            unseen pool is drained for good.
+#   r08 window (positions 1-50, THIS round — rebuilt dirty-first per the
+#            r7 verdict, NOT the mechanically pre-planned window): canary
+#            + the 19 keys whose code/oracle changed in r7 after their
+#            latest driver row (zero-vector cosine family, dedup-graph
+#            family, q_agg_corr raw-moment rewrite, TPC-H q8/q14 NULLIF)
+#            + the 30 stalest clean keys (r01/r02 joins+aggs, r03 head).
 #
 # STANDING INVARIANT (r07 onward — freshness cycling, no bespoke plans):
 #   head 50 = canary + the 49 keys with the STALEST driver evidence. After
@@ -90,80 +93,53 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   to the BACK of the list; positions 1-50 are then mechanically the next
 #   window. A NEW key (no driver evidence) is inserted directly after the
 #   canary — stalest possible — and costs exactly one freshness slot.
+#   DIRTY-FIRST (r08 amendment, VERDICT r7 #1): a key whose implementation
+#   or oracle changed since its last driver row is the stalest possible
+#   state after new keys — its old driver evidence hashed code that no
+#   longer exists. Such keys jump the queue to directly after the canary
+#   (and any new keys) in the next window, regardless of evidence age.
 #
-#   r08 window (already in position — promoting it is a no-op; listed so
+#   r09 window (already in position — promoting it is a no-op; listed so
 #   the next round can verify positions 1-50 against this comment):
-#   q_scan_parquet q_join_full q_join_semi q_join_anti q_join_cross
-#   q_join_theta q_join_interval q_join_asof q_join_star q_join_salted
-#   q_agg_global q_agg_groupby q_agg_count_distinct q_agg_approx_distinct
-#   q_agg_sum_distinct q_agg_rollup q_agg_cube q_agg_grouping_sets
-#   q_agg_collect q_agg_stddev q_agg_corr q_agg_minmax_by q_agg_percentile
-#   q_agg_conditional q_agg_having q_agg_pivot q_agg_time_rollup
-#   q_agg_approx_percentile q_win_row_number q_str_basic q_str_split
-#   q_str_regex q_date_parts q_date_arith q_date_unix q_math_fns q_math_conv
-#   q_arr_hof q_arr_explode q_arr_zip q_map_json q_json_tuple q_json_to
-#   q_hash_sha2 q_hash_md5 q_hash_xxhash q_win_rank q_win_ntile q_win_pct
-#   q_win_lag_lead
+#   q_scan_parquet q_date_parts q_date_arith q_date_unix q_math_fns
+#   q_math_conv q_arr_hof q_arr_explode q_arr_zip q_map_json q_json_tuple
+#   q_json_to q_hash_sha2 q_hash_md5 q_hash_xxhash q_win_rank q_win_ntile
+#   q_win_pct q_win_lag_lead q_win_running q_win_range_frame q_win_sliding
+#   q_win_first_last q_win_topk_group q_sort_multi q_limit q_topk_global
+#   q_stream_source_replay q_stream_rate_smoke q_stream_availablenow
+#   q_stream_rate_limit q_stream_tumbling q_stream_sliding q_stream_session
+#   q_stream_watermark q_stream_late_data q_stream_dedup q_stream_static_join
+#   q_stream_stream_join q_stream_stateful q_stream_foreachbatch
+#   q_stream_checkpoint q_stream_outer_join q_set_union_all q_set_union
+#   q_set_intersect q_arr_basic q_scan_orc q_sink_partitioned
+#   q_sink_compaction
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r07 driver window (positions 1-50) ---
-    "q_scan_parquet",  # canary: driver-proven six times, cheapest probe
-    # r07 pool — the 28 keys that had never had a driver row before this
-    # round (all added during r05). First-ever driver evidence lands in r07.
-    "q_llm_temperature_mix",  # new r5: alpha=0.5 language-mix sampler
-    "q_llm_delta_dedup",  # new r5: delta-vs-corpus incremental dedup (daily-ingest shape)
-    "q_llm_bm25",  # new r5: BM25 ranked retrieval, fixed-order exact float fold
-    "q_llm_cdc_chunking",  # new r5: content-defined (rolling-hash) chunk dedup signal
-    "q_llm_dataset_card",  # new r5: one-row reproducible corpus datasheet
-    "q_scan_dpp",  # new r5: dynamic partition pruning via dim-side predicate (plan-asserted)
-    "q_evt_funnel_latency",  # new r5: time-to-convert between funnel stages
-    "q_llm_kl_divergence",  # new r5: KL(source‖corpus) mixture drift, decimal-fold exact
-    "q_llm_pmi_collocations",  # new r5: top-20 adjacent-pair PMI collocations
-    "q_evt_survival",  # new r5: Kaplan-Meier return-time curve, censored at corpus end
-    "q_llm_pq_adc",  # new r5: product-quantization ADC top-10 + recall@10 vs exact L2
-    "q_evt_changepoint",  # new r5: CUSUM mean-shift detection on the daily series
-    "q_evt_chain_reorg",  # new r5: canonical-chain walk + rollback flags (reference domain)
-    "q_evt_xcorr",  # new r5: lead-lag cross-correlation on dense hourly series
-    "q_evt_profile_similarity",  # new r5: behavioral-twin top-10 over hour-of-day profiles
-    "q_stream_reorg",  # new r5: streaming reorg apply/rollback action log (2 micro-batches)
-    "q_diag_table_stats",  # new r5: ANALYZE-style per-column profile (CBO statistics)
-    "q_evt_gap_detection",  # new r5: missing-id backfill ranges, block-local islands/gaps
-    "q_llm_k_anonymity",  # new r5: quasi-identifier group-size audit (sub-k flagged)
-    "q_diag_column_entropy",  # new r5: Shannon-entropy encoding advisor (decimal-fold)
-    "q_llm_kneser_ney",  # new r5: KN-smoothed bigram probs, top-5 per top-3 contexts
-    "q_llm_weighted_sample",  # new r5: Efraimidis-Spirakis top-k weighted sample
-    "q_evt_streaks",  # new r5: longest consecutive-day streak per user (islands)
-    "q_evt_anomaly_mad",  # new r5: MAD modified z-score robust outlier gate
-    "q_stream_backfill",  # new r5: streaming gap monitor, holes close after restart
-    "q_evt_cumulative_uniques",  # new r5: cumulative DAU via the first-seen trick
-    "q_llm_topic_boundaries",  # new r5: TextTiling-style weakest-seam detection
-    "q_join_asof_forward",  # new r5: forward as-of join with 1h tolerance
-    # --- re-proof tail: driver-proven keys, ordered by ASCENDING recency of
-    # driver evidence (r01/r02 first), so freshness cycling is automatic —
-    # each future window's spare slots drain the oldest evidence first.
-    # The first 21 keys below fill the r07 window's re-proof slots. ---
-    # driver-proven in r01/r02
-    "q_scan_projection_pushdown",
-    "q_scan_filter_pushdown",
-    "q_scan_json",
-    "q_scan_csv",
-    "q_scan_binaryfile",
-    "q_proj_select",
-    "q_proj_arith",
-    "q_proj_case_when",
-    "q_proj_cast",
-    "q_filter_cmp",
-    "q_filter_in",
-    "q_filter_like",
-    "q_filter_between",
-    "q_filter_null",
-    "q_filter_bool",
-    "q_proj_nullsafe",
-    "q_join_inner_broadcast",
-    "q_join_inner_smj",
-    "q_join_inner_shj",
-    "q_join_left",
-    "q_join_right",
+    # --- r08 driver window (positions 1-50): canary + the 19 DIRTY keys
+    # (code or oracle edited in r7 AFTER their latest driver row — the
+    # zero-vector/ANSI hardening sweep) + the 30 stalest clean keys
+    # (r01/r02 joins+aggs, first r03 scalars). ---
+    "q_scan_parquet",  # canary: driver-proven seven times, cheapest probe
+    "q_agg_corr",  # dirty: r7 rewrite: corr+covar from six shared raw sums
+    "q_tpch_q8ish",  # dirty: r7: NULLIF mkt-share denominator (zero-volume slice)
+    "q_tpch_q14ish",  # dirty: r7: NULLIF promo-revenue denominator
+    "q_llm_cosine_topk",  # dirty: r7: zero-vector rejection at the scan (nonzero/nz_sql)
+    "q_llm_knn_query",  # dirty: r7: zero-vector scan; r8: oracle q-subselect symmetry
+    "q_llm_ann_lsh",  # dirty: r7: zero-vector scan
+    "q_llm_centroids",  # dirty: r7: zero-vector scan
+    "q_llm_ivf_search",  # dirty: r7: zero-vector scan
+    "q_llm_kmeans",  # dirty: r7: zero-vector scan + emptied-cluster survival
+    "q_llm_knn_classify",  # dirty: r7: zero-vector scan
+    "q_llm_random_projection",  # dirty: r7: zero-vector scan
+    "q_llm_hard_negatives",  # dirty: r7: zero-vector scan
+    "q_llm_ann_recall",  # dirty: r7: zero-vector scan + NULLIF recall denominator
+    "q_llm_emb_near_dup",  # dirty: r7: zero-vector scan
+    "q_llm_dup_clusters",  # dirty: r7: edges on nonzero scan, vertex universe kept
+    "q_llm_semantic_prune",  # dirty: r7: NULL-guard audit form kept (prep.py)
+    "q_llm_lsh_recall",  # dirty: r7: NULLIF on the empty-exact-pair denominator
+    "q_graph_triangles",  # dirty: r7: zero-vector edge scan
+    "q_graph_pagerank",  # dirty: r7: zero-vector edge scan
+    # staleness fill — driver evidence r01/r02 (joins, aggs) + r03 head
     "q_join_full",
     "q_join_semi",
     "q_join_anti",
@@ -183,7 +159,6 @@ DRIVER_ORDER: list[str] = [
     "q_agg_grouping_sets",
     "q_agg_collect",
     "q_agg_stddev",
-    "q_agg_corr",
     "q_agg_minmax_by",
     "q_agg_percentile",
     "q_agg_conditional",
@@ -192,10 +167,14 @@ DRIVER_ORDER: list[str] = [
     "q_agg_time_rollup",
     "q_agg_approx_percentile",
     "q_win_row_number",
-    # driver-proven in r03
     "q_str_basic",
     "q_str_split",
     "q_str_regex",
+    # --- staleness tail: driver-proven keys in ASCENDING recency of
+    # evidence (r03 remainder, r04, r05, r06, then the just-proven r07
+    # block at the very back). The 19 dirty keys above were lifted out
+    # of their old r04-r06 positions. ---
+    # driver-proven in r03
     "q_date_parts",
     "q_date_arith",
     "q_date_unix",
@@ -261,13 +240,11 @@ DRIVER_ORDER: list[str] = [
     "q_tpch_q5ish",
     "q_tpch_q6ish",
     "q_tpch_q7ish",
-    "q_tpch_q8ish",
     "q_tpch_q9ish",
     "q_tpch_q10ish",
     "q_tpch_q11ish",
     "q_tpch_q12ish",
     "q_tpch_q13ish",
-    "q_tpch_q14ish",
     "q_tpch_q15ish",
     "q_tpch_q16ish",
     "q_tpch_q17ish",
@@ -281,13 +258,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_exact_dedup",
     "q_llm_near_dedup",
     "q_llm_jaccard_pairs",
-    "q_llm_emb_near_dup",
     "q_llm_simhash",
-    "q_llm_cosine_topk",
-    "q_llm_knn_query",
-    "q_llm_ann_lsh",
-    "q_llm_centroids",
-    "q_llm_ivf_search",
     "q_llm_tokenize",
     "q_llm_term_stats",
     "q_llm_tfidf",
@@ -310,9 +281,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_global_shuffle",
     "q_llm_pack_sequences",
     "q_llm_decontaminate",
-    "q_llm_dup_clusters",
     "q_llm_dedup_survivors",
-    "q_llm_semantic_prune",
     "q_llm_corpus_prep",
     "q_llm_multimodal",
     "q_llm_frames",
@@ -326,65 +295,53 @@ DRIVER_ORDER: list[str] = [
     "q_cdc_scd2",
     "q_cdc_merge",
     "q_llm_bigram_lm",
-    "q_llm_kmeans",
-    "q_llm_knn_classify",
     "q_stream_upsert_latest",
     "q_scan_text",
     "q_agg_hll_union",
-    "q_graph_triangles",
     "q_evt_transitions",
     "q_join_bloom",
     "q_cdc_incr_agg",
     "q_llm_fuzzy_dup",
-    "q_llm_random_projection",
     "q_llm_split",
     "q_llm_length_buckets",
     "q_llm_zipf",
     "q_llm_cms_topk",
-    # driver-proven in r06 (the r5 octet, r4b tail, Python sources, UDFs)
-    # Keys added during r05 — never driver-checked
-    "q_llm_lsh_recall",  # new r5: MinHash-band recall vs exact pairs (exact oracle)
-    "q_llm_ann_recall",  # new r5: sign-LSH recall@10 vs brute force (exact oracle)
-    "q_stream_listener_e2e",  # new r5: full listener pipeline (source->decode->
-    #   exactly-once DB upsert, mid-backfill restart) — the reference flagship
-    "q_llm_media_decode",  # new r5: REAL stdlib PPM/WAV decoders vs analytic oracle
-    "q_llm_dup_rate_by_source",  # new r5: per-source exact-dup governance report
-    "q_llm_ngram_novelty",  # new r5: per-doc first-occurrence 3-gram novelty
-    "q_llm_curriculum",  # new r5: length-staged phases + hash-ranked order
-    "q_llm_embedding_coverage",  # new r5: doc<->vector referential-integrity audit
-    # r4b tail — never driver-checked
-    "q_stream_chained",  # new r4b: chained stateful ops (hourly->daily windows)
-    "q_sink_zorder",  # new r4b: Z-order clustered sink, 2-D footer skipping asserted
-    "q_llm_hard_negatives",  # new r4b: contrastive hard-negative mining (top-1 cross-label)
-    "q_llm_dsir",  # new r4b: DSIR importance weights (target-vs-corpus bigram LR)
-    "q_evt_dynamic_sessions",  # new r4b: per-event dynamic-gap session_window
-    "q_llm_training_manifest",  # new r4b: gates+dedup -> split -> pack composition
-    "q_scan_time_travel",  # new r4b: manifest-pinned snapshot read (lakehouse core)
-    "q_llm_ccnet_buckets",  # new r4b: perplexity head/middle/tail terciles
-    "q_diag_join_skew",  # new r4b: join-key skew profiling (salt-or-not gauge)
-    "q_stream_dynamic_session",  # new r4b: streaming twin of dynamic-gap sessions
-    "q_llm_bpe_merges",  # new r4b: BPE first-merge pair statistics (vocab-sized)
-    "q_evt_windowed_funnel",  # new r4b: deadline-constrained conversion funnel
-    "q_graph_pagerank",  # new r4b: 2-iteration PageRank on the near-dup graph
-    "q_scan_csv_corrupt",  # new r4b: PERMISSIVE dirty-CSV ingest with quarantine col
-    "q_evt_rfm",  # new r4b: RFM user segmentation (tercile-scored churn/value grid)
-    "q_evt_rolling_active",  # new r4b: DAU/WAU/stickiness via day-grid range join
-    "q_cdc_pit_join",  # new r4b: point-in-time (AS OF) join vs SCD2 versions
-    "q_diag_dq_checks",  # new r4b: data-contract validation (nulls/RI/PK/ranges)
-    "q_evt_attribution",  # new r4b: last-touch attribution with lookback window
-    "q_evt_paths",  # new r4b: top-10 3-step behavioral paths
-    "q_join_range_bucketed",  # new r4b: band join as bucket equi-join (range-join hint form)
-    "q_llm_subdoc_dup",  # new r4b: chunk-level duplication fraction per doc
-    "q_llm_leak_check",  # new r4b: cross-split exact-dup leakage audit
-    "q_llm_source_overlap",  # new r4b: pairwise source-vocabulary Jaccard matrix
-    "q_evt_forecast_naive",  # new r4b: seasonal-naive forecast baseline + MAE/MAPE
-    "q_evt_cohort_ltv",  # new r4b: cumulative LTV-per-user curves by cohort
-    "q_llm_minhash_exact",  # new r4b: deterministic-hash MinHash LSH (exact oracle)
-    "q_evt_ab_test",  # new r4b: hash-armed A/B readout with Welch t-statistic
-    "q_evt_pareto",  # new r4b: top-decile value-concentration report
-    "q_llm_heaps_law",  # new r4b: vocabulary-growth curve at corpus quartiles
-    "q_llm_tfidf_exact",  # new r4b: vocabulary-keyed TF-IDF top-3 (exact oracle)
-    # Python source/sink + UDF surface — never driver-checked
+    # driver-proven in r06 (r5 octet minus lifted dirty keys, r4b tail, sources, UDFs)
+    "q_stream_listener_e2e",
+    "q_llm_media_decode",
+    "q_llm_dup_rate_by_source",
+    "q_llm_ngram_novelty",
+    "q_llm_curriculum",
+    "q_llm_embedding_coverage",
+    "q_stream_chained",
+    "q_sink_zorder",
+    "q_llm_dsir",
+    "q_evt_dynamic_sessions",
+    "q_llm_training_manifest",
+    "q_scan_time_travel",
+    "q_llm_ccnet_buckets",
+    "q_diag_join_skew",
+    "q_stream_dynamic_session",
+    "q_llm_bpe_merges",
+    "q_evt_windowed_funnel",
+    "q_scan_csv_corrupt",
+    "q_evt_rfm",
+    "q_evt_rolling_active",
+    "q_cdc_pit_join",
+    "q_diag_dq_checks",
+    "q_evt_attribution",
+    "q_evt_paths",
+    "q_join_range_bucketed",
+    "q_llm_subdoc_dup",
+    "q_llm_leak_check",
+    "q_llm_source_overlap",
+    "q_evt_forecast_naive",
+    "q_evt_cohort_ltv",
+    "q_llm_minhash_exact",
+    "q_evt_ab_test",
+    "q_evt_pareto",
+    "q_llm_heaps_law",
+    "q_llm_tfidf_exact",
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
@@ -395,6 +352,57 @@ DRIVER_ORDER: list[str] = [
     "q_udf_map_iter",
     "q_udtf",
     "q_udf_cogroup",
+    # driver-proven in r07 (the 28-key pool + 21 re-proof keys, rotated
+    # to the back after the r7 window went green 49/50 + 1 rows-only)
+    "q_llm_temperature_mix",
+    "q_llm_delta_dedup",
+    "q_llm_bm25",
+    "q_llm_cdc_chunking",
+    "q_llm_dataset_card",
+    "q_scan_dpp",
+    "q_evt_funnel_latency",
+    "q_llm_kl_divergence",
+    "q_llm_pmi_collocations",
+    "q_evt_survival",
+    "q_llm_pq_adc",
+    "q_evt_changepoint",
+    "q_evt_chain_reorg",
+    "q_evt_xcorr",
+    "q_evt_profile_similarity",
+    "q_stream_reorg",
+    "q_diag_table_stats",
+    "q_evt_gap_detection",
+    "q_llm_k_anonymity",
+    "q_diag_column_entropy",
+    "q_llm_kneser_ney",
+    "q_llm_weighted_sample",
+    "q_evt_streaks",
+    "q_evt_anomaly_mad",
+    "q_stream_backfill",
+    "q_evt_cumulative_uniques",
+    "q_llm_topic_boundaries",
+    "q_join_asof_forward",
+    "q_scan_projection_pushdown",
+    "q_scan_filter_pushdown",
+    "q_scan_json",
+    "q_scan_csv",
+    "q_scan_binaryfile",
+    "q_proj_select",
+    "q_proj_arith",
+    "q_proj_case_when",
+    "q_proj_cast",
+    "q_filter_cmp",
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_between",
+    "q_filter_null",
+    "q_filter_bool",
+    "q_proj_nullsafe",
+    "q_join_inner_broadcast",
+    "q_join_inner_smj",
+    "q_join_inner_shj",
+    "q_join_left",
+    "q_join_right",
 ]
 
 
