@@ -6,7 +6,7 @@ This suite closes the space in between: hypothesis generates random
 tables — with deliberately collision-prone domains — and asserts exact
 parity on the keys whose semantics live at boundaries the fixture
 rarely hits. Five suites (events, documents, orders, embeddings,
-TPC-H), 155 keys, 775 cross-engine runs per execution. Shared design
+TPC-H), 233 keys, 1165 cross-engine runs per execution. Shared design
 rules:
 
 - timestamps quantized to 5-minute slots (events) or calendar month
@@ -22,6 +22,39 @@ rules:
   This suite has caught real ANSI-mode crashes before any driver run
   (r6: pareto; r7: the cosine family, the recall denominator, two TPC-H
   shares, and the corr builtin).
+
+Fuzz census — the 40 registered keys NOT in any corpus, with reasons
+(all other keys ride a suite; test_fuzz_census_accounts_for_every_key
+below machine-checks this arithmetic so the census cannot drift):
+
+- 25 streaming keys (q_stream_* and q_src_python_stream): their
+  correctness surface is multi-batch replay, watermarks, and
+  checkpoint RESTARTS — properties of the trigger/state machinery, not
+  of the input table's value distribution. Randomizing the table would
+  re-test batch expression parity the batch twins already fuzz; the
+  stateful semantics are proven in tests/test_stream_equivalence.py
+  (batch-twin equivalence, genuine restarts, randomized
+  file-replay-order runs) plus driver rows.
+- 11 rows-only keys (q_agg_approx_distinct, q_agg_approx_percentile,
+  q_agg_hll_union, q_hash_xxhash, q_llm_ann_lsh, q_llm_frames,
+  q_llm_multimodal, q_llm_near_dedup, q_llm_simhash, q_llm_tfidf,
+  q_scan_binaryfile): no DuckDB oracle by design (sketch/LSH/binary
+  output has no cross-engine twin), so _run_both has nothing to
+  compare; each carries an exact-oracle twin or bound test that IS
+  fuzzed or asserted (hll ≤2% bound, lsh/ann recall gates).
+- q_llm_media_decode: oracle-checked, but its input is the in-key
+  synthesized PPM/WAV binary corpus (closed-form pixels/samples) —
+  there is no table input to randomize; parser exactness is pinned vs
+  the generating formula in tests/test_llm.py.
+- q_src_python_batch: the custom Python DataSource GENERATES its rows;
+  no table input exists.
+- q_sink_compaction / q_sink_zorder: their value is a LAYOUT assert
+  (>=32 fragmented files -> exactly 4; 2-D footer min/max boxes) that
+  assumes fixture-scale row counts and key spread — a 6-row random
+  table fails the layout, not the semantics (measured: 7 files under
+  the 32-file fragmentation floor). Content parity at random shapes is
+  covered by the storage keys fuzzed below (partitioned, dpp,
+  time_travel, schema_evolution, text, orc, csv_corrupt).
 
 Derandomized (fixed seed) so CI stays deterministic.
 """
@@ -81,6 +114,28 @@ _FUZZ_KEYS = [
     # the tie-heavy quantized timestamps
     "q_win_lag_lead",
     "q_win_sliding",
+    # r8 census completion — remaining events-reading keys
+    "q_evt_ab_test",  # Welch t on tiny/constant arms (NULLIF branches)
+    "q_evt_anomaly_mad",  # MAD=0 collapse on random tied groups
+    "q_evt_chain_reorg",  # chain walk on arbitrary event_id block shapes
+    "q_evt_changepoint",  # CUSUM on short/constant daily series
+    "q_evt_gap_detection",  # island/gap blocks over random sparse ids
+    "q_evt_profile_similarity",  # hour-profile cosine with zero profiles
+    "q_evt_survival",  # KM curve incl. all-censored users
+    "q_evt_xcorr",  # lead-lag r incl. zero-variance series (NULL r)
+    "q_agg_count_distinct",  # exact distinct over tiny tied domains
+    "q_agg_percentile",  # exact percentile interpolation at ties
+    "q_agg_pivot",  # pivot cells incl. empty (type, user) combos
+    "q_join_interval",  # point-in-interval containment at edges
+    "q_join_salted",  # salted repartition must not change results
+    "q_join_range_bucketed",  # band-as-bucket join at bucket borders
+    # B11 UDF surface on events: Arrow round-trips must agree with SQL
+    # at random shapes (empty groups, single-row cogroup sides)
+    "q_udf_cogroup",
+    "q_udf_grouped_map",
+    "q_udf_map_iter",
+    "q_udf_pandas_agg",
+    "q_src_python_sink",  # two-phase-commit sink round-trip, random feed
 ]
 
 
@@ -183,6 +238,33 @@ _DOC_FUZZ_KEYS = [
     "q_llm_fuzzy_dup",  # ED-Join prefix buckets on tiny token streams
     "q_llm_delta_dedup",  # incl. the empty-delta (doc_id % 10) branch
     "q_llm_dedup_survivors",  # pairs -> components -> quality argmax
+    # r8 census completion — remaining documents-reading keys
+    "q_arr_basic",  # array ops over tokenized word-salad
+    "q_diag_column_entropy",  # entropy folds on near-constant columns
+    "q_hash_md5",  # digest exactness on arbitrary text
+    "q_hash_sha2",
+    "q_llm_bm25",  # idf/tf fold incl. every-doc terms (idf<=0)
+    "q_llm_bpe_merges",  # first-merge pair stats on 1-char tokens
+    "q_llm_cdc_chunking",  # rolling-hash cuts on sub-window texts
+    "q_llm_cms_topk",  # CMS estimate vs exact top-k on tied counts
+    "q_llm_dataset_card",  # one-row datasheet folds incl. empty langs
+    "q_llm_dsir",  # bigram LR weights incl. unseen-bigram smoothing
+    "q_llm_exact_dedup",  # sha256 canonical-survivor at 100% dup rate
+    "q_llm_k_anonymity",  # sub-k quasi-identifier groups incl. k=1
+    "q_llm_kl_divergence",  # KL folds incl. single-source corpora
+    "q_llm_kneser_ney",  # KN smoothing at singleton continuation counts
+    "q_llm_leak_check",  # cross-split dup leakage incl. empty splits
+    "q_llm_pmi_collocations",  # PMI on pairs seen exactly once
+    "q_llm_redact_pii",  # regex redaction on texts with no matches
+    "q_llm_temperature_mix",  # alpha-mix weights on skewed lang counts
+    "q_llm_tfidf_exact",  # vocabulary-keyed TF-IDF at tied scores
+    "q_llm_topic_boundaries",  # weakest-seam on sub-window docs
+    "q_llm_weighted_sample",  # ES top-k at duplicate weights
+    "q_llm_training_manifest",  # prep -> split -> pack composition
+    "q_udf_python",  # row-at-a-time UDF vs SQL twin
+    "q_udtf",  # table function explode vs SQL twin
+    "q_scan_schema_evolution",  # mergeSchema union over random batches
+    "q_scan_text",  # text-format round-trip of arbitrary lines
 ]
 
 _doc = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12).map(
@@ -278,6 +360,20 @@ _ORDERS_FUZZ_KEYS = [
     "q_set_intersect_all",
     "q_set_except",
     "q_set_except_all",
+    # r8 census completion — remaining orders-reading keys, incl. the
+    # storage round-trips (each materializes a per-fixture scratch copy;
+    # the random tmp dirs key fresh cache entries, so every example
+    # re-proves the write->read cycle on new data)
+    "q_diag_table_stats",  # ANALYZE profile incl. all-NULL-free columns
+    "q_filter_bool",  # boolean-logic filters on residue flags
+    "q_filter_in",  # IN lists hitting 0..all of the random keys
+    "q_proj_case_when",  # CASE arms incl. never-taken branches
+    "q_proj_cast",  # cast round-trips on random prices/dates
+    "q_proj_nullsafe",  # null-safe equality on synthesized NULLs
+    "q_scan_csv_corrupt",  # PERMISSIVE quarantine on random rows
+    "q_scan_dpp",  # dynamic partition pruning, random status mix
+    "q_scan_time_travel",  # manifest-pinned snapshot on random tables
+    "q_sink_partitioned",  # hive-layout write->read content parity
 ]
 
 
@@ -351,6 +447,11 @@ _EMB_FUZZ_KEYS = [
     "q_arr_hof",
     "q_arr_explode",
     "q_arr_zip",
+    # r8 census completion
+    "q_llm_quantize",  # int8 quantization of arbitrary (incl. zero) vectors
+    "q_udf_pandas_scalar",  # Arrow-batched norm vs the SQL fold
+    "q_llm_embedding_coverage",  # doc<->vec referential audit; the fuzz
+    # writer derives a documents table with BOTH orphan directions
 ]
 
 
@@ -370,6 +471,25 @@ def test_random_embeddings_tables_match_duckdb(
             vec = [0.0] * _EMB_DIM
         recs.append((vid, [float(x) for x in vec], label))
     sf = _write_embeddings(str(tmp_path_factory.mktemp("embfuzz")), recs)
+    # Derived documents table for q_llm_embedding_coverage: even vec_ids
+    # get a matching doc, odd ones are orphan vectors, and ids >= 1000
+    # are unembedded docs — both referential-integrity directions are
+    # populated in every example.
+    doc_ids = [vid for vid, _, _ in recs if vid % 2 == 0] + [
+        1000 + vid for vid, _, _ in recs if vid % 2 == 1
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": pa.array([f"doc {i}" for i in doc_ids], pa.string()),
+                "lang": pa.array(["en"] * len(doc_ids), pa.string()),
+                "source": pa.array(["src0"] * len(doc_ids), pa.string()),
+                "n_chars": pa.array([5] * len(doc_ids), pa.int64()),
+            }
+        ),
+        os.path.join(sf, "documents.parquet"),
+    )
     for key in _EMB_FUZZ_KEYS:
         _run_both(key, sf, spark)
 
@@ -454,6 +574,30 @@ _TPCH_FUZZ_KEYS = [
     "q_math_fns",  # round/floor/sqrt/ln over random non-negative prices
     "q_win_rank",  # rank/dense_rank ties on quantized lineitem prices
     "q_set_distinct",  # full-row dedup over the random lineitem slice
+    # r8 census completion — remaining keys whose tables all exist in
+    # this corpus (incl. the region/nation/customer/part readers and the
+    # format round-trips: every example converts the random slice to
+    # CSV/JSON/ORC and asserts content parity against parquet)
+    "q_diag_dq_checks",  # contract checks incl. violated RI on purpose
+    "q_filter_between",  # BETWEEN at quantized price edges
+    "q_filter_cmp",  # comparison chains at exact ties
+    "q_filter_null",  # IS [NOT] NULL on synthesized NULLs
+    "q_filter_like",  # LIKE patterns over generated part names
+    "q_str_basic",
+    "q_str_regex",
+    "q_str_split",
+    "q_proj_select",
+    "q_proj_arith",  # arithmetic projections on dyadic prices
+    "q_win_ntile",  # tile edges on tiny tied customer sets
+    "q_win_pct",  # percent_rank/cume_dist at 100% ties
+    "q_sort_multi",  # mixed-direction NULLS LAST total order
+    "q_scan_parquet",
+    "q_scan_filter_pushdown",
+    "q_scan_projection_pushdown",
+    "q_scan_orc",  # ORC round-trip of the random nation dim
+    "q_scan_json",  # JSON round-trip of the region dim
+    "q_scan_csv",  # CSV round-trip of the region dim
+    "q_join_bucketed",  # bucketed SMJ content parity at random shapes
 ]
 
 # (orderkey, partkey, qty, price_quarters, discount_idx, ship_month, flag)
@@ -561,3 +705,61 @@ def test_random_tpch_tables_match_duckdb(spark, tmp_path_factory, lines):
     sf = _write_tpch_fuzz(str(tmp_path_factory.mktemp("tpchfuzz")), lines)
     for key in _TPCH_FUZZ_KEYS:
         _run_both(key, sf, spark)
+
+
+# ---------------------------------------------------------------------------
+# Census drift guard: the module docstring's claim — every registered key
+# either rides a corpus or appears in the documented 40-key census — is
+# machine-checked, so adding a key without deciding its fuzz story fails
+# here instead of silently widening the unfuzzed pool.
+
+_CENSUS_STREAMING = 25  # q_stream_* + q_src_python_stream
+_CENSUS_ROWS_ONLY = {
+    "q_agg_approx_distinct",
+    "q_agg_approx_percentile",
+    "q_agg_hll_union",
+    "q_hash_xxhash",
+    "q_llm_ann_lsh",
+    "q_llm_frames",
+    "q_llm_multimodal",
+    "q_llm_near_dedup",
+    "q_llm_simhash",
+    "q_llm_tfidf",
+    "q_scan_binaryfile",
+}
+_CENSUS_OTHER = {
+    "q_llm_media_decode",  # input is in-key synthesized binary
+    "q_src_python_batch",  # DataSource generates its own rows
+    "q_sink_compaction",  # layout assert needs fixture-scale file counts
+    "q_sink_zorder",  # footer-box assert needs fixture-scale key spread
+}
+
+
+def test_fuzz_census_accounts_for_every_key():
+    from token_burn_listener_spark.registry import (
+        QUERIES,
+        load_all_modules,
+    )
+
+    load_all_modules()
+    fuzzed = (
+        set(_FUZZ_KEYS)
+        | set(_DOC_FUZZ_KEYS)
+        | set(_ORDERS_FUZZ_KEYS)
+        | set(_EMB_FUZZ_KEYS)
+        | set(_TPCH_FUZZ_KEYS)
+    )
+    assert fuzzed <= set(QUERIES), sorted(fuzzed - set(QUERIES))
+    streaming = {
+        k
+        for k in QUERIES
+        if k.startswith("q_stream_") or k == "q_src_python_stream"
+    }
+    assert len(streaming) == _CENSUS_STREAMING, sorted(streaming)
+    census = streaming | _CENSUS_ROWS_ONLY | _CENSUS_OTHER
+    assert not (census & fuzzed), sorted(census & fuzzed)
+    unaccounted = set(QUERIES) - fuzzed - census
+    assert not unaccounted, (
+        "keys neither fuzzed nor in the documented census: "
+        f"{sorted(unaccounted)}"
+    )

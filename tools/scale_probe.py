@@ -11,7 +11,16 @@ O(n²), a broadcast that stopped fitting, or a skew collapse.
 This is a MEASUREMENT tool, not a fixture: queries()/oracles never read
 these copies (the driver contract still runs on /root/testdata only).
 
-Usage: python tools/scale_probe.py [N]    (default N=10)
+Usage: python tools/scale_probe.py [N] [key,key,...] [table,table,...]
+       (default N=10, all PROBE_KEYS, all tables)
+
+The optional 2nd/3rd args run a TARGETED probe: only the listed keys,
+building only the listed tables in the N×-scaled root — the 100× probe
+of the flagship text path (VERDICT r7 #5) scales documents alone
+(sf0.1 ×100 ≈ 500k docs / ~500 MB text) instead of paying for a 60 M-row
+lineitem nobody reads:
+
+    python tools/scale_probe.py 100 q_llm_exact_dedup,q_llm_corpus_prep documents
 """
 
 from __future__ import annotations
@@ -83,16 +92,20 @@ PROBE_KEYS = [
 STREAM_KEYS = {"q_stream_upsert_latest"}
 
 
-def build_scaled(spark, n: int) -> str:
+def build_scaled(spark, n: int, tables: dict[str, list[str]]) -> str:
     # keyed on the SOURCE fixture path too: a cached copy built from a
-    # different SF_DIR must never be silently reused
+    # different SF_DIR must never be silently reused; targeted builds
+    # (table subset) get their own root so a later full build never
+    # mistakes the subset dir for complete
     import hashlib
 
     tag = hashlib.sha1(os.path.abspath(SF_DIR).encode()).hexdigest()[:10]
+    if set(tables) != set(TABLES):
+        tag += "_" + "-".join(sorted(tables))
     out = f"{SCRATCH_ROOT}/scale_probe_{tag}_x{n}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
-    for t, shift_cols in TABLES.items():
+    for t, shift_cols in tables.items():
         df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
         if not shift_cols:
             df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
@@ -113,16 +126,22 @@ def build_scaled(spark, n: int) -> str:
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    keys = sys.argv[2].split(",") if len(sys.argv) > 2 else PROBE_KEYS
+    tables = (
+        {t: TABLES[t] for t in sys.argv[3].split(",")}
+        if len(sys.argv) > 3
+        else TABLES
+    )
     load_all_modules()
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    scaled = build_scaled(spark, n)
+    scaled = build_scaled(spark, n, tables)
     # warm both roots (footer/FS init outside the timings, like bench.py)
     for root in (SF_DIR, scaled):
-        for t in TABLES:
+        for t in tables:
             spark.read.parquet(f"{root}/{t}.parquet").count()
     report = {}
-    for k in PROBE_KEYS:
+    for k in keys:
         fn = QUERIES[k]
         if k in STREAM_KEYS:
             fn(spark, SF_DIR).count()
