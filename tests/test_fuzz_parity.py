@@ -575,9 +575,10 @@ _TPCH_FUZZ_KEYS = [
     "q_win_rank",  # rank/dense_rank ties on quantized lineitem prices
     "q_set_distinct",  # full-row dedup over the random lineitem slice
     # r8 census completion — remaining keys whose tables all exist in
-    # this corpus (incl. the region/nation/customer/part readers and the
-    # format round-trips: every example converts the random slice to
-    # CSV/JSON/ORC and asserts content parity against parquet)
+    # this corpus. The dims these read are seed-varied per example (see
+    # _write_tpch_fuzz) except the canonical 5-row region; the format
+    # round-trips re-materialize their scratch copy every example (the
+    # cache is keyed on file identity) and assert content parity
     "q_diag_dq_checks",  # contract checks incl. violated RI on purpose
     "q_filter_between",  # BETWEEN at quantized price edges
     "q_filter_cmp",  # comparison chains at exact ties
@@ -594,10 +595,10 @@ _TPCH_FUZZ_KEYS = [
     "q_scan_parquet",
     "q_scan_filter_pushdown",
     "q_scan_projection_pushdown",
-    "q_scan_orc",  # ORC round-trip of the random nation dim
-    "q_scan_json",  # JSON round-trip of the region dim
-    "q_scan_csv",  # CSV round-trip of the region dim
-    "q_join_bucketed",  # bucketed SMJ content parity at random shapes
+    "q_scan_orc",  # ORC round-trip of the seed-varied nation dim
+    "q_scan_json",  # JSON round-trip (region content-fixed: see writer)
+    "q_scan_csv",  # CSV round-trip (region content-fixed: see writer)
+    "q_join_bucketed",  # bucketed SMJ on seed-varied orders x customer
 ]
 
 # (orderkey, partkey, qty, price_quarters, discount_idx, ship_month, flag)
@@ -616,9 +617,26 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
 def _write_tpch_fuzz(dirpath: str, lines: list[tuple]) -> str:
+    """All tables derive from the hypothesis draw. lineitem carries the
+    sampled tuples directly; every DIMENSION's values (and, for
+    orders/customer/nation, row counts) are varied by a seed folded from
+    the draw, so the dim-reading keys see different inputs per example
+    while the value SCHEMES the shape-queries' filters rely on stay live
+    (Brand#1..3, PROMO/STANDARD types, 'bolt' name infixes, NATION_k with
+    regionkey k % 5). region alone is content-fixed: its five rows ARE
+    the canonical domain the region-name filters select on — its fuzz
+    value is the per-example format round-trip (scratch copies are keyed
+    on file identity, so each example re-materializes JSON/CSV/ORC)."""
     from tests.test_degenerate import write_tpch_tables
 
-    n_orders = 28  # > max lineitem orderkey: some orders have no lines
+    seed = (
+        len(lines) * 1_000_003
+        + sum(l[0] * 31 + l[2] * 7 + l[3] * 3 + l[5] for l in lines)
+    ) % 999_983
+    # > max lineitem orderkey (24): some orders always have no lines
+    n_orders = 26 + seed % 5
+    n_cust = 10 + seed % 4  # o_custkey spans 0..8 -> some always orderless
+    n_nation = 25 + seed % 4  # extra nations have no suppliers/customers
     return write_tpch_tables(
         dirpath,
         {
@@ -639,50 +657,65 @@ def _write_tpch_fuzz(dirpath: str, lines: list[tuple]) -> str:
                 "o_orderkey": list(range(n_orders)),
                 "o_custkey": [k % 9 for k in range(n_orders)],
                 "o_orderstatus": [
-                    "O" if k % 3 else "F" for k in range(n_orders)
+                    "O" if (k + seed) % 3 else "F" for k in range(n_orders)
                 ],
                 "o_totalprice": [
-                    (k * 397 % 2000) / 4.0 for k in range(n_orders)
+                    ((k * 397 + seed * 7) % 2000) / 4.0
+                    for k in range(n_orders)
                 ],
-                "o_orderdate": [_MONTHS_US[k % 40] for k in range(n_orders)],
+                "o_orderdate": [
+                    _MONTHS_US[(k + seed) % 40] for k in range(n_orders)
+                ],
                 "o_orderpriority": [
-                    _PRIORITIES[k % 5] for k in range(n_orders)
+                    _PRIORITIES[(k + seed) % 5] for k in range(n_orders)
                 ],
             },
             "part": {
                 "p_partkey": list(range(6)),
-                "p_name": [f"part{k}" for k in range(6)],
-                "p_brand": [f"Brand#{k % 3 + 1}" for k in range(6)],
-                "p_type": [
-                    "PROMO" if k % 2 else "STANDARD" for k in range(6)
+                # spaces feed q_str_split's tokenizer; the 'bolt' infix
+                # keeps q_filter_like's %bolt% live with per-seed hit sets
+                "p_name": [
+                    f"part {k} bolt" if (k + seed) % 3 == 0 else f"part {k} nut"
+                    for k in range(6)
                 ],
-                "p_size": [k * 9 % 50 + 1 for k in range(6)],
-                "p_retailprice": [100.25 * (k + 1) for k in range(6)],
+                "p_brand": [f"Brand#{(k + seed) % 3 + 1}" for k in range(6)],
+                "p_type": [
+                    "PROMO" if (k + seed) % 2 else "STANDARD"
+                    for k in range(6)
+                ],
+                "p_size": [(k * 9 + seed) % 50 + 1 for k in range(6)],
+                "p_retailprice": [
+                    ((k + 1) * 401 + (seed % 40) * 25) / 4.0
+                    for k in range(6)
+                ],
             },
             "customer": {
-                "c_custkey": list(range(12)),
-                "c_name": [f"Customer#{k}" for k in range(12)],
-                "c_nationkey": [k % 5 for k in range(12)],
-                "c_acctbal": [(k * 83 % 160 - 40) / 4.0 for k in range(12)],
+                "c_custkey": list(range(n_cust)),
+                "c_name": [f"Customer#{k}" for k in range(n_cust)],
+                "c_nationkey": [(k + seed) % 5 for k in range(n_cust)],
+                "c_acctbal": [
+                    ((k * 83 + seed * 13) % 160 - 40) / 4.0
+                    for k in range(n_cust)
+                ],
                 "c_mktsegment": [
-                    ["BUILDING", "AUTOMOBILE", "MACHINERY"][k % 3]
-                    for k in range(12)
+                    ["BUILDING", "AUTOMOBILE", "MACHINERY"][(k + seed) % 3]
+                    for k in range(n_cust)
                 ],
             },
-            # dims follow the fixture's value scheme (region names,
-            # NATION_k with regionkey k % 5) so q2/q5/q7/q8's region and
-            # NATION_7 filters select non-empty slices; s_nationkey spans
-            # an AMERICA nation (1) and NATION_7 for both sides of q8
+            # s_nationkey spans an AMERICA nation (1) and NATION_7 so both
+            # sides of q8's market share stay live
             "supplier": {
                 "s_suppkey": list(range(4)),
                 "s_name": [f"Supplier#{k}" for k in range(4)],
                 "s_nationkey": [7, 3, 12, 1],
-                "s_acctbal": [(k * 61 % 120 - 20) / 4.0 for k in range(4)],
+                "s_acctbal": [
+                    ((k * 61 + seed * 11) % 120 - 20) / 4.0 for k in range(4)
+                ],
             },
             "nation": {
-                "n_nationkey": list(range(25)),
-                "n_name": [f"NATION_{k}" for k in range(25)],
-                "n_regionkey": [k % 5 for k in range(25)],
+                "n_nationkey": list(range(n_nation)),
+                "n_name": [f"NATION_{k}" for k in range(n_nation)],
+                "n_regionkey": [k % 5 for k in range(n_nation)],
             },
             "region": {
                 "r_regionkey": list(range(5)),
@@ -750,6 +783,10 @@ def test_fuzz_census_accounts_for_every_key():
         | set(_TPCH_FUZZ_KEYS)
     )
     assert fuzzed <= set(QUERIES), sorted(fuzzed - set(QUERIES))
+    # census entries must exist too — a renamed/deleted key must not
+    # leave a phantom row propping up the documented 40-key arithmetic
+    stale = (_CENSUS_ROWS_ONLY | _CENSUS_OTHER) - set(QUERIES)
+    assert not stale, sorted(stale)
     streaming = {
         k
         for k in QUERIES

@@ -323,6 +323,9 @@ def test_stream_backfill_census_matches_batch_planner(spark, sf_dir):
 # (upsert_latest, whose latest-wins pick must be split-independent).
 
 
+_EVENTS_PDF_CACHE: dict[str, object] = {}
+
+
 def _write_shuffled_replay(
     spark, sf_dir: str, dirpath: str, seed: int, n_files: int = 4,
     dup: bool = False,
@@ -332,14 +335,18 @@ def _write_shuffled_replay(
     ``dup=True`` adds a second copy of every event, shuffled
     independently — so a redelivered event usually arrives in a
     DIFFERENT micro-batch than its original (a stronger at-least-once
-    model than the fixture's same-file duplication).
+    model than the fixture's same-file duplication). The collected
+    events frame is cached per sf_dir: nine shuffles per suite run need
+    one collect, not nine.
     """
     import random
 
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
-    pdf = events_df(spark, sf_dir).toPandas()
+    if sf_dir not in _EVENTS_PDF_CACHE:
+        _EVENTS_PDF_CACHE[sf_dir] = events_df(spark, sf_dir).toPandas()
+    pdf = _EVENTS_PDF_CACHE[sf_dir]
     idx = list(range(len(pdf))) * (2 if dup else 1)
     random.Random(seed).shuffle(idx)
     for i in range(n_files):

@@ -146,10 +146,14 @@ def q_llm_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     part of the operator spec — missing or all-zero vec_id 0 is a caller
     error and raises here (IndexError), as documented for the query-style
     keys. The oracle's query subselect reads the same nz-filtered scan
-    (``enz``, matching q_llm_ivf_search's form), so a violated caller
-    contract fails on BOTH engines — DuckDB's list_cosine_similarity
-    errors on the NULL from the empty subselect — instead of the oracle
-    silently computing against an unfiltered table.
+    (``enz``, matching q_llm_ivf_search's form) so the two query-style
+    oracles share one shape; on a violated contract the engines still
+    differ BY DESIGN — Spark raises (IndexError at the collect), while
+    DuckDB's list_cosine_similarity returns NULL for the empty
+    subselect's NULL argument (measured on duckdb 1.0.0 — it does NOT
+    error), yielding all-NULL sims. That asymmetry is unreachable under
+    the contract and moot in practice: a raising Spark side means the
+    driver comparison never runs.
     """
     e = nonzero(load_table(spark, sf_dir, "embeddings"))
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]

@@ -127,12 +127,27 @@ def build_scaled(spark, n: int, tables: dict[str, list[str]]) -> str:
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     keys = sys.argv[2].split(",") if len(sys.argv) > 2 else PROBE_KEYS
+    # validate BEFORE the Spark session and the expensive N× build: a
+    # typo'd key/table should fail in milliseconds, not after minutes
+    bad_tables = (
+        [t for t in sys.argv[3].split(",") if t not in TABLES]
+        if len(sys.argv) > 3
+        else []
+    )
+    if bad_tables:
+        print(f"unknown tables: {bad_tables} (have: {sorted(TABLES)})",
+              file=sys.stderr)
+        return 2
     tables = (
         {t: TABLES[t] for t in sys.argv[3].split(",")}
         if len(sys.argv) > 3
         else TABLES
     )
     load_all_modules()
+    bad_keys = [k for k in keys if k not in QUERIES]
+    if bad_keys:
+        print(f"unknown probe keys: {bad_keys}", file=sys.stderr)
+        return 2
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     scaled = build_scaled(spark, n, tables)
