@@ -6,7 +6,7 @@ This suite closes the space in between: hypothesis generates random
 tables — with deliberately collision-prone domains — and asserts exact
 parity on the keys whose semantics live at boundaries the fixture
 rarely hits. Five suites (events, documents, orders, embeddings,
-TPC-H), 233 keys, 1165 cross-engine runs per execution. Shared design
+TPC-H), 234 keys, 1170 cross-engine runs per execution. Shared design
 rules:
 
 - timestamps quantized to 5-minute slots (events) or calendar month
@@ -261,6 +261,7 @@ _DOC_FUZZ_KEYS = [
     "q_llm_topic_boundaries",  # weakest-seam on sub-window docs
     "q_llm_weighted_sample",  # ES top-k at duplicate weights
     "q_llm_training_manifest",  # prep -> split -> pack composition
+    "q_llm_dup_spans",  # island merge on sub-gram/duplicate-heavy texts
     "q_udf_python",  # row-at-a-time UDF vs SQL twin
     "q_udtf",  # table function explode vs SQL twin
     "q_scan_schema_evolution",  # mergeSchema union over random batches

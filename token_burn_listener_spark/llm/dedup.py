@@ -868,6 +868,121 @@ def q_llm_subdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_GRAM = 5  # tokens per sliding shingle for duplicated-span detection
+
+
+@query(
+    "q_llm_dup_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {_SPAN_GRAM}
+    ), g AS (
+      SELECT doc_id,
+             unnest(range(len(t) - {_SPAN_GRAM - 1})) AS pos,
+             unnest([sha256(array_to_string(t[i + 1 : i + {_SPAN_GRAM}], ' '))
+                     for i in range(len(t) - {_SPAN_GRAM - 1})]) AS h
+      FROM t
+    ), spread AS (
+      SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM g JOIN spread USING (h)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {_SPAN_GRAM}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ), grpd AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, grp, min(pos) AS mn, max(pos) AS mx,
+             CAST(count(*) AS BIGINT) AS n_grams
+      FROM grpd GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY mn) AS BIGINT)
+             AS span_rank,
+           CAST(mn + 1 AS BIGINT) AS start_tok,
+           CAST(mx + {_SPAN_GRAM} AS BIGINT) AS end_tok,
+           CAST(mx + {_SPAN_GRAM} - mn AS BIGINT) AS n_tokens,
+           n_grams
+    FROM spans
+    """,
+)
+def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated SPANS: the substring-level dedup signal
+    (extra, beyond §2.B10) between whole-doc dedup (q_llm_exact_dedup)
+    and fixed-chunk scoring (q_llm_subdoc_dup) — per document, the
+    maximal token ranges whose content also appears verbatim in another
+    document, the unit the "dedup training data at the substring level"
+    line of work removes rather than merely scores.
+
+    Mechanics: slide a {_SPAN_GRAM}-token shingle over every doc (stride
+    1), hash it, and call a shingle DUPLICATED when it occurs in >= 2
+    distinct docs. Per doc, duplicated shingle positions are merged into
+    maximal islands — a new island starts when the next position is more
+    than {_SPAN_GRAM} past the previous one, i.e. the islands' TOKEN
+    ranges stay contiguous (overlap or touch). Output is one row per
+    (doc, span): 1-based token bounds, span length, shingle count, plus
+    a per-doc span_rank making the total order explicit.
+
+    100 TB plan: shingle hashing is an in-row array transform; the
+    spread table is one partial+final agg on the uniform sha key and is
+    FILTERED to duplicated hashes before the join back (duplicated
+    shingles are the minority, so the join's build side is small); the
+    island merge is a per-doc window — state bounded by document length,
+    never cross-document. Only (doc_id, pos, hash) rows shuffle; text
+    never leaves the scan. At scale, swap sha256 for xxhash64 to cut
+    shuffle bytes — the hash only keys the spread, it is not output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _SPAN_GRAM
+    )
+    g = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {_SPAN_GRAM}), "
+                f"i -> sha2(array_join(slice(t, i + 1, {_SPAN_GRAM}), ' '),"
+                " 256))"
+            )
+        ).alias("pos", "h"),
+    )
+    spread = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = g.join(spread, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > _SPAN_GRAM, 1
+    ).otherwise(0)
+    grpd = hits.withColumn("brk", brk).withColumn(
+        "grp",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = grpd.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("mn"),
+        F.max("pos").alias("mx"),
+        F.count("*").alias("n_grams"),
+    )
+    wr = Window.partitionBy("doc_id").orderBy("mn")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(wr).cast("long").alias("span_rank"),
+        (F.col("mn") + 1).cast("long").alias("start_tok"),
+        (F.col("mx") + _SPAN_GRAM).cast("long").alias("end_tok"),
+        (F.col("mx") + _SPAN_GRAM - F.col("mn")).cast("long").alias("n_tokens"),
+        "n_grams",
+    )
+
+
 _MH_FNS = 8  # minhash functions (disjoint sha256 hex windows)
 _MH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands x 2 rows
 
