@@ -6,7 +6,7 @@ This suite closes the space in between: hypothesis generates random
 tables — with deliberately collision-prone domains — and asserts exact
 parity on the keys whose semantics live at boundaries the fixture
 rarely hits. Five suites (events, documents, orders, embeddings,
-TPC-H), 234 keys, 1170 cross-engine runs per execution. Shared design
+TPC-H), 235 keys, 1175 cross-engine runs per execution. Shared design
 rules:
 
 - timestamps quantized to 5-minute slots (events) or calendar month
@@ -262,6 +262,7 @@ _DOC_FUZZ_KEYS = [
     "q_llm_weighted_sample",  # ES top-k at duplicate weights
     "q_llm_training_manifest",  # prep -> split -> pack composition
     "q_llm_dup_spans",  # island merge on sub-gram/duplicate-heavy texts
+    "q_llm_span_removal",  # strip-and-reassemble incl. fully-emptied docs
     "q_udf_python",  # row-at-a-time UDF vs SQL twin
     "q_udtf",  # table function explode vs SQL twin
     "q_scan_schema_evolution",  # mergeSchema union over random batches

@@ -951,7 +951,12 @@ def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " 256))"
             )
         ).alias("pos", "h"),
-    )
+        # pinned: g feeds BOTH the spread aggregation and the hits join —
+        # unpinned, the scan+explode+hash runs twice (and 4x through
+        # q_llm_span_removal, where the plan audit flags it). The pin
+        # materializes the (doc_id, pos, hash) rows once — the same
+        # shuffle-sized intermediate the two consumers already move.
+    ).localCheckpoint(eager=False)
     spread = (
         g.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -980,6 +985,118 @@ def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mx") + _SPAN_GRAM).cast("long").alias("end_tok"),
         (F.col("mx") + _SPAN_GRAM - F.col("mn")).cast("long").alias("n_tokens"),
         "n_grams",
+    )
+
+
+@query(
+    "q_llm_span_removal",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {_SPAN_GRAM}
+    ), g AS (
+      SELECT doc_id,
+             unnest(range(len(t) - {_SPAN_GRAM - 1})) AS pos,
+             unnest([sha256(array_to_string(t[i + 1 : i + {_SPAN_GRAM}], ' '))
+                     for i in range(len(t) - {_SPAN_GRAM - 1})]) AS h
+      FROM t
+    ), spread AS (
+      SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM g JOIN spread USING (h)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {_SPAN_GRAM}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ), grpd AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, min(pos) + 1 AS start_tok, max(pos) + {_SPAN_GRAM} AS end_tok
+      FROM grpd GROUP BY doc_id, grp
+    ), toks AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS tok_pos, unnest(t) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) x
+    ), kept AS (
+      SELECT k.doc_id, k.tok_pos, k.tok FROM toks k
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = k.doc_id
+                          AND k.tok_pos BETWEEN s.start_tok AND s.end_tok)
+    ), agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY tok_pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0)
+                AS BIGINT) AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_llm_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate STRIPPING: apply q_llm_dup_spans' detection as a
+    corpus transform (extra, beyond §2.B10) — every token covered by a
+    cross-document duplicated span is removed from EVERY document and
+    the cleaned text re-assembled, the CCNet-style policy for
+    headers/footers/license blocks that repeat across pages (for
+    keep-one-copy semantics, whole-doc dedup already exists as
+    q_llm_exact_dedup; this key is the aggressive every-occurrence
+    variant used for boilerplate). Output per doc: token counts
+    before/kept/removed plus the cleaned text — a doc that was entirely
+    duplicated content comes back EMPTY (''), visible, not dropped.
+
+    100 TB plan: span detection inherits q_llm_dup_spans' shape (one
+    hash-spread shuffle, per-doc island window); the removal side
+    explodes tokens once and anti-joins spans PER DOC (equi on doc_id +
+    a doc-bounded interval predicate — never cross-document), and
+    reassembly is a per-doc sort_array over (pos, token) structs —
+    state bounded by document length. The corpus is read twice (span
+    path + token path), the bigram-LM trade documented in llm/text.py.
+    """
+    spans = q_llm_dup_spans(spark, sf_dir).select(
+        F.col("doc_id").alias("s_doc"), "start_tok", "end_tok"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("tok_pos"), "tok")
+    kept = toks.join(
+        spans,
+        (toks["doc_id"] == spans["s_doc"])
+        & F.col("tok_pos").between(F.col("start_tok"), F.col("end_tok")),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok_pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (
+                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )
 
 
