@@ -323,6 +323,44 @@ def test_cosine_family_rejects_zero_vectors_identically(spark, tmp_path):
     assert c1 == [0.0, 0.0, 0.5, 0.5]
 
 
+def test_matryoshka_prefix_zero_vectors_handled_identically(spark, tmp_path):
+    """A NONZERO vector whose first-16-dim prefix is all zero cannot be
+    prefix-ranked (its truncated cosine would divide by zero — the branch
+    the embeddings fuzz can't hit: quarter-step components make an
+    all-zero 16-dim prefix measure-zero). Both engines must drop it from
+    the truncated ranking while keeping it in the full-dim ranking; a
+    prefix-zero QUERY empties the truncated ranking to the (0, 0, 0.0)
+    report. 64-dim vectors: the oracle's folds are _ANN_DIM-bound like
+    q_llm_ann_recall's (the fixture contract at every shipped SF)."""
+    ones16, zeros16 = [1.0] * 16, [0.0] * 16
+    rows = [
+        (0, ones16 + [0.0] * 48, 0),  # query: nonzero prefix
+        (1, ones16 + [0.0] * 48, 0),  # duplicate of the query
+        (2, zeros16 + [1.0] * 48, 1),  # prefix-zero, full vector healthy
+        (3, ones16 + [1.0] * 48, 1),
+    ]
+    a = tmp_path / "a"
+    a.mkdir()
+    out = _run_both(
+        "q_llm_matryoshka_recall", _write_embeddings(str(a), rows), spark
+    )
+    assert len(out) == 1
+    # vec 2 is full-rankable (ex10 = {1,2,3}) but not prefix-rankable
+    assert out["n_prefix_ranked"].tolist() == [2]  # vecs 1 and 3 only
+    assert out["n_hits"].tolist() == [2]
+    assert out["recall"].tolist() == [0.2]
+
+    # prefix-zero QUERY: truncated ranking empties, report degrades
+    b = tmp_path / "b"
+    b.mkdir()
+    rows_zq = [(0, zeros16 + [1.0] * 48, 0)] + rows[1:]
+    out = _run_both(
+        "q_llm_matryoshka_recall", _write_embeddings(str(b), rows_zq), spark
+    )
+    assert out["n_prefix_ranked"].tolist() == [0]
+    assert out["recall"].tolist() == [0.0]
+
+
 def test_lsh_recall_with_no_exact_pairs_yields_null_identically(
     spark, tmp_path
 ):

@@ -6,7 +6,7 @@ This suite closes the space in between: hypothesis generates random
 tables — with deliberately collision-prone domains — and asserts exact
 parity on the keys whose semantics live at boundaries the fixture
 rarely hits. Five suites (events, documents, orders, embeddings,
-TPC-H), 235 keys, 1175 cross-engine runs per execution. Shared design
+TPC-H), 237 keys, 1185 cross-engine runs per execution. Shared design
 rules:
 
 - timestamps quantized to 5-minute slots (events) or calendar month
@@ -263,6 +263,7 @@ _DOC_FUZZ_KEYS = [
     "q_llm_training_manifest",  # prep -> split -> pack composition
     "q_llm_dup_spans",  # island merge on sub-gram/duplicate-heavy texts
     "q_llm_span_removal",  # strip-and-reassemble incl. fully-emptied docs
+    "q_llm_vocab_coverage",  # top-V cut at tied freqs; all-OOV tiny vocabs
     "q_udf_python",  # row-at-a-time UDF vs SQL twin
     "q_udtf",  # table function explode vs SQL twin
     "q_scan_schema_evolution",  # mergeSchema union over random batches
@@ -454,6 +455,8 @@ _EMB_FUZZ_KEYS = [
     "q_udf_pandas_scalar",  # Arrow-batched norm vs the SQL fold
     "q_llm_embedding_coverage",  # doc<->vec referential audit; the fuzz
     # writer derives a documents table with BOTH orphan directions
+    "q_llm_matryoshka_recall",  # prefix-vs-full ranking on the enforced
+    # scan; absent/zero query degrades to the (0, 0, 0.0) report
 ]
 
 

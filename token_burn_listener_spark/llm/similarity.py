@@ -828,6 +828,127 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_PREFIX = 16  # truncation dims for the Matryoshka recall gate
+
+
+def _mrl_pair_sum(xa: str, xb: str, dims: int) -> str:
+    # left-associated, same IEEE fold order as the Spark dot() helper
+    terms = " + ".join(f"{xa}[{i + 1}]*{xb}[{i + 1}]" for i in range(dims))
+    return f"(0 + {terms})"
+
+
+def _mrl_oracle() -> str:
+    def cos(xa: str, xb: str, dims: int) -> str:
+        return (
+            f"round({_mrl_pair_sum(xa, xb, dims)} / "
+            f"(sqrt({_mrl_pair_sum(xa, xa, dims)}) * "
+            f"sqrt({_mrl_pair_sum(xb, xb, dims)})), 6)"
+        )
+
+    p = _MRL_PREFIX
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE {nz_sql()}
+    ), q AS (
+      SELECT emb AS qemb FROM e WHERE vec_id = 0
+    ), r AS (
+      SELECT e.vec_id, e.emb, q.qemb FROM e, q WHERE e.vec_id != 0
+    ), ex10 AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, {cos('emb', 'qemb', _ANN_DIM)} AS cos_sim FROM r)
+      ORDER BY cos_sim DESC, vec_id LIMIT 10
+    ), pre AS (
+      SELECT vec_id, emb, qemb FROM r
+      WHERE {_mrl_pair_sum('emb', 'emb', p)} <> 0
+        AND {_mrl_pair_sum('qemb', 'qemb', p)} <> 0
+    ), pre10 AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, {cos('emb', 'qemb', p)} AS cos_sim FROM pre)
+      ORDER BY cos_sim DESC, vec_id LIMIT 10
+    )
+    SELECT (SELECT count(*) FROM pre) AS n_prefix_ranked,
+           (SELECT count(*) FROM pre10 JOIN ex10 USING (vec_id)) AS n_hits,
+           round((SELECT count(*) FROM pre10 JOIN ex10 USING (vec_id))::DOUBLE
+                 / 10, 6) AS recall
+    """
+
+
+@query("q_llm_matryoshka_recall", oracle=_mrl_oracle())
+def q_llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation retrieval gate (extra, beyond §2.B10): recall@10
+    of ranking by the first {_MRL_PREFIX}-of-{_ANN_DIM} dims' cosine
+    against full-dimension cosine for the vec_id=0 query — the quality
+    check behind Matryoshka-style embeddings, where serving truncates
+    stored vectors to a prefix to cut ANN index memory dims/64-fold and
+    needs the retained-recall number before committing to it.
+
+    Mechanics mirror q_llm_ann_recall's exact-checked recall shape: both
+    rankings read ONE contract-enforced scan (nonzero/nz_sql), the query
+    row joins in as a broadcast (no collect — an absent or all-zero query
+    degrades to the 1-row (0, 0, 0.0) report identically on both engines),
+    and every cosine is a bit-identical sequential double fold (Spark's
+    left fold == the oracle's left-associated sum), so the ranked top-10
+    sets cannot diverge at equal inputs; ties break on vec_id. Candidates
+    whose PREFIX is all-zero (possible for a nonzero full vector) cannot
+    be prefix-ranked and are excluded from the truncated ranking on both
+    engines before any division — same for a prefix-zero query, which
+    empties the truncated ranking and reports recall 0.
+
+    100 TB plan: ONE corpus pass computes BOTH similarities map-side
+    against the broadcast 1-row query, projecting down to a skinny
+    (vec_id, cos_full, cos_pre) row that is pinned with a lazy
+    localCheckpoint — the q_cdc_merge shared-subtree pattern — so the
+    four consumers (two rankings, two counts) never rescan the corpus;
+    the prefix-zero guard is a CASE branch (NULL = not prefix-rankable),
+    which under Spark 4's ANSI mode is the only safe way to divide on a
+    filtered subset inside a shared projection. Each top-10 is
+    TakeOrderedAndProject (limit before any window), so only k rows reach
+    a single task. The full-dim ranking is the fixture-scale denominator —
+    production estimates truncation recall on a sampled query set the
+    same way, against the ANN index rather than brute force.
+    """
+    e = nonzero(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    rest = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "emb",
+            "qemb",
+            F.slice("emb", 1, _MRL_PREFIX).alias("pemb"),
+            F.slice("qemb", 1, _MRL_PREFIX).alias("pq"),
+        )
+    )
+    scored = rest.select(
+        "vec_id",
+        F.round(dot("emb", "qemb") / (l2("emb") * l2("qemb")), 6).alias(
+            "cos_full"
+        ),
+        F.when(
+            (dot("pemb", "pemb") != 0.0) & (dot("pq", "pq") != 0.0),
+            F.round(dot("pemb", "pq") / (l2("pemb") * l2("pq")), 6),
+        ).alias("cos_pre"),
+    ).localCheckpoint(eager=False)
+    ex10 = (
+        scored.orderBy(F.desc("cos_full"), "vec_id").limit(10).select("vec_id")
+    )
+    pre = scored.filter(F.col("cos_pre").isNotNull())
+    pre10 = (
+        pre.orderBy(F.desc("cos_pre"), "vec_id").limit(10).select("vec_id")
+    )
+    n_pre = pre.agg(F.count("*").alias("n_prefix_ranked"))
+    n_hits = pre10.join(ex10, "vec_id").agg(F.count("*").alias("n_hits"))
+    return n_pre.crossJoin(n_hits).select(
+        "n_prefix_ranked",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / 10, 6).alias("recall"),
+    )
+
+
 @query(
     "q_llm_embedding_coverage",
     oracle="""

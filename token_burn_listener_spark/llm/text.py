@@ -582,6 +582,83 @@ def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_TOP = 200  # vocabulary size for the OOV-coverage gate
+
+
+@query(
+    "q_llm_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lower(tok) AS token
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      WHERE tok <> ''
+    ), freq AS (
+      SELECT token, count(*) AS freq FROM tok GROUP BY 1
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY freq DESC, token) AS rank
+        FROM freq)
+      WHERE rank <= {_VOCAB_TOP}
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV audit (extra, beyond §2.B10): build the
+    top-{_VOCAB_TOP} token vocabulary from the corpus itself (count-desc,
+    token tiebreak — a total order, so the cut is deterministic on both
+    engines), then score every document by the fraction of its tokens
+    OUTSIDE that vocabulary. This is the tokenizer-fit check run before
+    committing a vocab size: a corpus slice with a high OOV rate will
+    fragment into byte-fallback tokens and train poorly, and per-doc OOV
+    is also a cheap gibberish signal the quality gate can consume.
+
+    Documents with zero (non-empty) tokens have no defined OOV rate and
+    produce no row on either engine (the group-by runs over the token
+    table, so n_tokens >= 1 by construction — no division guard needed).
+
+    100 TB plan: token counting is the standard explode + partial/final
+    agg (one shuffle on the token); the vocabulary cut uses
+    ranking.global_row_number over the VOCABULARY (sublinear in corpus
+    size — the zipf pattern), and the resulting <= {_VOCAB_TOP}-row vocab
+    BROADCASTS into the scoring join, so the exploded corpus never
+    shuffles for membership; the per-doc aggregation partial-combines
+    map-side (a doc's tokens are colocated with the doc). Corpus read
+    exactly twice — once to count, once to score — like q_llm_bigram_lm.
+    """
+    from token_burn_listener_spark.operators.ranking import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.lower("tok").alias("token"))
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    vocab = (
+        global_row_number(freq, [F.desc("freq"), F.col("token")], "rank")
+        .filter(F.col("rank") <= _VOCAB_TOP)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.alias("n_oov"),
+            F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
+        )
+    )
+
+
 _CMS_W = 512  # slots per row
 _CMS_D = 4  # hash rows (disjoint 8-hex-char windows of sha256)
 

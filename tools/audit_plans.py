@@ -124,6 +124,11 @@ ALLOW_SINGLE_PARTITION = {
                          # + 1-row bigram-type total
     "q_evt_cumulative_uniques",  # [rollup-win] cum window over the
                                  # calendar-bounded day grid + 1-row bounds
+    "q_llm_matryoshka_recall",  # [final-agg] 1-row n_prefix_ranked/n_hits
+                                # counts over the pinned skinny scores
+    "q_llm_vocab_coverage",  # [rollup-win] global_row_number's prefix-
+                             # offset window over the <=32-row partition-
+                             # count table (same shape as q_llm_zipf)
 }
 
 # Documented O(n²)/nested-loop keys (SURVEY.md §7.4 exceptions + theta demos).
@@ -180,6 +185,9 @@ ALLOW_NESTED_LOOP = {
                                  # query-id and query-norm aggs
     "q_llm_kneser_ney",  # broadcast crossJoin of the 1-row bigram-type
                          # total (the KN normalizer N)
+    "q_llm_matryoshka_recall",  # broadcast crossJoins of the 1-row query
+                                # vector and the 1-row hit count (same
+                                # recall-audit shape as q_llm_ann_recall)
 }
 
 # Keys allowed to statically scan one table >= 4 times (each a by-design

@@ -110,15 +110,23 @@ def build_scaled(spark, n: int, tables: dict[str, list[str]]) -> str:
         if not shift_cols:
             df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
             continue
-        # key stride larger than any fixture key keeps copies disjoint
+        # key stride larger than any fixture key keeps copies disjoint;
+        # the N copies come from ONE explode(sequence(0, N-1)) multiplier,
+        # not an N-way union — a 1000-branch union plan takes Catalyst
+        # minutes to analyze, while the explode form keeps the build plan
+        # 2 nodes deep at any N (this is what unlocked the 1000x probes)
         stride = 10_000_000
-        copies = None
-        for i in range(n):
-            c = df
-            for col in shift_cols:
-                c = c.withColumn(col, F.col(col) + F.lit(i * stride))
-            copies = c if copies is None else copies.union(c)
-        copies.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        copies = df.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_copy"), "*"
+        )
+        for col in shift_cols:
+            copies = copies.withColumn(
+                col,
+                F.col(col) + F.col("_copy").cast("long") * F.lit(stride),
+            )
+        copies.drop("_copy").repartition(64).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
     with open(os.path.join(out, "_DONE"), "w") as f:
         f.write("ok")
     return out
