@@ -361,6 +361,37 @@ def test_matryoshka_prefix_zero_vectors_handled_identically(spark, tmp_path):
     assert out["recall"].tolist() == [0.0]
 
 
+def test_vocab_coverage_tie_at_the_cut(spark, tmp_path):
+    """250 distinct tokens, ALL tied at frequency 1, so the top-200
+    vocabulary cut is decided purely by the token tiebreak — the exact
+    boundary where Spark's global_row_number (range partition + local
+    rank + prefix offsets) must agree with DuckDB's row_number over
+    (freq DESC, token). Tokens t000..t249 sort lexicographically, so the
+    vocabulary is t000..t199 and every doc's OOV count is exactly its
+    t200+ tokens."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    toks = [f"t{i:03d}" for i in range(250)]
+    texts = [" ".join(toks[i * 50 : (i + 1) * 50]) for i in range(5)]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["src0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(tmp_path), "documents.parquet"))
+    out = _run_both("q_llm_vocab_coverage", str(tmp_path), spark)
+    got = out.sort_values("doc_id")
+    assert got["n_tokens"].tolist() == [50] * 5
+    # docs 0-3 hold t000..t199 (all in-vocab); doc 4 holds t200..t249
+    assert got["n_oov"].tolist() == [0, 0, 0, 0, 50]
+    assert got["oov_rate"].tolist() == [0.0, 0.0, 0.0, 0.0, 1.0]
+
+
 def test_lsh_recall_with_no_exact_pairs_yields_null_identically(
     spark, tmp_path
 ):

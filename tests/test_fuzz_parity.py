@@ -263,7 +263,10 @@ _DOC_FUZZ_KEYS = [
     "q_llm_training_manifest",  # prep -> split -> pack composition
     "q_llm_dup_spans",  # island merge on sub-gram/duplicate-heavy texts
     "q_llm_span_removal",  # strip-and-reassemble incl. fully-emptied docs
-    "q_llm_vocab_coverage",  # top-V cut at tied freqs; all-OOV tiny vocabs
+    "q_llm_vocab_coverage",  # tiny-vocab identity case: <=8 distinct
+    # tokens so the top-200 cut keeps everything and n_oov == 0 on both
+    # engines; the rank-200 tie BOUNDARY is unreachable here and is
+    # covered by test_degenerate.test_vocab_coverage_tie_at_the_cut
     "q_udf_python",  # row-at-a-time UDF vs SQL twin
     "q_udtf",  # table function explode vs SQL twin
     "q_scan_schema_evolution",  # mergeSchema union over random batches

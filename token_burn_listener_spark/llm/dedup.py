@@ -870,10 +870,11 @@ def q_llm_subdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_GRAM = 5  # tokens per sliding shingle for duplicated-span detection
 
-
-@query(
-    "q_llm_dup_spans",
-    oracle=f"""
+# Shared island-detection CTE prefix for q_llm_dup_spans AND
+# q_llm_span_removal (the Spark side shares one function; the oracles
+# share this constant so an island-rule edit cannot silently diverge
+# the two keys' detection semantics).
+_SPAN_CTE = f"""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
       WHERE len(string_split(text, ' ')) >= {_SPAN_GRAM}
@@ -897,7 +898,12 @@ _SPAN_GRAM = 5  # tokens per sliding shingle for duplicated-span detection
       SELECT doc_id, pos,
              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
       FROM isl
-    ), spans AS (
+    )"""
+
+
+@query(
+    "q_llm_dup_spans",
+    oracle=f"""{_SPAN_CTE}, spans AS (
       SELECT doc_id, grp, min(pos) AS mn, max(pos) AS mx,
              CAST(count(*) AS BIGINT) AS n_grams
       FROM grpd GROUP BY 1, 2
@@ -990,31 +996,7 @@ def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_span_removal",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      WHERE len(string_split(text, ' ')) >= {_SPAN_GRAM}
-    ), g AS (
-      SELECT doc_id,
-             unnest(range(len(t) - {_SPAN_GRAM - 1})) AS pos,
-             unnest([sha256(array_to_string(t[i + 1 : i + {_SPAN_GRAM}], ' '))
-                     for i in range(len(t) - {_SPAN_GRAM - 1})]) AS h
-      FROM t
-    ), spread AS (
-      SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
-    ), hits AS (
-      SELECT doc_id, pos FROM g JOIN spread USING (h)
-    ), isl AS (
-      SELECT doc_id, pos,
-             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                       > {_SPAN_GRAM}
-                  THEN 1 ELSE 0 END AS brk
-      FROM hits
-    ), grpd AS (
-      SELECT doc_id, pos,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      FROM isl
-    ), spans AS (
+    oracle=f"""{_SPAN_CTE}, spans AS (
       SELECT doc_id, min(pos) + 1 AS start_tok, max(pos) + {_SPAN_GRAM} AS end_tok
       FROM grpd GROUP BY doc_id, grp
     ), toks AS (
@@ -1053,11 +1035,16 @@ def q_llm_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB plan: span detection inherits q_llm_dup_spans' shape (one
     hash-spread shuffle, per-doc island window); the removal side
-    explodes tokens once and anti-joins spans PER DOC (equi on doc_id +
-    a doc-bounded interval predicate — never cross-document), and
-    reassembly is a per-doc sort_array over (pos, token) structs —
-    state bounded by document length. The corpus is read twice (span
-    path + token path), the bigram-LM trade documented in llm/text.py.
+    explodes tokens ONCE and left-joins spans PER DOC (equi on doc_id +
+    a doc-bounded interval predicate — never cross-document; merged
+    islands are pairwise disjoint by construction — consecutive islands
+    are > {_SPAN_GRAM} positions apart — so a token matches at most one
+    span and the join cannot multiply rows), then a single per-doc
+    aggregation computes before/kept counts AND reassembles the kept
+    text (sort_array over (pos, token) structs; collect_list drops the
+    NULL removed-token entries) — state bounded by document length. The
+    corpus is read exactly twice (span path + token path), the
+    bigram-LM trade documented in llm/text.py.
     """
     spans = q_llm_dup_spans(spark, sf_dir).select(
         F.col("doc_id").alias("s_doc"), "start_tok", "end_tok"
@@ -1066,36 +1053,36 @@ def q_llm_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).alias("tok_pos"), "tok")
-    kept = toks.join(
+    flagged = toks.join(
         spans,
         (toks["doc_id"] == spans["s_doc"])
         & F.col("tok_pos").between(F.col("start_tok"), F.col("end_tok")),
-        "left_anti",
+        "left",
     )
-    agg = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tok_pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
+    keep = F.col("s_doc").isNull()
     return (
-        d.select(
-            "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("tok_pos", "tok"))
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
         )
-        .join(agg, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            (
-                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
-            ).cast("long").alias("n_removed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_kept",
+            (F.col("n_tokens") - F.col("n_kept")).alias("n_removed"),
+            "clean_text",
         )
     )
 

@@ -124,7 +124,7 @@ DRIVER_ORDER: list[str] = [
     # after the canary) + the 19 DIRTY keys (code or oracle edited in r7
     # AFTER their latest driver row — the zero-vector/ANSI hardening
     # sweep) + the 26 stalest clean keys (r01/r02 joins+aggs;
-    # q_win_row_number through q_str_regex slid to positions 50-53 = the
+    # q_win_row_number through q_str_regex slid to positions 51-54 = the
     # r09 window's first slots). ---
     "q_scan_parquet",  # canary: driver-proven seven times, cheapest probe
     "q_llm_dup_spans",  # NEW r8 (no driver evidence): duplicated-span islands
