@@ -361,6 +361,43 @@ def test_matryoshka_prefix_zero_vectors_handled_identically(spark, tmp_path):
     assert out["recall"].tolist() == [0.0]
 
 
+def test_anisotropy_degenerate_corpora(spark, tmp_path):
+    """The two corpora with NO pairs: all-zero vectors (the nz scan
+    rejects everything — n=0, every stat NULL) and a single nonzero
+    vector (n=1 — zero pairs, so the NULLIF'd n(n-1) denominator must
+    yield NULL on BOTH engines while centroid_norm_sq still reports).
+    Also pins the exact two-antipodal-vectors value: avg cosine -1."""
+    zeros = [0.0] * 64
+    ones = [1.0] * 64
+    a = tmp_path / "a"
+    a.mkdir()
+    out = _run_both(
+        "q_llm_anisotropy", _write_embeddings(str(a), [(0, zeros, 0)]), spark
+    )
+    assert out["n_vectors"].tolist() == [0]
+    assert out["centroid_norm_sq"].isna().all()
+    assert out["avg_pairwise_cos"].isna().all()
+
+    b = tmp_path / "b"
+    b.mkdir()
+    out = _run_both(
+        "q_llm_anisotropy", _write_embeddings(str(b), [(0, ones, 0)]), spark
+    )
+    assert out["n_vectors"].tolist() == [1]
+    assert out["centroid_norm_sq"].tolist() == [1.0]
+    assert out["avg_pairwise_cos"].isna().all()
+
+    c = tmp_path / "c"
+    c.mkdir()
+    rows = [(0, ones, 0), (1, [-x for x in ones], 1)]
+    out = _run_both(
+        "q_llm_anisotropy", _write_embeddings(str(c), rows), spark
+    )
+    assert out["n_vectors"].tolist() == [2]
+    assert out["centroid_norm_sq"].tolist() == [0.0]
+    assert out["avg_pairwise_cos"].tolist() == [-1.0]
+
+
 def test_vocab_coverage_tie_at_the_cut(spark, tmp_path):
     """250 distinct tokens, ALL tied at frequency 1, so the top-200
     vocabulary cut is decided purely by the token tiebreak — the exact

@@ -6,7 +6,7 @@ This suite closes the space in between: hypothesis generates random
 tables — with deliberately collision-prone domains — and asserts exact
 parity on the keys whose semantics live at boundaries the fixture
 rarely hits. Five suites (events, documents, orders, embeddings,
-TPC-H), 237 keys, 1185 cross-engine runs per execution. Shared design
+TPC-H), 239 keys, 1195 cross-engine runs per execution. Shared design
 rules:
 
 - timestamps quantized to 5-minute slots (events) or calendar month
@@ -460,6 +460,10 @@ _EMB_FUZZ_KEYS = [
     # writer derives a documents table with BOTH orphan directions
     "q_llm_matryoshka_recall",  # prefix-vs-full ranking on the enforced
     # scan; absent/zero query degrades to the (0, 0, 0.0) report
+    "q_llm_dim_stats",  # per-dim decimal sums INCLUDING all-zero vectors
+    "q_llm_anisotropy",  # normalized-sum identity on the nz scan; the
+    # all-zero-corpus (n=0) and single-vector (n=1) NULL paths are
+    # pinned by test_degenerate.test_anisotropy_degenerate_corpora
 ]
 
 

@@ -950,6 +950,189 @@ def q_llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_llm_dim_stats",
+    oracle="""
+    WITH x AS (
+      SELECT unnest(range(len(embedding))) AS pos,
+             unnest(embedding::DOUBLE[]) AS val
+      FROM embeddings
+    )
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*), 6) AS mean,
+           round(sqrt(greatest(
+             CAST(sum(CAST(val * val AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+             - (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*))
+               * (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*)),
+             0)), 6) AS std,
+           round(min(val), 6) AS min_val,
+           round(max(val), 6) AS max_val,
+           (greatest(
+             CAST(sum(CAST(val * val AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+             - (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*))
+               * (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*)),
+             0) <= 0.000000000001) AS collapsed
+    FROM x GROUP BY pos
+    """,
+)
+def q_llm_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile (extra, beyond §2.B10): for
+    each of the 64 dimensions, the count, mean, population std, min/max,
+    and a collapsed flag (variance <= 1e-12) — the audit run before
+    trusting an embedding column: a dead/collapsed dimension means the
+    encoder under-utilizes capacity (or a pipeline bug zeroed a slice),
+    and heavily off-center means (|mean| >> std) signal the anisotropy
+    the companion q_llm_anisotropy key quantifies. Scans ALL vectors
+    (zero vectors included — column stats must see them; no division by
+    any norm happens here).
+
+    Exactness: per-row terms (val, val*val) are identical doubles on
+    both engines (raw parquet values, shared expression text); each is
+    cast to DECIMAL(28,12) BEFORE the cross-row sum, so the per-dim sums
+    are exact decimal arithmetic — order-independent at any parallelism
+    (the q_llm_kl_divergence / q_diag_column_entropy technique). All
+    downstream math (mean, raw-moment variance with a greatest(.,0)
+    clamp — the q_agg_corr form) is single-op double arithmetic on those
+    exact sums.
+
+    100 TB plan: posexplode → partial+final agg on pos — 64 groups, never
+    skewed, map-side combine absorbs the 64x row explosion (measured at
+    1000x rows on the same shape: q_llm_centroids factor 2.15, SCALE.md).
+    Output is always exactly dim rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode(as_double("embedding")).alias("pos", "val"))
+    dec = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    agg = x.groupBy(F.col("pos").cast("long").alias("pos")).agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("val"))).alias("s1"),
+        F.sum(dec(F.col("val") * F.col("val"))).alias("s2"),
+        F.min("val").alias("mn"),
+        F.max("val").alias("mx"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n") - mean * mean, F.lit(0.0)
+    )
+    return agg.select(
+        "pos",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+        F.round("mn", 6).alias("min_val"),
+        F.round("mx", 6).alias("max_val"),
+        (var <= 1e-12).alias("collapsed"),
+    )
+
+
+def _aniso_oracle() -> str:
+    p = _mrl_pair_sum
+    d = _ANN_DIM
+    return f"""
+    WITH e AS (
+      SELECT embedding::DOUBLE[] AS emb FROM embeddings WHERE {nz_sql()}
+    ), u AS (
+      SELECT emb, sqrt({p('emb', 'emb', d)}) AS nrm FROM e
+    ), comp AS (
+      SELECT unnest(range(len(emb))) AS pos, unnest(emb) AS val, nrm FROM u
+    ), s AS (
+      SELECT pos, sum(CAST(val / nrm AS DECIMAL(28,12))) AS s_d
+      FROM comp GROUP BY pos
+    ), num AS (
+      SELECT sum(CAST(CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)
+                      AS DECIMAL(28,12))) AS ssq
+      FROM s
+    ), diag AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST({p('emb', 'emb', d)} / (nrm * nrm)
+                      AS DECIMAL(28,12))) AS dg
+      FROM u
+    )
+    SELECT n AS n_vectors,
+           round(CAST(ssq AS DOUBLE), 6) AS centroid_norm_sq,
+           round((CAST(ssq AS DOUBLE) - CAST(dg AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE) * (n - 1), 0), 6)
+             AS avg_pairwise_cos
+    FROM diag, num
+    """
+
+
+@query("q_llm_anisotropy", oracle=_aniso_oracle())
+def q_llm_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level embedding anisotropy (extra, beyond §2.B10): the mean
+    pairwise cosine over ALL distinct vector pairs, computed WITHOUT the
+    pair join via the normalized-sum identity
+    avg_cos = (||SUM v_hat||^2 - SUM ||v_hat||^2) / (n(n-1)) — the
+    "narrow cone" diagnostic (Ethayarajh 2019): contextual embedding
+    spaces whose random pairs average cosine >> 0 waste representational
+    capacity and degrade cosine retrieval, and this one number is the
+    standard before/after check for whitening or mean-centering a corpus
+    of embeddings. Also reports ||SUM v_hat||^2 (the un-normalized
+    centroid energy) and n.
+
+    Exactness: normalization is SCALAR division by a per-row norm
+    column (sqrt of the left-associated fold — bit-identical on both
+    engines per the matryoshka/ann contract); the diagonal term is
+    dot(emb,emb)/(nrm*nrm) — deterministic scalar math, no
+    array-transform lambda anywhere (an in-lambda division would be
+    hoisted by whole-stage codegen's eager subexpression elimination
+    and evaluated on rows the nonzero filter rejects, re-raising the
+    ANSI DIVIDE_BY_ZERO the scan contract exists to prevent — measured,
+    this round). Every cross-row sum casts its per-row double term to
+    DECIMAL(28,12) first, so the per-dim sums, the 64-term squared-sum,
+    and the diagonal sum are all exact decimal arithmetic —
+    order-independent at any parallelism. Zero vectors cannot be
+    normalized and are rejected at the scan (nonzero/nz_sql, the r7
+    cosine-family contract); n <= 1 leaves no pairs, so the NULLIF'd
+    denominator yields NULL identically on both engines.
+
+    100 TB plan: one corpus scan normalizes map-side and feeds two
+    partial+final aggs — the 64-group per-dim sum (the q_llm_centroids
+    shape, measured sub-linear at 1000x) and the 1-row diagonal — then
+    all remaining math runs on 64 + 1 rows. No pair join ever exists;
+    the identity replaces O(n^2) work with one pass. DECIMAL(28,12)
+    leaves 16 integer digits: the sums stay in range past 10^15 unit
+    vectors.
+    """
+    e = nonzero(load_table(spark, sf_dir, "embeddings")).select(
+        as_double("embedding").alias("emb")
+    )
+    u = e.select("emb", l2("emb").alias("nrm"))
+    comp = u.select("nrm", F.posexplode("emb").alias("pos", "val"))
+    s = comp.groupBy("pos").agg(
+        F.sum((F.col("val") / F.col("nrm")).cast("decimal(28,12)")).alias(
+            "s_d"
+        )
+    )
+    num = s.select(
+        (F.col("s_d").cast("double") * F.col("s_d").cast("double"))
+        .cast("decimal(28,12)")
+        .alias("sq")
+    ).agg(F.sum("sq").alias("ssq"))
+    diag = u.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (dot("emb", "emb") / (F.col("nrm") * F.col("nrm"))).cast(
+                "decimal(28,12)"
+            )
+        ).alias("dg"),
+    )
+    ssq_d = F.col("ssq").cast("double")
+    return diag.crossJoin(num).select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.round(ssq_d, 6).alias("centroid_norm_sq"),
+        F.round(
+            (ssq_d - F.col("dg").cast("double"))
+            / F.nullif(
+                F.col("n").cast("double") * (F.col("n") - 1), F.lit(0.0)
+            ),
+            6,
+        ).alias("avg_pairwise_cos"),
+    )
+
+
+@query(
     "q_llm_embedding_coverage",
     oracle="""
     SELECT count(d.doc_id) AS n_docs,
