@@ -6,7 +6,7 @@ This suite closes the space in between: hypothesis generates random
 tables — with deliberately collision-prone domains — and asserts exact
 parity on the keys whose semantics live at boundaries the fixture
 rarely hits. Five suites (events, documents, orders, embeddings,
-TPC-H), 239 keys, 1195 cross-engine runs per execution. Shared design
+TPC-H), 240 keys, 1200 cross-engine runs per execution. Shared design
 rules:
 
 - timestamps quantized to 5-minute slots (events) or calendar month
@@ -263,6 +263,8 @@ _DOC_FUZZ_KEYS = [
     "q_llm_training_manifest",  # prep -> split -> pack composition
     "q_llm_dup_spans",  # island merge on sub-gram/duplicate-heavy texts
     "q_llm_span_removal",  # strip-and-reassemble incl. fully-emptied docs
+    "q_llm_char_entropy",  # per-doc char distribution incl. empty and
+    # single-char texts (the ndv=1 entropy-0 floor)
     "q_llm_vocab_coverage",  # tiny-vocab identity case: <=8 distinct
     # tokens so the top-200 cut keeps everything and n_oov == 0 on both
     # engines; the rank-200 tie BOUNDARY is unreachable here and is

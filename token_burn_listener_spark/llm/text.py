@@ -1646,6 +1646,93 @@ _ENTROPY_TERM = (
 
 
 @query(
+    "q_llm_char_entropy",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS chr FROM documents
+    ), chf AS (
+      SELECT doc_id, chr FROM ch WHERE chr <> ''
+    ), counts AS (
+      SELECT doc_id, chr, count(*)::BIGINT AS c FROM chf GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS ndv
+      FROM counts GROUP BY doc_id
+    )
+    SELECT counts.doc_id, ndv, n AS n_chars,
+           round(CAST(-sum(CAST({_ENTROPY_TERM} AS DECIMAL(28,12)))
+                      AS DOUBLE), 6) AS entropy_nats,
+           round(ln(ndv), 6) AS max_entropy_nats
+    FROM counts JOIN tot USING (doc_id)
+    GROUP BY counts.doc_id, ndv, n
+    """,
+)
+def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (extra, beyond
+    §2.B10): the information-theoretic gibberish detector that
+    complements the heuristic stack (q_llm_quality_score's ratios,
+    q_llm_repetition's duplicate trigrams) — base64 blobs and
+    minified/encoded payloads sit near the ln(ndv) ceiling while
+    keyboard-mash and single-char padding collapse toward 0, and both
+    tails get dropped by the C4/Gopher-style filters this score feeds.
+    Output per doc: char count, distinct chars, entropy in nats next to
+    its ln(ndv) ceiling (the q_diag_column_entropy report shape, per
+    document instead of per column).
+
+    Exactness: counts are exact integers, each entropy term is per-row
+    float math with shared expression text, and the per-doc sum folds in
+    DECIMAL(28,12) — order-independent (the q_diag_column_entropy /
+    q_llm_kl_divergence technique). Empty-text docs have no defined
+    distribution and produce no row on either engine (Spark's
+    split('','') is [] while DuckDB's is [''] — the shared chr <> ''
+    predicate erases the divergence). Fixture/fuzz text is ASCII;
+    non-BMP text splits into UTF-16 code units on Spark vs codepoints
+    on DuckDB and is out of contract.
+
+    100 TB plan: the char explode shuffles one row per (doc, char)
+    OCCURRENCE into a partial+final agg — map-side combine collapses it
+    to docs x charset rows before the exchange; the totals join is a
+    second shuffle of that already-collapsed table on doc_id, never the
+    corpus. counts is pinned (localCheckpoint) because both the totals
+    and the entropy agg consume it — the q_diag_column_entropy shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chf = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("chr")
+    ).filter(F.col("chr") != "")
+    counts = (
+        chf.groupBy("doc_id", "chr")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("ndv")
+    )
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id", "ndv", "n")
+        .agg(
+            F.round(
+                (
+                    -F.sum(
+                        F.expr(f"CAST({_ENTROPY_TERM} AS DECIMAL(28,12))")
+                    )
+                ).cast("double"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .select(
+            "doc_id",
+            "ndv",
+            F.col("n").alias("n_chars"),
+            "entropy_nats",
+            F.round(F.log(F.col("ndv").cast("double")), 6).alias(
+                "max_entropy_nats"
+            ),
+        )
+    )
+
+
+@query(
     "q_diag_column_entropy",
     oracle=f"""
     WITH vals AS (

@@ -104,7 +104,7 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 #   r09 window (already in position — promoting it is a no-op; listed so
 #   the next round can verify positions 1-50 against this comment):
-#   q_scan_parquet q_agg_time_rollup q_agg_approx_percentile
+#   q_scan_parquet q_agg_pivot q_agg_time_rollup q_agg_approx_percentile
 #   q_win_row_number q_str_basic q_str_split q_str_regex
 #   q_date_parts q_date_arith q_date_unix q_math_fns q_math_conv q_arr_hof
 #   q_arr_explode q_arr_zip q_map_json q_json_tuple q_json_to q_hash_sha2
@@ -116,17 +116,17 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   q_stream_watermark q_stream_late_data q_stream_dedup
 #   q_stream_static_join q_stream_stream_join q_stream_stateful
 #   q_stream_foreachbatch q_stream_checkpoint q_stream_outer_join
-#   q_set_union_all
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r08 driver window (positions 1-50): canary + 6 NEW keys
+    # --- r08 driver window (positions 1-50): canary + 7 NEW keys
     # (q_llm_dup_spans + q_llm_span_removal + q_llm_matryoshka_recall +
-    # q_llm_vocab_coverage + q_llm_dim_stats + q_llm_anisotropy, inserted
-    # per the invariant: new keys directly after the canary) + the 19
-    # DIRTY keys (code or oracle edited in r7 AFTER their latest driver
-    # row — the zero-vector/ANSI hardening sweep) + the 24 stalest clean
-    # keys (r01/r02 joins+aggs; q_agg_time_rollup through q_str_regex
-    # slid to positions 51-56 = the r09 window's first slots). ---
+    # q_llm_vocab_coverage + q_llm_dim_stats + q_llm_anisotropy +
+    # q_llm_char_entropy, inserted per the invariant: new keys directly
+    # after the canary) + the 19 DIRTY keys (code or oracle edited in r7
+    # AFTER their latest driver row — the zero-vector/ANSI hardening
+    # sweep) + the 23 stalest clean keys (r01/r02 joins+aggs;
+    # q_agg_pivot through q_str_regex slid to positions 51-57 = the r09
+    # window's first slots). ---
     "q_scan_parquet",  # canary: driver-proven seven times, cheapest probe
     "q_llm_dup_spans",  # NEW r8 (no driver evidence): duplicated-span islands
     "q_llm_span_removal",  # NEW r8 (no driver evidence): boilerplate strip
@@ -134,6 +134,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_vocab_coverage",  # NEW r8 (no driver evidence): OOV-rate audit
     "q_llm_dim_stats",  # NEW r8 (no driver evidence): per-dim health profile
     "q_llm_anisotropy",  # NEW r8 (no driver evidence): mean pairwise cosine
+    "q_llm_char_entropy",  # NEW r8 (no driver evidence): per-doc char entropy
     "q_agg_corr",  # dirty: r7 rewrite: corr+covar from six shared raw sums
     "q_tpch_q8ish",  # dirty: r7: NULLIF mkt-share denominator (zero-volume slice)
     "q_tpch_q14ish",  # dirty: r7: NULLIF promo-revenue denominator
