@@ -361,6 +361,37 @@ def test_matryoshka_prefix_zero_vectors_handled_identically(spark, tmp_path):
     assert out["recall"].tolist() == [0.0]
 
 
+def test_char_entropy_empty_and_constant(spark, tmp_path):
+    """The empty-text doc must produce NO row on either engine — under
+    the repo session Spark splits '' into [''] (measured; a vanilla
+    session gave [], so the guard filters on length(text), never on the
+    split's shape; this exact divergence shipped green through the fuzz
+    once because the word-salad strategy can't generate ''). Also pins
+    the ndv=1 floor: a constant-char doc has entropy exactly 0 with a
+    0 ceiling."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["abc", "", "zzzz"]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["src0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(tmp_path), "documents.parquet"))
+    out = _run_both("q_llm_char_entropy", str(tmp_path), spark)
+    got = out.sort_values("doc_id")
+    assert got["doc_id"].tolist() == [0, 2]  # the empty doc is absent
+    assert got["ndv"].tolist() == [3, 1]
+    assert got["n_chars"].tolist() == [3, 4]
+    assert got["entropy_nats"].tolist()[1] == 0.0
+    assert got["max_entropy_nats"].tolist()[1] == 0.0
+
+
 def test_anisotropy_degenerate_corpora(spark, tmp_path):
     """The two corpora with NO pairs: all-zero vectors (the nz scan
     rejects everything — n=0, every stat NULL) and a single nonzero

@@ -263,8 +263,10 @@ _DOC_FUZZ_KEYS = [
     "q_llm_training_manifest",  # prep -> split -> pack composition
     "q_llm_dup_spans",  # island merge on sub-gram/duplicate-heavy texts
     "q_llm_span_removal",  # strip-and-reassemble incl. fully-emptied docs
-    "q_llm_char_entropy",  # per-doc char distribution incl. empty and
-    # single-char texts (the ndv=1 entropy-0 floor)
+    "q_llm_char_entropy",  # per-doc char distribution on word-salad
+    # texts (always non-empty here — the _doc strategy joins >= 1
+    # words); the empty-text drop and the ndv=1 entropy-0 floor are
+    # pinned by test_degenerate.test_char_entropy_empty_and_constant
     "q_llm_vocab_coverage",  # tiny-vocab identity case: <=8 distinct
     # tokens so the top-200 cut keeps everything and n_oov == 0 on both
     # engines; the rank-200 tie BOUNDARY is unreachable here and is

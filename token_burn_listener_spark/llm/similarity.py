@@ -956,24 +956,24 @@ def q_llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest(range(len(embedding))) AS pos,
              unnest(embedding::DOUBLE[]) AS val
       FROM embeddings
+    ), sums AS (
+      SELECT CAST(pos AS BIGINT) AS pos,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(val * val AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+             min(val) AS mn, max(val) AS mx
+      FROM x GROUP BY pos
+    ), derived AS (
+      SELECT *, greatest(s2 / n - (s1 / n) * (s1 / n), 0) AS var
+      FROM sums
     )
-    SELECT CAST(pos AS BIGINT) AS pos,
-           CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
-                 / count(*), 6) AS mean,
-           round(sqrt(greatest(
-             CAST(sum(CAST(val * val AS DECIMAL(28,12))) AS DOUBLE) / count(*)
-             - (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*))
-               * (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*)),
-             0)), 6) AS std,
-           round(min(val), 6) AS min_val,
-           round(max(val), 6) AS max_val,
-           (greatest(
-             CAST(sum(CAST(val * val AS DECIMAL(28,12))) AS DOUBLE) / count(*)
-             - (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*))
-               * (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*)),
-             0) <= 0.000000000001) AS collapsed
-    FROM x GROUP BY pos
+    SELECT pos, n,
+           round(s1 / n, 6) AS mean,
+           round(sqrt(var), 6) AS std,
+           round(mn, 6) AS min_val,
+           round(mx, 6) AS max_val,
+           (var <= 0.000000000001) AS collapsed
+    FROM derived
     """,
 )
 def q_llm_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1037,24 +1037,25 @@ def _aniso_oracle() -> str:
     ), comp AS (
       SELECT unnest(range(len(emb))) AS pos, unnest(emb) AS val, nrm FROM u
     ), s AS (
-      SELECT pos, sum(CAST(val / nrm AS DECIMAL(28,12))) AS s_d
+      SELECT pos,
+             sum(CAST(val / nrm AS DECIMAL(28,12))) AS s_d,
+             sum(CAST((val / nrm) * (val / nrm) AS DECIMAL(28,12))) AS q_d,
+             CAST(count(*) AS BIGINT) AS cnt
       FROM comp GROUP BY pos
-    ), num AS (
+    ), fin AS (
       SELECT sum(CAST(CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)
-                      AS DECIMAL(28,12))) AS ssq
+                      AS DECIMAL(28,12))) AS ssq,
+             sum(q_d) AS dg,
+             CAST(coalesce(sum(CASE WHEN pos = 0 THEN cnt ELSE 0 END), 0)
+                  AS BIGINT) AS n
       FROM s
-    ), diag AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             sum(CAST({p('emb', 'emb', d)} / (nrm * nrm)
-                      AS DECIMAL(28,12))) AS dg
-      FROM u
     )
     SELECT n AS n_vectors,
            round(CAST(ssq AS DOUBLE), 6) AS centroid_norm_sq,
            round((CAST(ssq AS DOUBLE) - CAST(dg AS DOUBLE))
                  / NULLIF(CAST(n AS DOUBLE) * (n - 1), 0), 6)
              AS avg_pairwise_cos
-    FROM diag, num
+    FROM fin
     """
 
 
@@ -1073,54 +1074,58 @@ def q_llm_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: normalization is SCALAR division by a per-row norm
     column (sqrt of the left-associated fold — bit-identical on both
-    engines per the matryoshka/ann contract); the diagonal term is
-    dot(emb,emb)/(nrm*nrm) — deterministic scalar math, no
-    array-transform lambda anywhere (an in-lambda division would be
-    hoisted by whole-stage codegen's eager subexpression elimination
-    and evaluated on rows the nonzero filter rejects, re-raising the
-    ANSI DIVIDE_BY_ZERO the scan contract exists to prevent — measured,
-    this round). Every cross-row sum casts its per-row double term to
-    DECIMAL(28,12) first, so the per-dim sums, the 64-term squared-sum,
-    and the diagonal sum are all exact decimal arithmetic —
-    order-independent at any parallelism. Zero vectors cannot be
-    normalized and are rejected at the scan (nonzero/nz_sql, the r7
-    cosine-family contract); n <= 1 leaves no pairs, so the NULLIF'd
-    denominator yields NULL identically on both engines.
+    engines per the matryoshka/ann contract), never an array-transform
+    lambda (an in-lambda division gets hoisted by whole-stage codegen's
+    eager subexpression elimination and evaluated on rows the nonzero
+    filter rejects, re-raising the ANSI DIVIDE_BY_ZERO the scan
+    contract exists to prevent — measured, this round). Every cross-row
+    sum casts its per-row double term to DECIMAL(28,12) first, so the
+    per-dim sums, the per-dim squared-component sums (whose 64-row
+    total is the diagonal), and the 64-term squared-sum are all exact
+    decimal arithmetic — order-independent at any parallelism. Zero
+    vectors cannot be normalized and are rejected at the scan
+    (nonzero/nz_sql, the r7 cosine-family contract); n <= 1 leaves no
+    pairs, so the NULLIF'd denominator yields NULL identically on both
+    engines (n counts the pos=0 group, COALESCEd to 0 on an empty
+    scan).
 
-    100 TB plan: one corpus scan normalizes map-side and feeds two
-    partial+final aggs — the 64-group per-dim sum (the q_llm_centroids
-    shape, measured sub-linear at 1000x) and the 1-row diagonal — then
-    all remaining math runs on 64 + 1 rows. No pair join ever exists;
-    the identity replaces O(n^2) work with one pass. DECIMAL(28,12)
-    leaves 16 integer digits: the sums stay in range past 10^15 unit
-    vectors.
+    100 TB plan: ONE corpus scan (verified in the executed plan — the
+    diagonal and the count both derive from the same per-dim
+    aggregation rather than a second pass) normalizes map-side and
+    feeds a single 64-group partial+final agg (the q_llm_centroids
+    shape, measured sub-linear at 1000x); all remaining math runs on
+    the 64-row result. No pair join ever exists; the identity replaces
+    O(n^2) work with one pass. DECIMAL(28,12) leaves 16 integer digits:
+    the sums stay in range past 10^15 unit vectors.
     """
     e = nonzero(load_table(spark, sf_dir, "embeddings")).select(
         as_double("embedding").alias("emb")
     )
     u = e.select("emb", l2("emb").alias("nrm"))
     comp = u.select("nrm", F.posexplode("emb").alias("pos", "val"))
+    uval = F.col("val") / F.col("nrm")
     s = comp.groupBy("pos").agg(
-        F.sum((F.col("val") / F.col("nrm")).cast("decimal(28,12)")).alias(
-            "s_d"
-        )
+        F.sum(uval.cast("decimal(28,12)")).alias("s_d"),
+        F.sum((uval * uval).cast("decimal(28,12)")).alias("q_d"),
+        F.count("*").alias("cnt"),
     )
-    num = s.select(
-        (F.col("s_d").cast("double") * F.col("s_d").cast("double"))
-        .cast("decimal(28,12)")
-        .alias("sq")
-    ).agg(F.sum("sq").alias("ssq"))
-    diag = u.agg(
-        F.count("*").alias("n"),
+    fin = s.agg(
         F.sum(
-            (dot("emb", "emb") / (F.col("nrm") * F.col("nrm"))).cast(
+            (F.col("s_d").cast("double") * F.col("s_d").cast("double")).cast(
                 "decimal(28,12)"
             )
-        ).alias("dg"),
+        ).alias("ssq"),
+        F.sum("q_d").alias("dg"),
+        F.coalesce(
+            F.sum(F.when(F.col("pos") == 0, F.col("cnt")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n"),
     )
     ssq_d = F.col("ssq").cast("double")
-    return diag.crossJoin(num).select(
-        F.col("n").cast("long").alias("n_vectors"),
+    return fin.select(
+        F.col("n").alias("n_vectors"),
         F.round(ssq_d, 6).alias("centroid_norm_sq"),
         F.round(
             (ssq_d - F.col("dg").cast("double"))

@@ -1686,9 +1686,12 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition is exact, so the sequential in-row fold equals the
     oracle's order-independent decimal SUM bit-for-bit (the
     q_diag_column_entropy technique, moved in-row). Empty-text docs
-    have no defined distribution and produce no row on either engine
-    (Spark's split('','') is [] while DuckDB's is [''] — the shared
-    empty-guard erases the divergence). Fixture/fuzz text is ASCII;
+    have no defined distribution and produce no row on either engine:
+    BOTH engines split '' into [''] under this session (measured — an
+    earlier vanilla-session probe showed [] on Spark, so the guard must
+    not trust split's empty-string shape at all), hence the row filter
+    is length(text) > 0, not a size test on the split. Fixture/fuzz
+    text is ASCII;
     non-BMP text splits into UTF-16 code units on Spark vs codepoints
     on DuckDB and is out of contract.
 
@@ -1740,8 +1743,8 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ent = F.aggregate(chars, init, step, fin)
     return (
-        d.select("doc_id", ent.alias("e"), n.alias("nc"))
-        .filter(F.col("nc") > 0)
+        d.filter(F.length("text") > 0)
+        .select("doc_id", ent.alias("e"), n.alias("nc"))
         .select(
             "doc_id",
             F.col("e.k").alias("ndv"),

@@ -126,8 +126,8 @@ ALLOW_SINGLE_PARTITION = {
                                  # calendar-bounded day grid + 1-row bounds
     "q_llm_matryoshka_recall",  # [final-agg] 1-row n_prefix_ranked/n_hits
                                 # counts over the pinned skinny scores
-    "q_llm_anisotropy",  # [final-agg] 1-row ssq over the 64-dim sums +
-                         # 1-row n/diagonal agg
+    "q_llm_anisotropy",  # [final-agg] one 1-row agg over the 64-dim sums
+                         # (ssq + diagonal + n in a single pass)
     "q_llm_vocab_coverage",  # [rollup-win] global_row_number's prefix-
                              # offset window over the <=32-row partition-
                              # count table (same shape as q_llm_zipf)
@@ -190,8 +190,6 @@ ALLOW_NESTED_LOOP = {
     "q_llm_matryoshka_recall",  # broadcast crossJoins of the 1-row query
                                 # vector and the 1-row hit count (same
                                 # recall-audit shape as q_llm_ann_recall)
-    "q_llm_anisotropy",  # broadcast crossJoin of the two 1-row aggs
-                         # (diagonal x squared-sum)
 }
 
 # Keys allowed to statically scan one table >= 4 times (each a by-design
