@@ -362,13 +362,15 @@ def test_matryoshka_prefix_zero_vectors_handled_identically(spark, tmp_path):
 
 
 def test_char_entropy_empty_and_constant(spark, tmp_path):
-    """The empty-text doc must produce NO row on either engine — under
-    the repo session Spark splits '' into [''] (measured; a vanilla
-    session gave [], so the guard filters on length(text), never on the
-    split's shape; this exact divergence shipped green through the fuzz
-    once because the word-salad strategy can't generate ''). Also pins
-    the ndv=1 floor: a constant-char doc has entropy exactly 0 with a
-    0 ceiling."""
+    """The empty-text doc must produce NO row on either engine — Spark
+    splits '' into [''] (measured via collect; show() renders [''] as
+    [], which hid it), so a size-of-split guard counts the pseudo-char
+    as a run that ALSO collides with the fold's prev='' init sentinel,
+    while DuckDB's oracle drops it via chr <> ''. The guard filters on
+    length(text) instead. This divergence shipped green through the
+    fuzz once because the word-salad strategy can't generate ''. Also
+    pins the ndv=1 floor: a constant-char doc has entropy exactly 0
+    with a 0 ceiling."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 

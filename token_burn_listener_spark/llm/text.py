@@ -1687,10 +1687,12 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's order-independent decimal SUM bit-for-bit (the
     q_diag_column_entropy technique, moved in-row). Empty-text docs
     have no defined distribution and produce no row on either engine:
-    BOTH engines split '' into [''] under this session (measured — an
-    earlier vanilla-session probe showed [] on Spark, so the guard must
-    not trust split's empty-string shape at all), hence the row filter
-    is length(text) > 0, not a size test on the split. Fixture/fuzz
+    BOTH engines split '' into [''] (measured via collect — show()
+    renders [''] indistinguishably from [], which hid this at first),
+    DuckDB's oracle drops the pseudo-char through chr <> '' while the
+    Spark fold would count it as a run AND collide with the fold's
+    prev='' init sentinel — so the row filter is length(text) > 0, on
+    the text itself, never a size test on the split. Fixture/fuzz
     text is ASCII;
     non-BMP text splits into UTF-16 code units on Spark vs codepoints
     on DuckDB and is out of contract.
