@@ -114,9 +114,15 @@ def build_scaled(spark, n: int, tables: dict[str, list[str]]) -> str:
         # the N copies come from ONE explode(sequence(0, N-1)) multiplier,
         # not an N-way union — a 1000-branch union plan takes Catalyst
         # minutes to analyze, while the explode form keeps the build plan
-        # 2 nodes deep at any N (this is what unlocked the 1000x probes)
+        # 2 nodes deep at any N (this is what unlocked the 1000x probes).
+        # Repartition BEFORE the explode: a 10 MB fixture parquet scans as
+        # ~3 tasks, and the ×N multiplication happens inside the scan
+        # tasks — at N=1000 one straggler task was writing most of a
+        # 600 M-row table (measured: lineitem build stuck >8 min at 3
+        # tasks; 64-way pre-spread finishes in ~1 min and removes the
+        # post-explode exchange, so each task writes its own ×N slice).
         stride = 10_000_000
-        copies = df.select(
+        copies = df.repartition(64).select(
             F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_copy"), "*"
         )
         for col in shift_cols:
@@ -124,7 +130,7 @@ def build_scaled(spark, n: int, tables: dict[str, list[str]]) -> str:
                 col,
                 F.col(col) + F.col("_copy").cast("long") * F.lit(stride),
             )
-        copies.drop("_copy").repartition(64).write.mode("overwrite").parquet(
+        copies.drop("_copy").write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
     with open(os.path.join(out, "_DONE"), "w") as f:
