@@ -61,10 +61,19 @@ Derandomized (fixed seed) so CI stays deterministic.
 
 from __future__ import annotations
 
+import os as _os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from tests.test_degenerate import _run_both, _write_events
+
+# CI runs 5 examples per suite (the derandomized head of each search
+# space — ~20 min wall for the whole file). SPARK_GRAFT_FUZZ_EXAMPLES
+# deepens a one-off adversarial session without touching CI time:
+# derandomize=True means a larger budget extends the SAME deterministic
+# sequence, so a deep run strictly supersets what CI explored.
+_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "5"))
 
 _FIVE_MIN_US = 300_000_000
 _DAY_SLOTS = 288  # 5-min slots per day
@@ -140,7 +149,7 @@ _FUZZ_KEYS = [
 
 
 @settings(
-    max_examples=5,
+    max_examples=_EXAMPLES,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -283,7 +292,7 @@ _doc = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12).map(
 
 
 @settings(
-    max_examples=5,
+    max_examples=_EXAMPLES,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -388,7 +397,7 @@ _ORDERS_FUZZ_KEYS = [
 
 
 @settings(
-    max_examples=5,
+    max_examples=_EXAMPLES,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -472,7 +481,7 @@ _EMB_FUZZ_KEYS = [
 
 
 @settings(
-    max_examples=5,
+    max_examples=_EXAMPLES,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -744,7 +753,7 @@ def _write_tpch_fuzz(dirpath: str, lines: list[tuple]) -> str:
 
 
 @settings(
-    max_examples=5,
+    max_examples=_EXAMPLES,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

@@ -83,6 +83,14 @@ PROBE_KEYS = [
     # scale record to the stream axis: per-batch work must scale with
     # batch rows while the ~2.2 s machinery floor (bench.py) stays fixed.
     "q_stream_upsert_latest",
+    # r8 axes: the runtime-filter join (bitmap is fact-size-independent,
+    # so its factor should stay ~flat), the salted skew join (event_type
+    # is a FIXED 4-value domain, so ×N makes each hot key N× hotter —
+    # the one probe where scaling INCREASES skew), and pivot over the
+    # same fixed domain (map-side collapse into an unchanged grid)
+    "q_join_bloom",
+    "q_join_salted",
+    "q_agg_pivot",
 ]
 
 # Streaming probes get one UNTIMED warm call per root first: the first
