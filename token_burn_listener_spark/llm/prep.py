@@ -77,12 +77,17 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the held-out slice survive.
 
     100 TB plan: the eval side is small by construction (benchmarks are
-    MBs, corpora are TBs), so its distinct gram set BROADCASTS; the train
-    side explodes grams map-side and the contamination test is a broadcast
-    LEFT SEMI — the exploded relation never shuffles. The final removal is
-    an anti join on doc_id (contaminated ids ≪ corpus). With a benchmark
-    too big to broadcast, the same plan degrades to a shuffle semi join on
-    the gram hash — still no pairwise comparison anywhere.
+    MBs, corpora are TBs), so its distinct gram set broadcasts — but the
+    broadcast is AQE's runtime decision, not a forced hint. A forced
+    F.broadcast() here is an OOM cliff the day the held-out slice
+    outgrows the driver (the r8 100× probe deliberately violated the
+    small-eval contract and the hint still shipped a corpus-scale gram
+    set to every task); unhinted, AQE broadcasts from MEASURED stats at
+    the contract's shape and degrades to a shuffle semi join on the gram
+    key past it — still no pairwise comparison anywhere. Measured
+    (order-controlled, both scales): the hint buys nothing even when it
+    wins the plan, so robustness is free. The final removal is an anti
+    join on doc_id (contaminated ids ≪ corpus).
     """
     d = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 37 == 0
@@ -90,7 +95,7 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_grams = grams.filter(is_eval).select("gram").distinct()
     contaminated = (
         grams.filter(~is_eval)
-        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .join(eval_grams, "gram", "left_semi")
         .select("doc_id")
         .distinct()
     )

@@ -104,8 +104,9 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 #   r09 window (already in position — promoting it is a no-op; listed so
 #   the next round can verify positions 1-50 against this comment):
-#   q_scan_parquet q_agg_pivot q_agg_time_rollup q_agg_approx_percentile
-#   q_win_row_number q_str_basic q_str_split q_str_regex
+#   q_scan_parquet q_agg_having q_agg_pivot q_agg_time_rollup
+#   q_agg_approx_percentile q_win_row_number q_str_basic q_str_split
+#   q_str_regex
 #   q_date_parts q_date_arith q_date_unix q_math_fns q_math_conv q_arr_hof
 #   q_arr_explode q_arr_zip q_map_json q_json_tuple q_json_to q_hash_sha2
 #   q_hash_md5 q_hash_xxhash q_win_rank q_win_ntile q_win_pct
@@ -115,18 +116,19 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   q_stream_rate_limit q_stream_tumbling q_stream_sliding q_stream_session
 #   q_stream_watermark q_stream_late_data q_stream_dedup
 #   q_stream_static_join q_stream_stream_join q_stream_stateful
-#   q_stream_foreachbatch q_stream_checkpoint q_stream_outer_join
+#   q_stream_foreachbatch q_stream_checkpoint
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
     # --- r08 driver window (positions 1-50): canary + 7 NEW keys
     # (q_llm_dup_spans + q_llm_span_removal + q_llm_matryoshka_recall +
     # q_llm_vocab_coverage + q_llm_dim_stats + q_llm_anisotropy +
     # q_llm_char_entropy, inserted per the invariant: new keys directly
-    # after the canary) + the 19 DIRTY keys (code or oracle edited in r7
-    # AFTER their latest driver row — the zero-vector/ANSI hardening
-    # sweep) + the 23 stalest clean keys (r01/r02 joins+aggs;
-    # q_agg_pivot through q_str_regex slid to positions 51-57 = the r09
-    # window's first slots). ---
+    # after the canary) + the 20 DIRTY keys (19 whose code or oracle was
+    # edited in r7 AFTER their latest driver row — the zero-vector/ANSI
+    # hardening sweep — plus q_llm_decontaminate, whose forced-broadcast
+    # hint was dropped mid-r8) + the 22 stalest clean keys (r01/r02
+    # joins+aggs; q_agg_having through q_str_regex slid to positions
+    # 51-58 = the r09 window's first slots). ---
     "q_scan_parquet",  # canary: driver-proven seven times, cheapest probe
     "q_llm_dup_spans",  # NEW r8 (no driver evidence): duplicated-span islands
     "q_llm_span_removal",  # NEW r8 (no driver evidence): boilerplate strip
@@ -154,6 +156,7 @@ DRIVER_ORDER: list[str] = [
     "q_llm_lsh_recall",  # dirty: r7: NULLIF on the empty-exact-pair denominator
     "q_graph_triangles",  # dirty: r7: zero-vector edge scan
     "q_graph_pagerank",  # dirty: r7: zero-vector edge scan
+    "q_llm_decontaminate",  # dirty: r8: forced-broadcast hint dropped (AQE decides)
     # staleness fill — driver evidence r01/r02 (joins, aggs) + r03 head
     "q_join_full",
     "q_join_semi",
@@ -295,7 +298,6 @@ DRIVER_ORDER: list[str] = [
     "q_llm_sample_stratified",
     "q_llm_global_shuffle",
     "q_llm_pack_sequences",
-    "q_llm_decontaminate",
     "q_llm_dedup_survivors",
     "q_llm_corpus_prep",
     "q_llm_multimodal",
