@@ -73,7 +73,7 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = blobs.mapInPandas(decode_batches, MULTIMODAL_SCHEMA)
     dups = feats.groupBy("content_sha256").agg(F.count("*").alias("n_same_content"))
     return (
-        feats.join(F.broadcast(dups), "content_sha256")
+        feats.join(dups, "content_sha256")
         .select(
             "file_name",
             "n_bytes",

@@ -84,7 +84,7 @@ def q_llm_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = tok.groupBy("source", "token").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("source").orderBy(F.desc("cnt"), "token")
     return (
-        tc.join(F.broadcast(df_), "token")
+        tc.join(df_, "token")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
         .select("source", "token", "cnt", "doc_freq", "rnk")
@@ -1129,7 +1129,7 @@ def q_llm_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").cast("double").alias("df")
     )
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -1585,8 +1585,8 @@ def q_llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = bc.agg(F.sum("c_ab").alias("n_bi"))
     scored = (
         bc.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
-        .join(F.broadcast(uni.select(F.col("t").alias("w1"), F.col("c").alias("c_a"))), "w1")
-        .join(F.broadcast(uni.select(F.col("t").alias("w2"), F.col("c").alias("c_b"))), "w2")
+        .join(uni.select(F.col("t").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("c_b")), "w2")
         .crossJoin(F.broadcast(nb))
         .crossJoin(F.broadcast(nu_t))
         .select("w1", "w2", "c_ab", F.round(F.expr(_PMI_EXPR), 6).alias("pmi"))
@@ -1935,7 +1935,7 @@ def q_llm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_ctx = ctx.orderBy(F.desc("c1"), "w1").limit(3)
     scored = (
         bc.join(F.broadcast(top_ctx), "w1")
-        .join(F.broadcast(cont), "w2")
+        .join(cont, "w2")
         .crossJoin(F.broadcast(nbt))
         .select(
             "w1", "w2", "c12", "c1",

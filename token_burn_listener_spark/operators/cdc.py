@@ -414,13 +414,15 @@ def q_cdc_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_diag_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract validation (the dbt-tests family) in one pass per
     table: not-null, referential integrity (orders → customer via a
-    broadcast anti join), primary-key uniqueness, and range constraints —
+    customer anti join — AQE-sized, since customer scales with SF),
+    primary-key uniqueness, and range constraints —
     the four checks every ingest gate runs, summarized in one row a
     scheduler can alert on (all zeros on this fixture, by design: the
     check proves cleanliness, not merely counts).
 
-    100 TB plan: each check is a scan-side predicate count or a broadcast
-    anti join — no fact⋈fact work anywhere; the four 1-row aggregates
+    100 TB plan: each check is a scan-side predicate count or one anti
+    join keyed on the reference table (broadcast while AQE measures it
+    small) — no fact⋈fact work anywhere; the four 1-row aggregates
     cross-combine at zero cost. Uniqueness is count - count(distinct) in
     ONE aggregation (no self-join).
     """
@@ -431,7 +433,7 @@ def q_diag_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("null_custkey")
     )
     orphans = o.join(
-        F.broadcast(c), o.o_custkey == c.c_custkey, "anti"
+        c, o.o_custkey == c.c_custkey, "anti"
     ).agg(F.count("*").alias("orphan_orders"))
     dups = o.agg(
         (F.count("*") - F.count_distinct("o_orderkey")).alias("dup_orderkeys")

@@ -4,7 +4,10 @@ Join-strategy policy for 100 TB (stated once, applied everywhere):
 
 - **Small dimension ⇒ broadcast.** region/nation/supplier-class tables are
   KBs-to-MBs at any scale factor; `F.broadcast()` pins a broadcast hash join
-  so the fact table never shuffles (q_join_inner_broadcast, q_join_star).
+  so the fact table never shuffles (q_join_inner_broadcast). Hints are for
+  sides bounded BY CONSTRUCTION; SF-scaling sides (customer slices, supplier)
+  get AQE's runtime decision instead — same plan when small, graceful
+  shuffle degrade instead of an OOM cliff when not (r8 sweep).
 - **Fact-to-fact ⇒ sort-merge on the join key.** Spark shuffles both sides
   by key; AQE handles skew splitting at runtime (q_join_inner_smj).
 - **Shuffled-hash** where one side is much smaller but above the broadcast
@@ -337,7 +340,9 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped star join: filtered dim ⋈ orders ⋈ lineitem, top-10
     unshipped orders by revenue (rank materialized for the hash check).
 
-    customer(BUILDING) is broadcast; orders⋈lineitem sort-merges on the
+    customer(BUILDING) broadcasts while AQE measures it under threshold
+    (it scales with SF — a forced hint is an OOM cliff, and the r8 1000x
+    probe measured the SMJ degrade working); orders⋈lineitem sort-merges on the
     order key; revenue agg is partial+final; the top-10 is
     TakeOrderedAndProject (limit BEFORE the rank window, so the global
     window only ever sees 10 rows — VERDICT.md r1 pattern).
@@ -352,7 +357,7 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > "1998-03-15 00:00:00"
     )
     rev = (
-        F.broadcast(c)
+        c
         .join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
@@ -436,7 +441,9 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the fact side computes its 3 positions and LEFT-joins the broadcast
       bitmap three times (map-only; no shuffle, no explode of the fact);
       a row is a candidate iff all 3 probed bits are set.
-    - candidates then pass the exact broadcast semi join, so false
+    - candidates then pass the exact semi join (AQE broadcasts the
+      SF-scaling dim while it measures small; past that it degrades to a
+      shuffle semi over the ~2e-6 candidate set, never an OOM), so false
       positives are eliminated and the result is oracle-identical to the
       plain semi join.
 
@@ -498,7 +505,7 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cand.filter(probe_ok)
 
     return (
-        cand.join(F.broadcast(dim_keys), cand.o_custkey == F.col("c_custkey"), "semi")
+        cand.join(dim_keys, cand.o_custkey == F.col("c_custkey"), "semi")
         .select(
             "o_orderkey",
             "o_custkey",

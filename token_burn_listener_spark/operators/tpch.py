@@ -320,7 +320,9 @@ def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB plan: the correlated min decorrelates into agg + self-equi-join
     on the part key, so the big relation shuffles on l_partkey once and the
     per-part min joins back WITHOUT a second shuffle (same partitioning).
-    Region->nation->supplier collapses to a broadcast before touching
+    Region->nation collapse by broadcast HINT (25/5 rows at any SF); the
+    supplier/part sides are SF-scaling, so their broadcast is AQE's
+    runtime call, not a forced hint (an OOM cliff at scale) — before touching
     lineitem; the p_size filter prunes part scan-side. The min-equality
     join is exact: both sides compare the identical stored doubles.
     """
@@ -334,7 +336,7 @@ def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load_table(spark, sf_dir, "lineitem")
     cost = (
-        l.join(F.broadcast(s.select("s_suppkey")), l["l_suppkey"] == F.col("s_suppkey"))
+        l.join(s.select("s_suppkey"), l["l_suppkey"] == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("supply_cost"))
     )
@@ -353,9 +355,9 @@ def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("supply_cost") == F.col("min_cost")),
         )
         .drop("bk", "min_cost")
-        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(p, F.col("l_partkey") == p["p_partkey"])
         .join(
-            F.broadcast(s.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+            s.select("s_suppkey", "s_name", "s_acctbal", "n_name"),
             cost["l_suppkey"] == F.col("s_suppkey"),
         )
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
@@ -415,7 +417,7 @@ def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               l["l_suppkey"] == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
     )
@@ -455,7 +457,8 @@ def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no ps_supplycost in the fixture — profit := discounted revenue).
 
     100 TB plan: the p_name LIKE filter prunes part BEFORE the fact join,
-    and part/supplier/nation all broadcast; only orders⋈lineitem shuffles
+    and nation broadcasts by hint; the SF-scaling part/supplier sides
+    broadcast only while AQE measures them small; orders⋈lineitem shuffles
     (on the order key). The group-by is low-cardinality (25 nations × ~7
     years), so partial aggregation collapses almost everything map-side.
     """
@@ -465,8 +468,8 @@ def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
     return (
-        l.join(F.broadcast(p.select("p_partkey")), l["l_partkey"] == F.col("p_partkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        l.join(p.select("p_partkey"), l["l_partkey"] == F.col("p_partkey"))
+        .join(s.select("s_suppkey", "s_nationkey"),
               l["l_suppkey"] == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
@@ -502,14 +505,15 @@ def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB plan: the grouped relation is computed ONCE and reused for both
     the per-part rows and the global threshold (broadcast 1-row agg +
-    crossJoin — never a driver collect); the supplier band is a broadcast
-    semi-filter before the shuffle. Threshold comparison is strict-> on a
+    crossJoin — never a driver collect); the supplier band joins by AQE's
+    runtime choice (supplier scales with SF, so no forced-broadcast cliff)
+    as a semi-filter before the shuffle. Threshold comparison is strict-> on a
     sum 1000× larger than any member — ulp-safe across engines.
     """
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
     val = (
-        l.join(F.broadcast(s.select("s_suppkey")), l["l_suppkey"] == F.col("s_suppkey"))
+        l.join(s.select("s_suppkey"), l["l_suppkey"] == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("part_val"))
     )
@@ -600,7 +604,7 @@ def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_revenue"))
     )
 
@@ -636,11 +640,11 @@ def q_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
         l.join(
-            F.broadcast(bad.select("s_suppkey")),
+            bad.select("s_suppkey"),
             l["l_suppkey"] == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(p, F.col("l_partkey") == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -679,7 +683,7 @@ def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("l_partkey", "ak")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     return (
-        l.join(F.broadcast(p.select("p_partkey")), l["l_partkey"] == F.col("p_partkey"))
+        l.join(p.select("p_partkey"), l["l_partkey"] == F.col("p_partkey"))
         .join(pavg, l["l_partkey"] == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -719,7 +723,7 @@ def q_tpch_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1997-01-01"))
     )
     heavy = (
-        l.join(F.broadcast(part.select("p_partkey")),
+        l.join(part.select("p_partkey"),
                l["l_partkey"] == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
@@ -792,7 +796,7 @@ def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         waited.join(o, F.col("l1.l_orderkey") == o["o_orderkey"])
-        .join(F.broadcast(s), F.col("l1.l_suppkey") == s["s_suppkey"])
+        .join(s, F.col("l1.l_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

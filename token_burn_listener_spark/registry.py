@@ -104,31 +104,30 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 #   r09 window (already in position — promoting it is a no-op; listed so
 #   the next round can verify positions 1-50 against this comment):
-#   q_scan_parquet q_agg_having q_agg_pivot q_agg_time_rollup
-#   q_agg_approx_percentile q_win_row_number q_str_basic q_str_split
-#   q_str_regex
-#   q_date_parts q_date_arith q_date_unix q_math_fns q_math_conv q_arr_hof
-#   q_arr_explode q_arr_zip q_map_json q_json_tuple q_json_to q_hash_sha2
-#   q_hash_md5 q_hash_xxhash q_win_rank q_win_ntile q_win_pct
-#   q_win_lag_lead q_win_running q_win_range_frame q_win_sliding
-#   q_win_first_last q_win_topk_group q_sort_multi q_limit q_topk_global
-#   q_stream_source_replay q_stream_rate_smoke q_stream_availablenow
-#   q_stream_rate_limit q_stream_tumbling q_stream_sliding q_stream_session
-#   q_stream_watermark q_stream_late_data q_stream_dedup
-#   q_stream_static_join q_stream_stream_join q_stream_stateful
-#   q_stream_foreachbatch q_stream_checkpoint
+#   q_scan_parquet q_join_asof q_join_salted q_agg_global q_agg_groupby
+#   q_agg_count_distinct q_agg_approx_distinct q_agg_sum_distinct
+#   q_agg_rollup q_agg_cube q_agg_grouping_sets q_agg_collect q_agg_stddev
+#   q_agg_minmax_by q_agg_percentile q_agg_conditional q_agg_having
+#   q_agg_pivot q_agg_time_rollup q_agg_approx_percentile q_win_row_number
+#   q_str_basic q_str_split q_str_regex q_date_parts q_date_arith
+#   q_date_unix q_math_fns q_math_conv q_arr_hof q_arr_explode q_arr_zip
+#   q_map_json q_json_tuple q_json_to q_hash_sha2 q_hash_md5 q_hash_xxhash
+#   q_win_rank q_win_ntile q_win_pct q_win_lag_lead q_win_running
+#   q_win_range_frame q_win_sliding q_win_first_last q_win_topk_group
+#   q_sort_multi q_limit q_topk_global
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
     # --- r08 driver window (positions 1-50): canary + 7 NEW keys
     # (q_llm_dup_spans + q_llm_span_removal + q_llm_matryoshka_recall +
     # q_llm_vocab_coverage + q_llm_dim_stats + q_llm_anisotropy +
     # q_llm_char_entropy, inserted per the invariant: new keys directly
-    # after the canary) + the 20 DIRTY keys (19 whose code or oracle was
+    # after the canary) + the 36 DIRTY keys (19 whose code or oracle was
     # edited in r7 AFTER their latest driver row — the zero-vector/ANSI
-    # hardening sweep — plus q_llm_decontaminate, whose forced-broadcast
-    # hint was dropped mid-r8) + the 22 stalest clean keys (r01/r02
-    # joins+aggs; q_agg_having through q_str_regex slid to positions
-    # 51-58 = the r09 window's first slots). ---
+    # hardening sweep — plus the 17 r8-dirty keys: q_llm_decontaminate
+    # and the 16-key broadcast-hint sweep, all of whose plans changed
+    # after their latest driver row) + the 6 stalest clean keys (r01/r02
+    # joins q_join_full..q_join_interval; q_join_asof onward slid to the
+    # r09 window's first slots). ---
     "q_scan_parquet",  # canary: driver-proven seven times, cheapest probe
     "q_llm_dup_spans",  # NEW r8 (no driver evidence): duplicated-span islands
     "q_llm_span_removal",  # NEW r8 (no driver evidence): boilerplate strip
@@ -157,6 +156,25 @@ DRIVER_ORDER: list[str] = [
     "q_graph_triangles",  # dirty: r7: zero-vector edge scan
     "q_graph_pagerank",  # dirty: r7: zero-vector edge scan
     "q_llm_decontaminate",  # dirty: r8: forced-broadcast hint dropped (AQE decides)
+    # dirty r8 (broadcast-hint sweep): forced F.broadcast() dropped on
+    # SF-/vocab-/corpus-scaling sides — AQE decides at runtime (same plan
+    # when small, graceful shuffle degrade instead of an OOM cliff):
+    "q_join_star",
+    "q_join_bloom",
+    "q_tpch_q2ish",
+    "q_tpch_q9ish",
+    "q_tpch_q11ish",
+    "q_tpch_q15ish",
+    "q_tpch_q16ish",
+    "q_tpch_q17ish",
+    "q_tpch_q20ish",
+    "q_tpch_q21ish",
+    "q_llm_term_stats",
+    "q_llm_tfidf_exact",
+    "q_llm_pmi_collocations",
+    "q_llm_kneser_ney",
+    "q_llm_multimodal",
+    "q_diag_dq_checks",
     # staleness fill — driver evidence r01/r02 (joins, aggs) + r03 head
     "q_join_full",
     "q_join_semi",
@@ -165,7 +183,6 @@ DRIVER_ORDER: list[str] = [
     "q_join_theta",
     "q_join_interval",
     "q_join_asof",
-    "q_join_star",
     "q_join_salted",
     "q_agg_global",
     "q_agg_groupby",
@@ -253,23 +270,15 @@ DRIVER_ORDER: list[str] = [
     "q_sub_scalar",
     "q_sub_in",
     "q_sub_correlated",
-    "q_tpch_q2ish",
     "q_tpch_q4ish",
     "q_tpch_q5ish",
     "q_tpch_q6ish",
     "q_tpch_q7ish",
-    "q_tpch_q9ish",
     "q_tpch_q10ish",
-    "q_tpch_q11ish",
     "q_tpch_q12ish",
     "q_tpch_q13ish",
-    "q_tpch_q15ish",
-    "q_tpch_q16ish",
-    "q_tpch_q17ish",
     "q_tpch_q18ish",
     "q_tpch_q19ish",
-    "q_tpch_q20ish",
-    "q_tpch_q21ish",
     "q_tpch_q22ish",
     "q_stream_union",
     "q_stream_rocksdb",
@@ -278,7 +287,6 @@ DRIVER_ORDER: list[str] = [
     "q_llm_jaccard_pairs",
     "q_llm_simhash",
     "q_llm_tokenize",
-    "q_llm_term_stats",
     "q_llm_tfidf",
     # driver-proven in r05
     "q_llm_ngrams",
@@ -300,7 +308,6 @@ DRIVER_ORDER: list[str] = [
     "q_llm_pack_sequences",
     "q_llm_dedup_survivors",
     "q_llm_corpus_prep",
-    "q_llm_multimodal",
     "q_llm_frames",
     "q_evt_sessionize",
     "q_evt_funnel",
@@ -316,7 +323,6 @@ DRIVER_ORDER: list[str] = [
     "q_scan_text",
     "q_agg_hll_union",
     "q_evt_transitions",
-    "q_join_bloom",
     "q_cdc_incr_agg",
     "q_llm_fuzzy_dup",
     "q_llm_split",
@@ -345,7 +351,6 @@ DRIVER_ORDER: list[str] = [
     "q_evt_rfm",
     "q_evt_rolling_active",
     "q_cdc_pit_join",
-    "q_diag_dq_checks",
     "q_evt_attribution",
     "q_evt_paths",
     "q_join_range_bucketed",
@@ -358,7 +363,6 @@ DRIVER_ORDER: list[str] = [
     "q_evt_ab_test",
     "q_evt_pareto",
     "q_llm_heaps_law",
-    "q_llm_tfidf_exact",
     "q_src_python_batch",
     "q_src_python_stream",
     "q_src_python_sink",
@@ -379,7 +383,6 @@ DRIVER_ORDER: list[str] = [
     "q_scan_dpp",
     "q_evt_funnel_latency",
     "q_llm_kl_divergence",
-    "q_llm_pmi_collocations",
     "q_evt_survival",
     "q_llm_pq_adc",
     "q_evt_changepoint",
@@ -391,7 +394,6 @@ DRIVER_ORDER: list[str] = [
     "q_evt_gap_detection",
     "q_llm_k_anonymity",
     "q_diag_column_entropy",
-    "q_llm_kneser_ney",
     "q_llm_weighted_sample",
     "q_evt_streaks",
     "q_evt_anomaly_mad",
