@@ -168,7 +168,7 @@ DRIVER_ORDER: list[str] = [
     "q_tpch_q16ish",
     "q_tpch_q17ish",
     "q_tpch_q20ish",
-    "q_tpch_q21ish",
+    "q_tpch_q21ish",  # also r8: quantifiers rewritten as windows over one exchange
     "q_llm_term_stats",
     "q_llm_tfidf_exact",
     "q_llm_pmi_collocations",
