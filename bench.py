@@ -15,6 +15,29 @@ the shared local[32] JVM (scheduler + GC, not plan changes) — r4's
 q_llm_corpus_prep "+28%" reading (3.05 s) re-measured at 2.18/2.77 s in r5
 with an untouched plan; judge deltas under ~0.7 s are noise, not drift.
 
+Load fingerprint + adjudication rule (VERDICT r8 #2 — the r8 driver bench
+inflated +41% uniformly across all 19 keys, including plan-untouched ones,
+and needed a judge re-run to adjudicate): the JSON line now carries a
+``fingerprint`` object measured in-process —
+
+  - ``canary_sec``: wall time of the canary q_scan_parquet (plan untouched
+    since r1, ~constant across rounds) timed immediately BEFORE and AFTER
+    the headline loop. A busy box inflates the canary along with
+    everything else; a plan regression leaves it flat.
+  - ``loadavg_start`` / ``loadavg_end``: ``os.getloadavg()`` triples. On
+    the 32-thread box, 1-min loadavg far above the CPU count at either
+    edge means external contention during the run.
+  - ``cpu_sec``: per-query ``time.process_time()`` delta of the PYTHON
+    driver process. Spark's work runs in the JVM, so this measures only
+    the py4j/driver-side CPU — its value is the contrast: python-side CPU
+    is load-insensitive, so wall inflating while cpu_sec holds steady is
+    another "box was busy" signal, not a plan signal.
+
+Adjudication: if round-over-round ALL keys inflate by a similar factor
+AND canary_sec inflates with them (and/or loadavg is far above 32), read
+the delta as machine load — do not chase it with plan changes. A real
+regression shows as isolated per-key drift against a flat canary.
+
 Known fixed floor — q_stream_tumbling (~3.2 s, flat r3→r5): this is a REAL
 Structured Streaming run (trigger scheduling, per-micro-batch planning,
 state store commit/checkpoint fsyncs), so its cost is micro-batch machinery,
@@ -67,6 +90,11 @@ HEADLINE_KEYS = [
     "q_llm_pq_adc",         # PQ encode + broadcast-LUT ADC search (new in r5)
     "q_evt_survival",       # Kaplan-Meier return-time curve (new in r5)
     "q_stream_upsert_latest",  # keyed stateful upsert + merge-on-read (new in r6)
+    # r9 additions (VERDICT r8 #4 — guard the r8 work): the heaviest new
+    # r8 key and the probe-driven q21 window rewrite. First-round numbers
+    # in BENCH_r09.json are the per-key baseline for later rounds.
+    "q_llm_span_removal",   # dup-span spread shuffle + doc-bounded interval join (new in r9)
+    "q_tpch_q21ish",        # quantifiers-as-windows over ONE l_orderkey exchange (new in r9)
 ]
 
 
@@ -108,7 +136,23 @@ def main() -> int:
     ensure_events_replay_multi(spark, sf_dir)
     print(f"bench: warmup {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
+    def canary_sec() -> float:
+        # q_scan_parquet: plan untouched since r1, ~constant wall time —
+        # the load reference the adjudication rule (docstring) reads.
+        # collect() on purpose: the 600k-row driver-side transfer is
+        # CPU-bound python work, maximally sensitive to external box load
+        # and independent of every headline plan.
+        t = time.perf_counter()
+        QUERIES["q_scan_parquet"](spark, sf_dir).collect()
+        return round(time.perf_counter() - t, 3)
+
+    canary_sec()  # untimed warm call: keep first-collect JIT/Arrow setup
+    # out of the before-reading so before≈after on an idle box
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    canary_before = canary_sec()
+
     timings: dict[str, float] = {}
+    cpu_sec: dict[str, float] = {}
     failed: list[str] = []
     for key in HEADLINE_KEYS:
         fn = QUERIES.get(key)
@@ -117,6 +161,7 @@ def main() -> int:
             failed.append(key)
             continue
         t0 = time.perf_counter()
+        c0 = time.process_time()
         try:
             rows = fn(spark, sf_dir).collect()
         except Exception as exc:  # one broken key must not void the record
@@ -125,8 +170,11 @@ def main() -> int:
             continue
         dt = time.perf_counter() - t0
         timings[key] = round(dt, 3)
+        cpu_sec[key] = round(time.process_time() - c0, 3)
         print(f"bench: {key}: {dt:.3f}s ({len(rows)} rows)", file=sys.stderr)
 
+    canary_after = canary_sec()
+    loadavg_end = [round(x, 2) for x in os.getloadavg()]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -139,6 +187,14 @@ def main() -> int:
                 # must not masquerade as a faster total (ADVICE r2)
                 "failed": failed,
                 "sf": _sf_of(sf_dir),
+                # load fingerprint for noise adjudication (VERDICT r8 #2;
+                # rule in the module docstring)
+                "fingerprint": {
+                    "canary_sec": [canary_before, canary_after],
+                    "loadavg_start": loadavg_start,
+                    "loadavg_end": loadavg_end,
+                    "cpu_sec": cpu_sec,
+                },
             }
         )
     )

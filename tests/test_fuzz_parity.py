@@ -71,9 +71,16 @@ from tests.test_degenerate import _run_both, _write_events
 # CI runs 5 examples per suite (the derandomized head of each search
 # space — ~20 min wall for the whole file). SPARK_GRAFT_FUZZ_EXAMPLES
 # deepens a one-off adversarial session without touching CI time:
-# derandomize=True means a larger budget extends the SAME deterministic
-# sequence, so a deep run strictly supersets what CI explored.
-_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "5"))
+# derandomize=True makes each budget's example sequence deterministic
+# PER HYPOTHESIS VERSION; Hypothesis does not contractually guarantee a
+# larger budget is a prefix-extension of a smaller one, so read a deep
+# run as "more coverage at the same determinism", not a strict superset
+# (ADVICE r8). Malformed/non-positive env values fall back to the
+# default rather than failing collection or silently disabling fuzz.
+try:
+    _EXAMPLES = max(1, int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "5")))
+except ValueError:
+    _EXAMPLES = 5
 
 _FIVE_MIN_US = 300_000_000
 _DAY_SLOTS = 288  # 5-min slots per day

@@ -80,15 +80,13 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #            green, 1 rows-only by design (q_scan_binaryfile), 0 red.
 #            After r07 EVERY registered key has driver evidence; the
 #            unseen pool is drained for good.
-#   r08 window (positions 1-50, THIS round — rebuilt dirty-first per the
-#            r7 verdict, NOT the mechanically pre-planned window): canary
-#            + 4 NEW keys (q_llm_dup_spans + q_llm_span_removal +
-#            q_llm_matryoshka_recall + q_llm_vocab_coverage, added r8)
-#            + the 19 keys whose code/oracle changed in r7 after
-#            their latest driver row (zero-vector cosine family,
-#            dedup-graph family, q_agg_corr raw-moment rewrite, TPC-H
-#            q8/q14 NULLIF) + the 26 stalest clean keys (r01/r02
-#            joins+aggs).
+#   r08 proved: canary + the 7 NEW r8 keys (dup_spans, span_removal,
+#            matryoshka_recall, vocab_coverage, dim_stats, anisotropy,
+#            char_entropy) + the 19 r7-dirty keys (zero-vector/ANSI
+#            hardening sweep, q_agg_corr, TPC-H q8/q14) + the 17
+#            r8-dirty keys (decontaminate + broadcast-hint sweep) + 6
+#            stalest clean joins — 48 green, 2 rows-only by design
+#            (q_llm_ann_lsh, q_llm_multimodal), 0 red.
 #
 # STANDING INVARIANT (r07 onward — freshness cycling, no bespoke plans):
 #   head 50 = canary + the 49 keys with the STALEST driver evidence. After
@@ -102,86 +100,33 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   longer exists. Such keys jump the queue to directly after the canary
 #   (and any new keys) in the next window, regardless of evidence age.
 #
-#   r09 window (already in position — promoting it is a no-op; listed so
-#   the next round can verify positions 1-50 against this comment):
-#   q_scan_parquet q_join_asof q_join_salted q_agg_global q_agg_groupby
-#   q_agg_count_distinct q_agg_approx_distinct q_agg_sum_distinct
-#   q_agg_rollup q_agg_cube q_agg_grouping_sets q_agg_collect q_agg_stddev
-#   q_agg_minmax_by q_agg_percentile q_agg_conditional q_agg_having
-#   q_agg_pivot q_agg_time_rollup q_agg_approx_percentile q_win_row_number
-#   q_str_basic q_str_split q_str_regex q_date_parts q_date_arith
-#   q_date_unix q_math_fns q_math_conv q_arr_hof q_arr_explode q_arr_zip
-#   q_map_json q_json_tuple q_json_to q_hash_sha2 q_hash_md5 q_hash_xxhash
-#   q_win_rank q_win_ntile q_win_pct q_win_lag_lead q_win_running
-#   q_win_range_frame q_win_sliding q_win_first_last q_win_topk_group
-#   q_sort_multi q_limit q_topk_global
+#   r10 window (already in position — promoting it is a no-op; listed so
+#   the next round can verify positions 1-50 against this comment —
+#   streaming family (r03 evidence) + setops/storage/subqueries/TPC-H
+#   head (r04 evidence) + the LLM dedup/text head (r04)):
+#   q_scan_parquet q_stream_source_replay q_stream_rate_smoke
+#   q_stream_availablenow q_stream_rate_limit q_stream_tumbling
+#   q_stream_sliding q_stream_session q_stream_watermark
+#   q_stream_late_data q_stream_dedup q_stream_static_join
+#   q_stream_stream_join q_stream_stateful q_stream_foreachbatch
+#   q_stream_checkpoint q_stream_outer_join q_set_union_all q_set_union
+#   q_set_intersect q_arr_basic q_scan_orc q_sink_partitioned
+#   q_sink_compaction q_scan_schema_evolution q_join_bucketed
+#   q_struct_ops q_set_intersect_all q_set_except q_set_except_all
+#   q_set_distinct q_sub_scalar q_sub_in q_sub_correlated q_tpch_q4ish
+#   q_tpch_q5ish q_tpch_q6ish q_tpch_q7ish q_tpch_q10ish q_tpch_q12ish
+#   q_tpch_q13ish q_tpch_q18ish q_tpch_q19ish q_tpch_q22ish
+#   q_stream_union q_stream_rocksdb q_llm_exact_dedup q_llm_near_dedup
+#   q_llm_jaccard_pairs q_llm_simhash
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r08 driver window (positions 1-50): canary + 7 NEW keys
-    # (q_llm_dup_spans + q_llm_span_removal + q_llm_matryoshka_recall +
-    # q_llm_vocab_coverage + q_llm_dim_stats + q_llm_anisotropy +
-    # q_llm_char_entropy, inserted per the invariant: new keys directly
-    # after the canary) + the 36 DIRTY keys (19 whose code or oracle was
-    # edited in r7 AFTER their latest driver row — the zero-vector/ANSI
-    # hardening sweep — plus the 17 r8-dirty keys: q_llm_decontaminate
-    # and the 16-key broadcast-hint sweep, all of whose plans changed
-    # after their latest driver row) + the 6 stalest clean keys (r01/r02
-    # joins q_join_full..q_join_interval; q_join_asof onward slid to the
-    # r09 window's first slots). ---
-    "q_scan_parquet",  # canary: driver-proven seven times, cheapest probe
-    "q_llm_dup_spans",  # NEW r8 (no driver evidence): duplicated-span islands
-    "q_llm_span_removal",  # NEW r8 (no driver evidence): boilerplate strip
-    "q_llm_matryoshka_recall",  # NEW r8 (no driver evidence): truncation recall
-    "q_llm_vocab_coverage",  # NEW r8 (no driver evidence): OOV-rate audit
-    "q_llm_dim_stats",  # NEW r8 (no driver evidence): per-dim health profile
-    "q_llm_anisotropy",  # NEW r8 (no driver evidence): mean pairwise cosine
-    "q_llm_char_entropy",  # NEW r8 (no driver evidence): per-doc char entropy
-    "q_agg_corr",  # dirty: r7 rewrite: corr+covar from six shared raw sums
-    "q_tpch_q8ish",  # dirty: r7: NULLIF mkt-share denominator (zero-volume slice)
-    "q_tpch_q14ish",  # dirty: r7: NULLIF promo-revenue denominator
-    "q_llm_cosine_topk",  # dirty: r7: zero-vector rejection at the scan (nonzero/nz_sql)
-    "q_llm_knn_query",  # dirty: r7: zero-vector scan; r8: oracle q-subselect symmetry
-    "q_llm_ann_lsh",  # dirty: r7: zero-vector scan
-    "q_llm_centroids",  # dirty: r7: zero-vector scan
-    "q_llm_ivf_search",  # dirty: r7: zero-vector scan
-    "q_llm_kmeans",  # dirty: r7: zero-vector scan + emptied-cluster survival
-    "q_llm_knn_classify",  # dirty: r7: zero-vector scan
-    "q_llm_random_projection",  # dirty: r7: zero-vector scan
-    "q_llm_hard_negatives",  # dirty: r7: zero-vector scan
-    "q_llm_ann_recall",  # dirty: r7: zero-vector scan + NULLIF recall denominator
-    "q_llm_emb_near_dup",  # dirty: r7: zero-vector scan
-    "q_llm_dup_clusters",  # dirty: r7: edges on nonzero scan, vertex universe kept
-    "q_llm_semantic_prune",  # dirty: r7: NULL-guard audit form kept (prep.py)
-    "q_llm_lsh_recall",  # dirty: r7: NULLIF on the empty-exact-pair denominator
-    "q_graph_triangles",  # dirty: r7: zero-vector edge scan
-    "q_graph_pagerank",  # dirty: r7: zero-vector edge scan
-    "q_llm_decontaminate",  # dirty: r8: forced-broadcast hint dropped (AQE decides)
-    # dirty r8 (broadcast-hint sweep): forced F.broadcast() dropped on
-    # SF-/vocab-/corpus-scaling sides — AQE decides at runtime (same plan
-    # when small, graceful shuffle degrade instead of an OOM cliff):
-    "q_join_star",
-    "q_join_bloom",
-    "q_tpch_q2ish",
-    "q_tpch_q9ish",
-    "q_tpch_q11ish",
-    "q_tpch_q15ish",
-    "q_tpch_q16ish",
-    "q_tpch_q17ish",
-    "q_tpch_q20ish",
-    "q_tpch_q21ish",  # also r8: quantifiers rewritten as windows over one exchange
-    "q_llm_term_stats",
-    "q_llm_tfidf_exact",
-    "q_llm_pmi_collocations",
-    "q_llm_kneser_ney",
-    "q_llm_multimodal",
-    "q_diag_dq_checks",
-    # staleness fill — driver evidence r01/r02 (joins, aggs) + r03 head
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_theta",
-    "q_join_interval",
+    # --- r09 driver window (positions 1-50): canary + the 49 stalest
+    # clean keys — the r01/r02 agg/join evidence tail (q_join_asof,
+    # q_join_salted, the 17 exact agg keys) and the r03 head (windows,
+    # scalar functions, sorts/limits). Nothing is dirty and no new keys
+    # landed before the rotation, so dirty-first reduces to pure
+    # staleness order (VERDICT r8 #1). ---
+    "q_scan_parquet",  # canary: driver-proven eight times, cheapest probe
     "q_join_asof",
     "q_join_salted",
     "q_agg_global",
@@ -206,9 +151,8 @@ DRIVER_ORDER: list[str] = [
     "q_str_split",
     "q_str_regex",
     # --- staleness tail: driver-proven keys in ASCENDING recency of
-    # evidence (r03 remainder, r04, r05, r06, then the just-proven r07
-    # block at the very back). The 19 dirty keys above were lifted out
-    # of their old r04-r06 positions. ---
+    # evidence (r03 remainder, r04, r05, r06, r07, then the just-proven
+    # r08 block at the very back). ---
     # driver-proven in r03
     "q_date_parts",
     "q_date_arith",
@@ -422,6 +366,58 @@ DRIVER_ORDER: list[str] = [
     "q_join_inner_shj",
     "q_join_left",
     "q_join_right",
+    # driver-proven in r08 (the just-proven head block — 7 new r8 keys,
+    # 19 r7-dirty zero-vector/ANSI keys, 17 r8-dirty broadcast-sweep
+    # keys, 6 r01/r02 joins — rotated to the back per the invariant)
+    "q_llm_dup_spans",
+    "q_llm_span_removal",
+    "q_llm_matryoshka_recall",
+    "q_llm_vocab_coverage",
+    "q_llm_dim_stats",
+    "q_llm_anisotropy",
+    "q_llm_char_entropy",
+    "q_agg_corr",
+    "q_tpch_q8ish",
+    "q_tpch_q14ish",
+    "q_llm_cosine_topk",
+    "q_llm_knn_query",
+    "q_llm_ann_lsh",
+    "q_llm_centroids",
+    "q_llm_ivf_search",
+    "q_llm_kmeans",
+    "q_llm_knn_classify",
+    "q_llm_random_projection",
+    "q_llm_hard_negatives",
+    "q_llm_ann_recall",
+    "q_llm_emb_near_dup",
+    "q_llm_dup_clusters",
+    "q_llm_semantic_prune",
+    "q_llm_lsh_recall",
+    "q_graph_triangles",
+    "q_graph_pagerank",
+    "q_llm_decontaminate",
+    "q_join_star",
+    "q_join_bloom",
+    "q_tpch_q2ish",
+    "q_tpch_q9ish",
+    "q_tpch_q11ish",
+    "q_tpch_q15ish",
+    "q_tpch_q16ish",
+    "q_tpch_q17ish",
+    "q_tpch_q20ish",
+    "q_tpch_q21ish",
+    "q_llm_term_stats",
+    "q_llm_tfidf_exact",
+    "q_llm_pmi_collocations",
+    "q_llm_kneser_ney",
+    "q_llm_multimodal",
+    "q_diag_dq_checks",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta",
+    "q_join_interval",
 ]
 
 

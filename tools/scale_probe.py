@@ -91,13 +91,22 @@ PROBE_KEYS = [
     "q_join_bloom",
     "q_join_salted",
     "q_agg_pivot",
+    # r9 (VERDICT r8 #3): extend the 1000× record to the streaming and
+    # embedding axes — the windowed stateful stream (tumbling), and the
+    # three embedding production paths (broadcast-query kNN, probe-2 IVF,
+    # fixed-64-group centroids). embeddings is tiny at sf0.1 (2k rows),
+    # so these probe at ×1000 = 2 M vectors routinely.
+    "q_stream_tumbling",
+    "q_llm_knn_query",
+    "q_llm_ivf_search",
+    "q_llm_centroids",
 ]
 
 # Streaming probes get one UNTIMED warm call per root first: the first
 # invocation materializes the N×-scaled replay files (a one-time scratch
 # build, not the plan under test); checkpoints are fresh per call
 # (fresh_run_dir), so the timed run still replays the full stream.
-STREAM_KEYS = {"q_stream_upsert_latest"}
+STREAM_KEYS = {"q_stream_upsert_latest", "q_stream_tumbling"}
 
 
 def build_scaled(spark, n: int, tables: dict[str, list[str]]) -> str:
