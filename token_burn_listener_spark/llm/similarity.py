@@ -1,8 +1,11 @@
 """B10 — embedding similarity search (SURVEY.md §2.B10).
 
 Vector math stays in Catalyst: the dot product is
-``aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, +)`` over double-cast
-elements — whole-stage-codegen'd JVM arithmetic, no UDF, no Python.
+``aggregate(zip_with(a, b, (x,y) -> cast(x)*cast(y)), 0.0, +)`` with the
+double-widening cast INSIDE the lambda (no per-row double-array
+materialization — r9 1000× probe), and the squared norm is the one-fold
+``aggregate(a, 0.0, acc + cast(x)²)`` (``sq_norm``) — whole-stage-
+codegen'd JVM arithmetic, no UDF, no Python.
 
 Scale story (100 TB of embeddings):
 - ``q_llm_cosine_topk`` is the documented O(n²) exception (SURVEY.md §7.4):
@@ -36,25 +39,48 @@ def as_double(col) -> Column:
 
 
 def dot(a, b) -> Column:
+    """Dot product with the double-widening cast INSIDE the lambda: no
+    intermediate double array is materialized per row (the r9 1000×
+    probe measured the transform-then-zip form at ~1.65× the per-row
+    cost of this one on the kNN path, and far worse cold — every HOF
+    layer is interpreted until C2 JIT catches up). cast(double) on an
+    already-double element is a no-op, so pre-cast inputs keep the
+    identical products-then-left-fold arithmetic: same values either
+    way, bit for bit."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_norm(a) -> Column:
+    """Squared L2 norm as a SINGLE fold — ``aggregate(a, 0.0, acc + x²)``
+    — the cheapest per-row form (one HOF, no zip array, no double-array
+    materialization). Fold order is element order, so the sum is
+    bit-identical to ``dot(a, a)``'s products-then-left-fold."""
+    return F.aggregate(
+        a,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
 
 
 def l2(a) -> Column:
-    """L2 norm. A zero vector has norm 0 and NO defined cosine — and the
-    engines do NOT degrade the same way (measured, r7): Spark 4's default
-    ANSI mode THROWS DIVIDE_BY_ZERO on the double division (the
-    q_evt_pareto crash class) while DuckDB's list_cosine_similarity
-    returns -1.0. So the cosine family enforces the data contract
-    IN-QUERY: every consumer scans through ``nonzero()`` (Spark) with the
-    matching ``nz_sql()`` predicate in its oracle, rejecting zero vectors
-    identically on both engines before any division. NULL-ELEMENT vectors
-    remain a contract violation (DuckDB's list functions raise
-    InvalidInput on them; Spark silently NULL-propagates) — reject them
-    upstream. q_llm_semantic_prune keeps its NULL-yielding NULLIF guard
-    instead (scored-audit semantics: the degenerate row stays visible)."""
-    return F.sqrt(dot(a, a))
+    """L2 norm (via the one-fold ``sq_norm``). A zero vector has norm 0
+    and NO defined cosine — and the engines do NOT degrade the same way
+    (measured, r7): Spark 4's default ANSI mode THROWS DIVIDE_BY_ZERO on
+    the double division (the q_evt_pareto crash class) while DuckDB's
+    list_cosine_similarity returns -1.0. So the cosine family enforces
+    the data contract IN-QUERY: every consumer scans through
+    ``nonzero()`` (Spark) with the matching ``nz_sql()`` predicate in
+    its oracle, rejecting zero vectors identically on both engines
+    before any division. NULL-ELEMENT vectors remain a contract
+    violation (DuckDB's list functions raise InvalidInput on them; Spark
+    silently NULL-propagates) — reject them upstream.
+    q_llm_semantic_prune keeps its NULL-yielding NULLIF guard instead
+    (scored-audit semantics: the degenerate row stays visible)."""
+    return F.sqrt(sq_norm(a))
 
 
 def nonzero(e: DataFrame) -> DataFrame:
@@ -62,9 +88,12 @@ def nonzero(e: DataFrame) -> DataFrame:
     rows whose vector has zero squared norm (exactly the all-zero
     vectors — a float sum of squares is 0 iff every component is 0,
     barring sub-1e-162 underflow). Scan-side placement prunes BEFORE any
-    O(n²) pair join. The DuckDB twin is ``nz_sql()``."""
-    v = as_double("embedding")
-    return e.filter(dot(v, v) != 0.0)
+    O(n²) pair join. The DuckDB twin is ``nz_sql()``. The filter is the
+    one-fold ``sq_norm`` — same left-fold sum of double-cast squares as
+    the r1–r8 ``dot(as_double, as_double)`` form (identical rejection
+    set), at a fraction of the per-row cost on a filter every
+    embedding-family key evaluates corpus-wide."""
+    return e.filter(sq_norm("embedding") != 0.0)
 
 
 def nz_sql(col: str = "embedding") -> str:
@@ -162,9 +191,12 @@ def q_llm_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") != 0)
         .select(
             "vec_id",
+            # raw float array straight into the cast-in-lambda kernels:
+            # zip_with against the double literal widens per element —
+            # the same arithmetic as the old transform-then-zip form
+            # without materializing a double copy of every vector
             F.round(
-                dot(as_double("embedding"), qcol)
-                / (l2(as_double("embedding")) * l2(qcol)),
+                dot("embedding", qcol) / (l2("embedding") * l2(qcol)),
                 6,
             ).alias("cos_sim"),
         )
@@ -191,10 +223,13 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     e = nonzero(load_table(spark, sf_dir, "embeddings"))
-    unit = F.transform(
-        as_double("embedding"), lambda x: x / l2(as_double("embedding"))
+    # norm as a projected scalar column FIRST, then divide inside the
+    # transform: the old form re-evaluated l2() inside the element lambda
+    # — O(dim²) interpreted work per row (r9 probe finding)
+    unit = F.transform("embedding", lambda x: x.cast("double") / F.col("nrm"))
+    vecs = e.withColumn("nrm", l2("embedding")).select(
+        "vec_id", array_to_vector(unit).alias("features")
     )
-    vecs = e.select("vec_id", array_to_vector(unit).alias("features"))
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -222,12 +257,18 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label mean vector in long form (label, pos, c) — vector group-by."""
+    """Per-label mean vector in long form (label, pos, c) — vector group-by.
+
+    posexplode the RAW float array and cast per exploded element: the
+    transform-first form materialized a double copy of every vector
+    before the generate (r9 1000× probe: 3× the warm cost on a 2 M ×
+    64-dim corpus, same avg to the bit — cast-then-avg ≡ avg-of-casts).
+    """
     e = load_table(spark, sf_dir, "embeddings")
     return (
-        e.select("label", F.posexplode(as_double("embedding")).alias("pos", "val"))
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
-        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
     )
 
 
@@ -284,9 +325,9 @@ def q_llm_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcol = F.array(*[F.lit(float(v)) for v in qvec])
 
     cent = (
-        e.select("label", F.posexplode(as_double("embedding")).alias("pos", "val"))
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.avg("val").alias("c"))
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
     )
     diff = F.col("c") - F.element_at(qcol, F.col("pos") + 1)
     cdist = cent.groupBy("label").agg(F.round(F.sum(diff * diff), 6).alias("d2"))
@@ -298,8 +339,7 @@ def q_llm_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round(
-                dot(as_double("embedding"), qcol)
-                / (l2(as_double("embedding")) * l2(qcol)),
+                dot("embedding", qcol) / (l2("embedding") * l2(qcol)),
                 6,
             ).alias("cos_sim"),
         )
@@ -339,14 +379,20 @@ def _assign(e: DataFrame, cents: list) -> DataFrame:
     d² per centroid is an in-row left fold (index order, matching the
     oracle's list_sum); the argmin is array_min over (d2, cluster) structs
     — lexicographic struct ordering gives the deterministic
-    lowest-cluster-wins tiebreak on exact distance ties.
+    lowest-cluster-wins tiebreak on exact distance ties. The raw float
+    element widens against the double centroid inside the lambda — same
+    (x−y)² arithmetic as the old transform-first form without
+    materializing k double copies of every vector (r9 probe finding).
     """
-    v = as_double("embedding")
     d2s = [
         (
             cid,
             F.aggregate(
-                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                F.zip_with(
+                    "embedding",
+                    c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ),
@@ -373,20 +419,20 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str, n_iters: int) -> DataFrame:
     for _ in range(n_iters - 1):
         cent_rows = (
             assign.select(
-                "cluster", F.posexplode(as_double("embedding")).alias("pos", "val")
+                "cluster", F.posexplode("embedding").alias("pos", "val")
             )
             .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("c"))
+            .agg(F.avg(F.col("val").cast("double")).alias("c"))
             .collect()  # bounded: k × dim rows — the broadcast step
         )
         assign = _assign(e, _centroid_literals(cent_rows))
     sizes = assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
     cent = (
         assign.select(
-            "cluster", F.posexplode(as_double("embedding")).alias("pos", "val")
+            "cluster", F.posexplode("embedding").alias("pos", "val")
         )
         .groupBy("cluster", F.col("pos").cast("long").alias("pos"))
-        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
     )
     return cent.join(F.broadcast(sizes), "cluster").select(
         F.col("cluster").cast("int").alias("cluster"),
@@ -511,11 +557,13 @@ def q_llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the probe batch and the corpus read the enforced scan.
     """
     e = nonzero(load_table(spark, sf_dir, "embeddings"))
+    # raw float projections: the cast-in-lambda kernels widen per element,
+    # so no double copy of the corpus materializes per probe row
     qside = (
         e.filter(F.col("vec_id") < 20)
-        .select(F.col("vec_id").alias("qid"), as_double("embedding").alias("qv"))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     )
-    corpus = e.select("vec_id", "label", as_double("embedding").alias("v"))
+    corpus = e.select("vec_id", "label", F.col("embedding").alias("v"))
     scored = (
         F.broadcast(qside)
         .join(corpus, F.col("vec_id") != F.col("qid"))
@@ -629,15 +677,16 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan on both sides (nonzero/nz_sql, see l2).
     """
     e = nonzero(load_table(spark, sf_dir, "embeddings"))
+    # raw float projections (cast happens inside the dot/l2 lambdas)
     anchors = e.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
-        as_double("embedding").alias("av"),
+        F.col("embedding").alias("av"),
     )
     corpus = e.select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("neg_label"),
-        as_double("embedding").alias("nv"),
+        F.col("embedding").alias("nv"),
     )
     scored = (
         F.broadcast(anchors)

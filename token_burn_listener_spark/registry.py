@@ -101,10 +101,14 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   (and any new keys) in the next window, regardless of evidence age.
 #
 #   r10 window (already in position — promoting it is a no-op; listed so
-#   the next round can verify positions 1-50 against this comment —
-#   streaming family (r03 evidence) + setops/storage/subqueries/TPC-H
-#   head (r04 evidence) + the LLM dedup/text head (r04)):
-#   q_scan_parquet q_stream_source_replay q_stream_rate_smoke
+#   the next round can verify positions 1-50 against this comment — the
+#   15 r03-evidence keys the r9 dirty block displaced (hashes, windows,
+#   sorts/limits) + the streaming family (r03) + setops/storage/
+#   subqueries head (r04)):
+#   q_scan_parquet q_hash_sha2 q_hash_md5 q_hash_xxhash q_win_rank
+#   q_win_ntile q_win_pct q_win_lag_lead q_win_running q_win_range_frame
+#   q_win_sliding q_win_first_last q_win_topk_group q_sort_multi q_limit
+#   q_topk_global q_stream_source_replay q_stream_rate_smoke
 #   q_stream_availablenow q_stream_rate_limit q_stream_tumbling
 #   q_stream_sliding q_stream_session q_stream_watermark
 #   q_stream_late_data q_stream_dedup q_stream_static_join
@@ -114,19 +118,35 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   q_sink_compaction q_scan_schema_evolution q_join_bucketed
 #   q_struct_ops q_set_intersect_all q_set_except q_set_except_all
 #   q_set_distinct q_sub_scalar q_sub_in q_sub_correlated q_tpch_q4ish
-#   q_tpch_q5ish q_tpch_q6ish q_tpch_q7ish q_tpch_q10ish q_tpch_q12ish
-#   q_tpch_q13ish q_tpch_q18ish q_tpch_q19ish q_tpch_q22ish
-#   q_stream_union q_stream_rocksdb q_llm_exact_dedup q_llm_near_dedup
-#   q_llm_jaccard_pairs q_llm_simhash
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r09 driver window (positions 1-50): canary + the 49 stalest
-    # clean keys — the r01/r02 agg/join evidence tail (q_join_asof,
-    # q_join_salted, the 17 exact agg keys) and the r03 head (windows,
-    # scalar functions, sorts/limits). Nothing is dirty and no new keys
-    # landed before the rotation, so dirty-first reduces to pure
-    # staleness order (VERDICT r8 #1). ---
+    # --- r09 driver window (positions 1-50): canary + the 15 DIRTY keys
+    # (r9 vector-kernel rewrite after the 1000× embedding probe: one-fold
+    # sq_norm nonzero filter, cast-in-lambda dot/l2, explode-raw-then-
+    # cast centroid paths — every key whose plan flows through
+    # similarity.dot/l2/nonzero or the rewritten centroid/kmeans/unit-
+    # vector sites, value-identical to the old forms and re-proved by
+    # full parity) + the 34 stalest clean keys (r01/r02 agg/join tail +
+    # r03 scalar head). The 15 staleness keys the dirty block displaced
+    # (hashes, windows, sorts/limits) slide to the r10 window head. ---
     "q_scan_parquet",  # canary: driver-proven eight times, cheapest probe
+    # dirty r9 (vector-kernel rewrite, similarity.py + dedup.py):
+    "q_llm_cosine_topk",
+    "q_llm_knn_query",
+    "q_llm_ann_lsh",
+    "q_llm_centroids",
+    "q_llm_ivf_search",
+    "q_llm_kmeans",
+    "q_llm_knn_classify",
+    "q_llm_hard_negatives",
+    "q_llm_ann_recall",
+    "q_llm_matryoshka_recall",
+    "q_llm_anisotropy",
+    "q_llm_emb_near_dup",
+    "q_llm_dup_clusters",
+    "q_graph_triangles",
+    "q_graph_pagerank",
+    # staleness fill (r01/r02 evidence)
     "q_join_asof",
     "q_join_salted",
     "q_agg_global",
@@ -368,33 +388,20 @@ DRIVER_ORDER: list[str] = [
     "q_join_right",
     # driver-proven in r08 (the just-proven head block — 7 new r8 keys,
     # 19 r7-dirty zero-vector/ANSI keys, 17 r8-dirty broadcast-sweep
-    # keys, 6 r01/r02 joins — rotated to the back per the invariant)
+    # keys, 6 r01/r02 joins — rotated to the back per the invariant;
+    # the 15 keys the r9 vector-kernel rewrite dirtied were lifted out
+    # of this block into the r09 window head)
     "q_llm_dup_spans",
     "q_llm_span_removal",
-    "q_llm_matryoshka_recall",
     "q_llm_vocab_coverage",
     "q_llm_dim_stats",
-    "q_llm_anisotropy",
     "q_llm_char_entropy",
     "q_agg_corr",
     "q_tpch_q8ish",
     "q_tpch_q14ish",
-    "q_llm_cosine_topk",
-    "q_llm_knn_query",
-    "q_llm_ann_lsh",
-    "q_llm_centroids",
-    "q_llm_ivf_search",
-    "q_llm_kmeans",
-    "q_llm_knn_classify",
     "q_llm_random_projection",
-    "q_llm_hard_negatives",
-    "q_llm_ann_recall",
-    "q_llm_emb_near_dup",
-    "q_llm_dup_clusters",
     "q_llm_semantic_prune",
     "q_llm_lsh_recall",
-    "q_graph_triangles",
-    "q_graph_pagerank",
     "q_llm_decontaminate",
     "q_join_star",
     "q_join_bloom",
