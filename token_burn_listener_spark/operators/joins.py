@@ -457,8 +457,15 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIX = [(2654435761, 97), (2246822519, 51), (3266489917, 13)]
 
     def positions(key: str) -> list:
+        # reduce the key mod M BEFORE the odd-multiplier mix: since M is a
+        # power of two, (key*a) mod M ≡ ((key mod M)*a) mod M — the same
+        # bit positions for every key — but the product now tops out at
+        # 65535 × 3.27e9 ≈ 2.1e14 instead of overflowing int64 (ANSI
+        # ARITHMETIC_OVERFLOW crash) once keys exceed ~2.8e9, the
+        # magnitude real 100 TB surrogate keys actually reach (caught by
+        # the r9 1000× probe, whose key-shift stride puts keys at ~1e10)
         return [
-            ((F.col(key) * F.lit(a) + F.lit(b)) % M).alias(f"pos{h}")
+            (((F.col(key) % M) * F.lit(a) + F.lit(b)) % M).alias(f"pos{h}")
             for h, (a, b) in enumerate(MIX)
         ]
 
