@@ -255,11 +255,18 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", shingles("text").alias("sh")
     )
     hashed = d.select(
-        "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("hs")
-    ).repartition("doc_id")
-    # The repartition is a materialization barrier: without it Catalyst's
-    # projection collapse inlines the transform into all 64 bit-votes below
-    # and every shingle is re-hashed 64× (measured 44 s → ~2 s at sf0.01).
+        "doc_id",
+        F.explode(
+            F.array(F.expr("transform(sh, s -> xxhash64(s))"))
+        ).alias("hs"),
+    )
+    # explode(array(e)) is a materialization barrier: the Generate node
+    # binds the hashed shingles to an attribute CollapseProject cannot
+    # inline into the 64 bit-votes below (unpinned, every shingle is
+    # re-hashed 64× — measured 44 s → ~2 s at sf0.01). The r1–r8 form
+    # pinned via .repartition("doc_id"), which shuffles the full hash
+    # arrays; the Generate form pins in-stage with zero exchange (r9
+    # winnow probe finding — same pattern, factor 212 → ~1.6 at 1000×).
     sig = hashed.select(
         "doc_id",
         F.expr(

@@ -568,11 +568,18 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_llm_simhash (seeded, rows-only): winnowing is positional, local, and
     oracle-exact because the hash is the same integer fold on both engines.
 
-    100 TB plan: map-only array work; the two .repartition() barriers
-    pin the codes/hash arrays as materialized columns — without them,
-    Catalyst's projection collapse re-inlines the codes array into every
-    gram's lambda (the measured 64× SimHash blowup, llm/dedup.py:205),
-    turning O(chars·gram) into O(chars²).
+    100 TB plan: map-only array work. The codes/hash intermediates must
+    be pinned as materialized columns — without a barrier, Catalyst's
+    projection collapse re-inlines the codes array into every gram's
+    lambda (the measured 64× SimHash blowup, llm/dedup.py:205), turning
+    O(chars·gram) into O(chars²). The barrier is ``explode(array(e))``
+    — a Generate node, which CollapseProject cannot cross, so the
+    intermediate binds to an attribute ONCE per row and stays
+    PIPELINED in-stage. The r1–r8 form used .repartition() as the
+    barrier, which pins the same way but pays an Exchange of the fat
+    per-char arrays — invisible at fixture scale, ~24 GB of shuffle at
+    5 M docs (the r9 1000× probe read factor 212 before this fix; the
+    Generate form probes ~1.6).
     """
     d = load_table(spark, sf_dir, "documents")
     # split('') not per-position substring: substring(text, i, 1) re-scans
@@ -581,13 +588,13 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = F.expr(
         "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"
     )
-    with_codes = d.select("doc_id", codes.alias("codes")).repartition(32)
+    with_codes = d.select("doc_id", F.explode(F.array(codes)).alias("codes"))
     hashes = F.expr(
         "transform(sequence(1, greatest(size(codes) - 4, 1)),"
         " i -> aggregate(slice(codes, i, 5), 0L,"
         "                (a, b) -> (a * 31 + b) % 2147483647))"
     )
-    with_h = with_codes.select("doc_id", hashes.alias("h")).repartition(32)
+    with_h = with_codes.select("doc_id", F.explode(F.array(hashes)).alias("h"))
     winnow = F.expr(
         "array_sort(array_distinct("
         " transform(sequence(1, greatest(size(h) - 3, 1)),"

@@ -102,41 +102,46 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 #   r10 window (already in position — promoting it is a no-op; listed so
 #   the next round can verify positions 1-50 against this comment — the
-#   16 r01-r03-evidence keys the r9 dirty block displaced (the json_to
-#   scalar, hashes, windows, sorts/limits) + the streaming family (r03)
+#   18 r01-r03-evidence keys the r9 dirty block displaced (map/json
+#   scalars, hashes, windows, sorts/limits) + the streaming family (r03)
 #   + setops/storage/subqueries head (r04)):
-#   q_scan_parquet q_json_to q_hash_sha2 q_hash_md5 q_hash_xxhash
-#   q_win_rank q_win_ntile q_win_pct q_win_lag_lead q_win_running
-#   q_win_range_frame q_win_sliding q_win_first_last q_win_topk_group
-#   q_sort_multi q_limit q_topk_global q_stream_source_replay
-#   q_stream_rate_smoke q_stream_availablenow q_stream_rate_limit
-#   q_stream_tumbling q_stream_sliding q_stream_session
-#   q_stream_watermark q_stream_late_data q_stream_dedup
-#   q_stream_static_join q_stream_stream_join q_stream_stateful
-#   q_stream_foreachbatch q_stream_checkpoint q_stream_outer_join
-#   q_set_union_all q_set_union q_set_intersect q_arr_basic q_scan_orc
-#   q_sink_partitioned q_sink_compaction q_scan_schema_evolution
-#   q_join_bucketed q_struct_ops q_set_intersect_all q_set_except
-#   q_set_except_all q_set_distinct q_sub_scalar q_sub_in
-#   q_sub_correlated
+#   q_scan_parquet q_map_json q_json_tuple q_json_to q_hash_sha2
+#   q_hash_md5 q_hash_xxhash q_win_rank q_win_ntile q_win_pct
+#   q_win_lag_lead q_win_running q_win_range_frame q_win_sliding
+#   q_win_first_last q_win_topk_group q_sort_multi q_limit
+#   q_topk_global q_stream_source_replay q_stream_rate_smoke
+#   q_stream_availablenow q_stream_rate_limit q_stream_tumbling
+#   q_stream_sliding q_stream_session q_stream_watermark
+#   q_stream_late_data q_stream_dedup q_stream_static_join
+#   q_stream_stream_join q_stream_stateful q_stream_foreachbatch
+#   q_stream_checkpoint q_stream_outer_join q_set_union_all q_set_union
+#   q_set_intersect q_arr_basic q_scan_orc q_sink_partitioned
+#   q_sink_compaction q_scan_schema_evolution q_join_bucketed
+#   q_struct_ops q_set_intersect_all q_set_except q_set_except_all
+#   q_set_distinct q_sub_scalar
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r09 driver window (positions 1-50): canary + the 16 DIRTY keys
+    # --- r09 driver window (positions 1-50): canary + the 18 DIRTY keys
     # (15 from the r9 vector-kernel rewrite after the 1000× embedding
     # probe: one-fold sq_norm nonzero filter, cast-in-lambda dot/l2,
     # explode-raw-then-cast centroid paths — every key whose plan flows
     # through similarity.dot/l2/nonzero or the rewritten centroid/
     # kmeans/unit-vector sites, value-identical to the old forms and
-    # re-proved by full parity; plus q_join_bloom, whose mix now reduces
+    # re-proved by full parity; q_join_bloom, whose mix now reduces
     # the key mod M before the multiply after the 1000× probe caught an
-    # ANSI long-overflow crash at realistic key magnitudes) + the 33
+    # ANSI long-overflow crash at realistic key magnitudes; and
+    # winnow + simhash, whose projection-collapse pin is now a zero-
+    # shuffle Generate barrier instead of a repartition) + the 31
     # stalest clean keys (r01/r02 agg/join tail + r03 scalar head). The
-    # 16 staleness keys the dirty block displaced slide to the r10
+    # 18 staleness keys the dirty block displaced slide to the r10
     # window head. ---
     "q_scan_parquet",  # canary: driver-proven eight times, cheapest probe
     # dirty r9 (vector-kernel rewrite, similarity.py + dedup.py; bloom
-    # overflow fix, joins.py):
+    # overflow fix, joins.py; Generate-barrier pin replacing the
+    # repartition pin, prep.py winnow + dedup.py simhash):
     "q_join_bloom",
+    "q_llm_winnow",
+    "q_llm_simhash",
     "q_llm_cosine_topk",
     "q_llm_knn_query",
     "q_llm_ann_lsh",
@@ -255,7 +260,6 @@ DRIVER_ORDER: list[str] = [
     "q_llm_exact_dedup",
     "q_llm_near_dedup",
     "q_llm_jaccard_pairs",
-    "q_llm_simhash",
     "q_llm_tokenize",
     "q_llm_tfidf",
     # driver-proven in r05
@@ -268,7 +272,6 @@ DRIVER_ORDER: list[str] = [
     "q_llm_token_count",
     "q_llm_repetition",
     "q_llm_quantize",
-    "q_llm_winnow",
     "q_llm_inverted_index",
     "q_llm_redact_pii",
     "q_llm_chunk",

@@ -155,6 +155,23 @@ def build_scaled(spark, n: int, tables: dict[str, list[str]]) -> str:
     return out
 
 
+def force(df) -> None:
+    """Execute the FULL plan without driver-side row transfer: hash every
+    output column of every row into one summed scalar. ``count()`` is not
+    enough — Catalyst prunes columns a count never reads, so a
+    pure-projection query optimizes to a parquet metadata count that
+    evaluates nothing (the r9 methodology fix; see the timing-loop
+    comment). xxhash64 over a struct of all columns forces every
+    expression; the sum keeps rows distributed. Falls back to count()
+    for output types xxhash64 cannot hash (none of the current probe
+    keys, but a MAP output would be one)."""
+    try:
+        df.select(F.sum(F.xxhash64(F.struct(*df.columns)))).collect()
+    except Exception:
+        print("force: xxhash64 fallback to count()", file=sys.stderr)
+        df.count()
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     keys = sys.argv[2].split(",") if len(sys.argv) > 2 else PROBE_KEYS
@@ -190,19 +207,27 @@ def main() -> int:
     for k in keys:
         fn = QUERIES[k]
         if k in STREAM_KEYS:
-            fn(spark, SF_DIR).count()
-            fn(spark, scaled).count()
-        # count(), not collect(): sessionize/cdc_merge emit one row per
-        # (user, session)/key, so their OUTPUT grows with the input and a
-        # collect() would time driver-side row transfer, not the plan
-        # (measured: ~7 s of a 9 s "10x sessionize" was collecting 950k
-        # rows). count() still executes every shuffle/window/aggregate —
-        # only the final rows stay distributed.
+            force(fn(spark, SF_DIR))
+            force(fn(spark, scaled))
+        # force(), not collect() and not count() (r9 methodology fix):
+        # - collect() would time driver-side row transfer for keys whose
+        #   OUTPUT grows with input (sessionize/cdc_merge emit one row
+        #   per (user, session)/key — measured: ~7 s of a 9 s "10x
+        #   sessionize" was collecting 950k rows).
+        # - count() has the OPPOSITE hole: Catalyst prunes columns the
+        #   count doesn't need, so a pure-projection key (no
+        #   filter/join/agg/generator above the scan) collapses to an
+        #   empty Project over the parquet relation — a METADATA count
+        #   that never evaluates the projected expressions (caught r9:
+        #   quality_score "probed" 5 M docs in 0.33 s; the optimized
+        #   count-plan was 3 lines with an empty Project).
+        # force() hashes every output column into one sum — every
+        # expression evaluates, rows stay distributed, one scalar moves.
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
+        force(fn(spark, SF_DIR))
         base = time.perf_counter() - t0
         t0 = time.perf_counter()
-        fn(spark, scaled).count()
+        force(fn(spark, scaled))
         big = time.perf_counter() - t0
         report[k] = {
             "t_1x": round(base, 3),
