@@ -155,21 +155,36 @@ def build_scaled(spark, n: int, tables: dict[str, list[str]]) -> str:
     return out
 
 
-def force(df) -> None:
+def force(df) -> str:
     """Execute the FULL plan without driver-side row transfer: hash every
-    output column of every row into one summed scalar. ``count()`` is not
-    enough — Catalyst prunes columns a count never reads, so a
+    output column of every row into one XOR-folded scalar. ``count()`` is
+    not enough — Catalyst prunes columns a count never reads, so a
     pure-projection query optimizes to a parquet metadata count that
     evaluates nothing (the r9 methodology fix; see the timing-loop
     comment). xxhash64 over a struct of all columns forces every
-    expression; the sum keeps rows distributed. Falls back to count()
-    for output types xxhash64 cannot hash (none of the current probe
-    keys, but a MAP output would be one)."""
+    expression; the aggregate keeps rows distributed.
+
+    The fold is ``bit_xor``, NOT ``sum`` (r10 fix, ADVICE r9): summing
+    uniformly-distributed int64 hashes overflows almost immediately, and
+    under this repo's ANSI sessions that throws ARITHMETIC_OVERFLOW —
+    which the old broad except then "handled" by falling back to
+    count(), silently reintroducing the exact column-pruning hole the r9
+    fix existed to close (and folding the aborted attempt into the timed
+    value). XOR is closed over int64, so the full-evaluation path can no
+    longer fail by overflow; the count() fallback survives only for
+    output types xxhash64 cannot hash (a MAP output would be one).
+
+    Returns the action actually used ("xxhash64" | "count") so callers
+    record it in the report JSON instead of trusting stderr scrollback.
+    """
     try:
-        df.select(F.sum(F.xxhash64(F.struct(*df.columns)))).collect()
-    except Exception:
-        print("force: xxhash64 fallback to count()", file=sys.stderr)
+        df.select(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
+        return "xxhash64"
+    except Exception as exc:
+        print(f"force: xxhash64 fallback to count(): {exc}",
+              file=sys.stderr)
         df.count()
+        return "count"
 
 
 def main() -> int:
@@ -224,18 +239,33 @@ def main() -> int:
         # force() hashes every output column into one sum — every
         # expression evaluates, rows stay distributed, one scalar moves.
         t0 = time.perf_counter()
-        force(fn(spark, SF_DIR))
+        act_base = force(fn(spark, SF_DIR))
         base = time.perf_counter() - t0
         t0 = time.perf_counter()
-        force(fn(spark, scaled))
+        act_big = force(fn(spark, scaled))
         big = time.perf_counter() - t0
         report[k] = {
             "t_1x": round(base, 3),
             f"t_{n}x": round(big, 3),
             "factor": round(big / base, 2),
+            # which action each timing actually executed: a "count" here
+            # means the reading may be hollow (column-pruned) — the JSON
+            # carries it so a fallback can never hide in stderr scrollback
+            "action": (
+                act_base if act_base == act_big else f"{act_base}/{act_big}"
+            ),
         }
+        # an N×-run finishing faster than its own 1× run is the signature
+        # of a hollow action (the r9 "CORRECTED" table was re-hollowed by
+        # exactly this, via the overflow fallback) — flag it in the JSON
+        if big < base:
+            report[k]["hollow_flag"] = (
+                f"{n}x ran faster than 1x — verify the action evaluates "
+                "the full plan"
+            )
         print(f"probe {k}: 1x={base:.2f}s {n}x={big:.2f}s "
-              f"factor={big / base:.2f}", file=sys.stderr)
+              f"factor={big / base:.2f} action={report[k]['action']}",
+              file=sys.stderr)
     print(json.dumps({"n": n, "queries": report}))
     return 0
 
