@@ -223,6 +223,10 @@ ALLOW_PYTHON = {
     "q_llm_ann_lsh",     # ml BucketedRandomProjectionLSH
     "q_llm_pack_sequences",  # applyInPandas: the one sequential-fold stage;
                              # only (doc_id, source, n_tokens) rows cross Arrow
+    "q_llm_winnow",      # mapInPandas numpy kernel, promoted on MEASUREMENT
+                         # (r10, VERDICT r9 #2): 24.5 s vs the best JVM
+                         # form's 95.3 s at 5 M docs, value-identical —
+                         # tools/winnow_kernel_bench.py keeps both honest
     "q_llm_training_manifest",  # composes pack_sequences' fold — same Arrow
                                 # contract, same skinny (id, source, n) rows
 }
@@ -234,6 +238,57 @@ PYTHON_OPS = (
     "FlatMapGroupsInPandas",
     "PythonScan",  # custom Python data source (allowed only at ingest)
 )
+
+
+# Keys whose lambdas legitimately re-derive an outer expression (none
+# today; add with a docstring-level justification if one ever appears).
+ALLOW_LAMBDA_REDERIVE: set[str] = set()
+
+# Expression heads that are O(input) per evaluation: re-deriving one of
+# these from a non-lambda attribute INSIDE a lambda body multiplies the
+# whole derivation by the lambda's invocation count.
+_FAT_DERIVERS = ("split", "array_sort", "sentences", "sequence")
+
+
+def lambda_rederivations(opt_plan: str) -> list[str]:
+    """Detect the r10 char_entropy defect CLASS in an optimized plan: a
+    fat array derivation (split/array_sort/... of an OUTER attribute)
+    sitting inside a ``lambdafunction`` body. CollapseProject happily
+    inlines a projected kernel into every lambda that references it, so
+    a fold's "constant" denominator like size(array_sort(split(text)))
+    silently re-splits and re-sorts the document on every invocation —
+    O(L) becomes O(k·L log L) per row with every value-level test green.
+    Pinned kernels read a bound attribute (Generate-barrier idiom), which
+    this scan cannot confuse with a re-derivation: lambda variables are
+    declared as ``lambda name#id`` and anything not so declared that
+    feeds a fat deriver inside a body is flagged."""
+    # every lambda variable declared anywhere in the plan is exempt —
+    # per-element work on a lambda's own binding is the HOF's job
+    lam_vars = set(re.findall(r"lambda (\w+)#(\d+)", opt_plan))
+    hits = []
+    pat = re.compile(
+        r"\b(" + "|".join(_FAT_DERIVERS) + r")\((\w+)#(\d+)"
+    )
+    i = 0
+    while True:
+        j = opt_plan.find("lambdafunction(", i)
+        if j < 0:
+            break
+        depth, end = 0, j
+        for end in range(j + len("lambdafunction") , len(opt_plan)):
+            ch = opt_plan[end]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        body = opt_plan[j:end + 1]
+        i = j + len("lambdafunction(")
+        for fn, var, vid in pat.findall(body):
+            if (var, vid) not in lam_vars:
+                hits.append(f"{fn}({var}#{vid}…) inside a lambda body")
+    return sorted(set(hits))
 
 
 def main() -> int:
@@ -260,14 +315,18 @@ def main() -> int:
     total_scan_hits = [0]
     for k in keys:
         try:
-            plan = (
-                QUERIES[k](spark, SF_DIR)
-                ._jdf.queryExecution()
-                .explainString(jvm_mode)
-            )
+            qe = QUERIES[k](spark, SF_DIR)._jdf.queryExecution()
+            plan = qe.explainString(jvm_mode)
+            opt = str(qe.optimizedPlan())
         except Exception as exc:
             problems.append((k, f"explain failed: {exc}"))
             continue
+        rederive = lambda_rederivations(opt)
+        if rederive and k not in ALLOW_LAMBDA_REDERIVE:
+            problems.append(
+                (k, "fat derivation re-evaluated inside a lambda: "
+                    + "; ".join(rederive))
+            )
         # formatted mode prints the exchange node and its distribution on
         # separate lines ("Exchange (3)" ... "Arguments: SinglePartition"),
         # so match both spellings — the adjacent form alone detects nothing

@@ -49,8 +49,49 @@ def main() -> int:
     count_drift = claimed != actual_tests
     if count_drift:
         print(f"TEST-COUNT DRIFT: README claims {claimed}, tests/ has {actual_tests}")
+    # Probe-record figure drift (VERDICT r9 #6): the SCALE.md headline
+    # counts (distinct probed keys / keys at 1000x / keys at 10000x) are
+    # quoted in README.md and 100TB.md, and hand-editing them drifted
+    # twice (69-vs-72 in r8, 76→77→78 across three files in r9). SCALE.md
+    # now carries a machine-readable marker next to the closing record:
+    #   <!-- probe-record: distinct=NN x1000=NN x10000=NN -->
+    # This gate asserts (a) the marker exists, (b) SCALE.md's own closing
+    # prose states the same distinct count, and (c) README.md and 100TB.md
+    # each quote all three figures as numerals ("NN distinct",
+    # "NN at 1000x", "NN at 10000x" — the x may be the multiplication
+    # sign). Historical round-record mentions elsewhere are fine; what
+    # cannot drift is the CURRENT claim.
+    scale = open(os.path.join(root, "SCALE.md")).read()
+    tb = open(os.path.join(root, "100TB.md")).read()
+    probe_drift = False
+    marker = re.search(
+        r"<!-- probe-record: distinct=(\d+) x1000=(\d+) x10000=(\d+) -->",
+        scale,
+    )
+    if not marker:
+        print("PROBE-RECORD DRIFT: marker comment missing from SCALE.md")
+        probe_drift = True
+    else:
+        d, k1, k10 = marker.groups()
+        checks = [
+            ("SCALE.md", scale, rf"\b{d} distinct probed keys"),
+            ("README.md", readme, rf"\b{d} distinct"),
+            ("README.md", readme, rf"\b{k1} at 1000[x×]"),
+            ("README.md", readme, rf"\b{k10} at 10000[x×]"),
+            ("100TB.md", tb, rf"\b{d} distinct"),
+            ("100TB.md", tb, rf"\b{k1} at 1000[x×]"),
+            ("100TB.md", tb, rf"\b{k10} at 10000[x×]"),
+        ]
+        for fname, text, pat in checks:
+            if not re.search(pat, text):
+                print(
+                    f"PROBE-RECORD DRIFT: {fname} does not quote "
+                    f"/{pat}/ (SCALE.md marker says "
+                    f"distinct={d} x1000={k1} x10000={k10})"
+                )
+                probe_drift = True
     print(f"{len(QUERIES)} keys, {len(missing)} undocumented, {len(stale)} stale")
-    return 1 if missing or stale or count_drift else 0
+    return 1 if missing or stale or count_drift or probe_drift else 0
 
 
 if __name__ == "__main__":

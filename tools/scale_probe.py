@@ -12,7 +12,19 @@ This is a MEASUREMENT tool, not a fixture: queries()/oracles never read
 these copies (the driver contract still runs on /root/testdata only).
 
 Usage: python tools/scale_probe.py [N] [key,key,...] [table,table,...]
+                                   [--perturb-docs]
        (default N=10, all PROBE_KEYS, all tables)
+
+``--perturb-docs`` builds the scaled ``documents`` copies with
+CONTRACT-RESPECTING text (r10, VERDICT r9 #4): plain key-shifted copies
+carry IDENTICAL text, so every shingle hash becomes duplicated and any
+dup-DETECTION key degenerates to its output-bound worst case ("the
+duplicated set is the minority" contracts are maximally violated —
+the r9 dup_spans/span_removal readings). Under the flag, copy 0 keeps
+the original text and every other copy keeps only the first ~7% of
+tokens verbatim, tagging the rest with the copy ordinal — so each doc
+contributes ONE duplicated span of ~7% of its length and the duplicated
+shingle set stays the small minority the plans were shaped for.
 
 The optional 2nd/3rd args run a TARGETED probe: only the listed keys,
 building only the listed tables in the N×-scaled root — the 100× probe
@@ -100,16 +112,38 @@ PROBE_KEYS = [
     "q_llm_knn_query",
     "q_llm_ivf_search",
     "q_llm_centroids",
+    # r10 (VERDICT r9 #5): the stateful-streaming tail — RocksDB-backed
+    # state, event-time session windows, stream-stream interval join,
+    # watermarked dedup. NOTE: the LSH/span dup-DETECTION keys
+    # (near_dedup, minhash_exact, dup_spans, span_removal) are probed
+    # TARGETED with --perturb-docs only — on plain key-shifted copies
+    # every doc is duplicated N× and the banded join degenerates to N²
+    # pairs per doc by construction (a contract violation, not a plan).
+    "q_stream_rocksdb",
+    "q_stream_session",
+    "q_stream_stream_join",
+    "q_stream_dedup",
 ]
 
 # Streaming probes get one UNTIMED warm call per root first: the first
 # invocation materializes the N×-scaled replay files (a one-time scratch
 # build, not the plan under test); checkpoints are fresh per call
 # (fresh_run_dir), so the timed run still replays the full stream.
-STREAM_KEYS = {"q_stream_upsert_latest", "q_stream_tumbling"}
+# r10 (VERDICT r9 #5): the stateful tail — RocksDB state store, session
+# windows, stream-stream join, and streaming dedup — joins the probe set.
+STREAM_KEYS = {
+    "q_stream_upsert_latest",
+    "q_stream_tumbling",
+    "q_stream_rocksdb",
+    "q_stream_session",
+    "q_stream_stream_join",
+    "q_stream_dedup",
+}
 
 
-def build_scaled(spark, n: int, tables: dict[str, list[str]]) -> str:
+def build_scaled(
+    spark, n: int, tables: dict[str, list[str]], perturb_docs: bool = False
+) -> str:
     # keyed on the SOURCE fixture path too: a cached copy built from a
     # different SF_DIR must never be silently reused; targeted builds
     # (table subset) get their own root so a later full build never
@@ -119,6 +153,8 @@ def build_scaled(spark, n: int, tables: dict[str, list[str]]) -> str:
     tag = hashlib.sha1(os.path.abspath(SF_DIR).encode()).hexdigest()[:10]
     if set(tables) != set(TABLES):
         tag += "_" + "-".join(sorted(tables))
+    if perturb_docs:
+        tag += "_perturbed"
     out = f"{SCRATCH_ROOT}/scale_probe_{tag}_x{n}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
@@ -147,6 +183,33 @@ def build_scaled(spark, n: int, tables: dict[str, list[str]]) -> str:
                 col,
                 F.col(col) + F.col("_copy").cast("long") * F.lit(stride),
             )
+        if perturb_docs and t == "documents":
+            # contract-respecting text (see module docstring): copy 0
+            # verbatim; other copies share only the first ~7% of tokens
+            # with it, the rest tagged per-copy so cross-copy shingles
+            # in the tail can never collide. The token array is pinned
+            # behind an explode(array(e)) Generate barrier so the
+            # size()-derived keep count inside the lambda reads a bound
+            # attribute (O(1)/element) instead of re-splitting the text
+            # per token (O(L²)/doc at a 5 M-doc build).
+            cols = [c for c in copies.columns if c != "text"]
+            copies = copies.select(
+                *cols,
+                F.explode(F.array(F.split("text", " "))).alias("_toks"),
+            ).withColumn(
+                "text",
+                F.when(
+                    F.col("_copy") == 0, F.array_join("_toks", " ")
+                ).otherwise(
+                    F.expr(
+                        "array_join(transform(_toks, (tok, i) ->"
+                        " CASE WHEN i < ceil(size(_toks) * 0.07)"
+                        "      THEN tok"
+                        "      ELSE concat(tok, '~c', CAST(_copy AS STRING))"
+                        " END), ' ')"
+                    )
+                ),
+            ).drop("_toks")
         copies.drop("_copy").write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
@@ -188,6 +251,9 @@ def force(df) -> str:
 
 
 def main() -> int:
+    perturb = "--perturb-docs" in sys.argv
+    if perturb:
+        sys.argv.remove("--perturb-docs")
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     keys = sys.argv[2].split(",") if len(sys.argv) > 2 else PROBE_KEYS
     # validate BEFORE the Spark session and the expensive N× build: a
@@ -213,7 +279,7 @@ def main() -> int:
         return 2
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    scaled = build_scaled(spark, n, tables)
+    scaled = build_scaled(spark, n, tables, perturb_docs=perturb)
     # warm both roots (footer/FS init outside the timings, like bench.py)
     for root in (SF_DIR, scaled):
         for t in tables:
@@ -266,7 +332,7 @@ def main() -> int:
         print(f"probe {k}: 1x={base:.2f}s {n}x={big:.2f}s "
               f"factor={big / base:.2f} action={report[k]['action']}",
               file=sys.stderr)
-    print(json.dumps({"n": n, "queries": report}))
+    print(json.dumps({"n": n, "perturb_docs": perturb, "queries": report}))
     return 0
 
 
