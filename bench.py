@@ -95,6 +95,10 @@ HEADLINE_KEYS = [
     # in BENCH_r09.json are the per-key baseline for later rounds.
     "q_llm_span_removal",   # dup-span spread shuffle + doc-bounded interval join (new in r9)
     "q_tpch_q21ish",        # quantifiers-as-windows over ONE l_orderkey exchange (new in r9)
+    # r10 additions (guard the round's kernel work): the two honest-probe
+    # rewrites. First-round numbers in BENCH_r10.json are their baselines.
+    "q_llm_winnow",         # Arrow mapInPandas winnowing kernel (new in r10)
+    "q_llm_char_entropy",   # Generate-pinned sorted-run entropy fold (new in r10)
 ]
 
 

@@ -37,9 +37,7 @@ def test_next_driver_window_comment_matches_positions():
     import token_burn_listener_spark.registry as registry
 
     src = open(registry.__file__, encoding="utf-8").read()
-    m = re.search(
-        r"r\d\d window \(already in position.*?\n(.*?)\n# ---", src, re.S
-    )
+    m = re.search(r"r\d\d window \(.*?\n(.*?)\n# ---", src, re.S)
     assert m, "rotation comment lost its next-window listing"
     listed = re.findall(r"q_\w+", m.group(1))
     order = registry.DRIVER_ORDER

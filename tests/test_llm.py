@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from token_burn_listener_spark.registry import QUERIES, load_all_modules
-from token_burn_listener_spark.llm.dedup import shingles
+from token_burn_listener_spark.llm.dedup import shingled
 from token_burn_listener_spark.tables import load_table
 
 load_all_modules()
@@ -19,9 +19,7 @@ load_all_modules()
 
 def exact_jaccard_pairs(spark, sf_dir, threshold: float):
     """Exact shingle-Jaccard pairs ≥ threshold (brute force, fixture-sized)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles("text").alias("sh")
-    )
+    d = shingled(load_table(spark, sf_dir, "documents"))
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
@@ -146,7 +144,10 @@ def test_decontaminate_removes_all_overlap(spark, sf_dir):
     survivors = QUERIES["q_llm_decontaminate"](spark, sf_dir)
     assert survivors.filter(F.col("doc_id") % 37 == 0).count() == 0
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.explode(_grams8()).alias("gram"))
+    toks = d.select(
+        "doc_id", F.explode(F.array(F.split("text", " "))).alias("w")
+    )
+    grams = toks.select("doc_id", F.explode(_grams8("w")).alias("gram"))
     eval_grams = grams.filter(F.col("doc_id") % 37 == 0).select("gram").distinct()
     leaked = (
         grams.join(survivors.select("doc_id"), "doc_id", "left_semi")

@@ -18,7 +18,7 @@ Two tiers, matching how a 100 TB training-data pipeline actually dedups:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -26,18 +26,34 @@ from token_burn_listener_spark.registry import query
 from token_burn_listener_spark.tables import load_table
 
 
-def shingles(text: str | Column = "text", n: int = 5) -> Column:
-    """Distinct character n-gram shingles of a text column.
+def shingled(df: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, sh): distinct character n-gram shingles per document.
+
+    The char array is pinned behind an ``explode(array(e))`` Generate
+    barrier and each shingle is a ``slice`` of that BOUND attribute —
+    O(n) per gram, O(n·L) per doc. The r1–r9 form was an inline
+    ``transform(sequence(...), i -> substring(text, i, n))`` expression:
+    substring re-scans the UTF-8 string to offset i on every call, so
+    every shingled doc paid O(L²) chars — invisible at fixture scale,
+    ~90× excess char work at real document lengths (caught r10 when the
+    honest force() probe made the minhash 100× signature stage crawl;
+    same defect family as the substring note in q_llm_winnow and the
+    plan-audit lambda-rederive gate, which now also flags substring).
 
     ``greatest(..., 1)`` guards short strings: Spark's sequence() would
-    otherwise generate a DESCENDING range for start > stop.
+    otherwise generate a DESCENDING range for start > stop; slice() past
+    the array end truncates, so the one gram of a short doc is the whole
+    text — byte-identical to the substring form on in-contract (BMP)
+    inputs.
     """
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length({text}) - {n - 1}, 1)),"
-            f" i -> substring({text}, i, {n}))"
-        )
+    chars = df.select(
+        "doc_id", F.explode(F.array(F.split("text", ""))).alias("cs")
     )
+    sh = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(cs) - {n - 1},"
+        f" 1)), i -> array_join(slice(cs, i, {n}), '')))"
+    )
+    return chars.select("doc_id", sh.alias("sh"))
 
 
 @query(
@@ -81,9 +97,7 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles("text").alias("sh")
-    )
+    d = shingled(load_table(spark, sf_dir, "documents"))
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
     )
@@ -109,7 +123,7 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS MATERIALIZED (
       SELECT doc_id,
              -- greatest(..., 2) mirrors the Spark side's greatest(len-4, 1)
-             -- guard (shingles() above): texts shorter than the shingle
+             -- guard (shingled() above): texts shorter than the shingle
              -- width yield ONE truncated shingle on both engines instead of
              -- an empty list here and a 1-element list there.
              list_distinct([substring(text, i, 5)
@@ -143,9 +157,7 @@ def q_llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The threshold filter runs on the unrounded ratio — an exact rational of
     two ints, bit-identical across engines.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles("text").alias("sh")
-    )
+    d = shingled(load_table(spark, sf_dir, "documents"))
     return exact_pair_grid(d).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -251,9 +263,7 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
        LSH trick that replaces the O(n²) pair scan at 100 TB);
     3. exact Hamming distance (bit_count(a XOR b)) filters candidates ≤ 16.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles("text").alias("sh")
-    )
+    d = shingled(load_table(spark, sf_dir, "documents"))
     hashed = d.select(
         "doc_id",
         F.explode(
@@ -507,7 +517,7 @@ def q_llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes back labeled (component_id, quality, kept), so downstream both
     filters survivors AND audits what was dropped and why.
 
-    Composes three already-verified pieces — shingles()/the jaccard pair
+    Composes three already-verified pieces — shingled()/the jaccard pair
     predicate (q_llm_jaccard_pairs), min_label_components
     (q_llm_dup_clusters), and the quality blend (q_llm_quality_score) —
     into the pipeline a training-data team actually ships.
@@ -517,9 +527,7 @@ def q_llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-component argmax (a bounded-partition window — near-dup components
     are tiny) run unchanged on those edges.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles("text").alias("sh")
-    )
+    d = shingled(load_table(spark, sf_dir, "documents"))
     pairs = exact_pair_grid(d, "va", "vb").select("va", "vb")
     docs = load_table(spark, sf_dir, "documents")
     comp = min_label_components(docs.select("doc_id"), pairs, "doc_id")
@@ -850,13 +858,20 @@ def q_llm_subdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Whole-doc text never shuffles: only (doc_id, 64-char hash) rows move.
     """
     d = load_table(spark, sf_dir, "documents")
-    chunks = d.select(
+    # token array pinned behind a Generate barrier: inlined, the chunk
+    # transform's lambda re-splits the text once per chunk (the r10
+    # plan-audit lambda-rederive gate caught this — same class as the
+    # char_entropy fold defect)
+    toks = d.select(
+        "doc_id", F.explode(F.array(F.split("text", " "))).alias("t")
+    )
+    chunks = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) "
+                f"transform(sequence(0, cast(ceil(size(t) "
                 f"/ {_SUBDOC_CHUNK}.0) as int) - 1),"
-                f" i -> array_join(slice(split(text, ' '), "
+                f" i -> array_join(slice(t, "
                 f"i * {_SUBDOC_CHUNK} + 1, {_SUBDOC_CHUNK}), ' '))"
             )
         ).alias("chunk"),
@@ -1145,6 +1160,21 @@ def q_llm_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on a 128-bit key (uniform); verification touches candidate
     pairs only. The UNION dedups band collisions on the pair key.
 
+    CORPUS-CONTRAST CONTRACT (r10, measured): banded candidates number
+    Θ(P_band(J_bg) · n²) where J_bg is the corpus's BACKGROUND pairwise
+    shingle Jaccard — banding only prunes when near-dups stand out from
+    that background. On a real crawl J_bg ≈ 0.01 → P_band = 4·J² ≈
+    4e-4 and candidates are the tiny minority. The SYNTHETIC fixture's
+    small vocabulary measures J_bg mean 0.17 / p90 0.23 (DuckDB,
+    120-doc sample, all pairs), so ~11% of ALL pairs band-collide BY
+    SPEC — the r10 ×100 probe degenerated into a 1.4e10-pair DISTINCT
+    (2 GB sort spills, killed; SCALE.md r10). That is LSH doing its
+    job on a contrast-free corpus, not a plan defect; no ×N copy
+    scheme can restore contrast the base corpus lacks. Production
+    tuning when J_bg is higher: steeper bands (more rows per band via
+    more/narrower hash windows) or word-level shingles — both raise
+    contrast at the same plan shape.
+
     The shingle and signature tables are PINNED (localCheckpoint — the
     Spark analog of the oracle's MATERIALIZED CTEs): sig feeds 2 branches
     per band × 4 bands and d feeds the verify joins, so without the pin
@@ -1153,17 +1183,24 @@ def q_llm_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production does exactly this: the signature table is a materialized
     artifact, built once per corpus snapshot.
     """
-    d = (
+    d = shingled(
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", shingles("text").alias("sh"))
-        .localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
+    # sha2 is HOISTED into the projection below the aggregate (r10): as a
+    # child of all 8 min() expressions it was evaluated 8x per shingle —
+    # aggregates get no common-subexpression elimination across their
+    # expression list, so the signature stage paid 8 sha256 digests per
+    # exploded shingle row (the honest force() probe made this stage the
+    # 100x bottleneck even after the shingled() O(L^2) fix). As a bound
+    # attribute it is digested once; the 8 substring+conv window reads
+    # are O(1) on the 64-char hex.
+    e = d.select("doc_id", F.explode("sh").alias("g")).select(
+        "doc_id", F.sha2("g", 256).alias("sha")
     )
-    e = d.select("doc_id", F.explode("sh").alias("g"))
-    sha = F.sha2("g", 256)
     sig = e.groupBy("doc_id").agg(
         *[
             F.min(
-                F.conv(F.substring(sha, 1 + 8 * h, 8), 16, 10).cast("long")
+                F.conv(F.substring("sha", 1 + 8 * h, 8), 16, 10).cast("long")
             ).alias(f"sig{h}")
             for h in range(_MH_FNS)
         ]
@@ -1283,11 +1320,9 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grid + verify joins — unpinned, the corpus statically re-scans
     per reference (12 scans measured before the pin).
     """
-    d = (
+    d = shingled(
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", shingles("text").alias("sh"))
-        .localCheckpoint(eager=False)
-    )
+    ).localCheckpoint(eager=False)
     # sampled exact pair count (the shared brute-force grid, a-side
     # restricted to the deterministic 25% sample)
     n_exact = (
@@ -1295,12 +1330,21 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_exact"))
     )
     # banded-candidate verified pair count (the production path)
-    e = d.select("doc_id", F.explode("sh").alias("g"))
-    sha = F.sha2("g", 256)
+    # sha2 is HOISTED into the projection below the aggregate (r10): as a
+    # child of all 8 min() expressions it was evaluated 8x per shingle —
+    # aggregates get no common-subexpression elimination across their
+    # expression list, so the signature stage paid 8 sha256 digests per
+    # exploded shingle row (the honest force() probe made this stage the
+    # 100x bottleneck even after the shingled() O(L^2) fix). As a bound
+    # attribute it is digested once; the 8 substring+conv window reads
+    # are O(1) on the 64-char hex.
+    e = d.select("doc_id", F.explode("sh").alias("g")).select(
+        "doc_id", F.sha2("g", 256).alias("sha")
+    )
     sig = e.groupBy("doc_id").agg(
         *[
             F.min(
-                F.conv(F.substring(sha, 1 + 8 * h, 8), 16, 10).cast("long")
+                F.conv(F.substring("sha", 1 + 8 * h, 8), 16, 10).cast("long")
             ).alias(f"sig{h}")
             for h in range(_MH_FNS)
         ]
@@ -1431,38 +1475,54 @@ def _cdc_hash_terms(char_at) -> str:
 def cdc_chunks(d: DataFrame) -> DataFrame:
     """(doc_id, text) → exploded (doc_id, chunk) via content-defined
     boundaries — the reusable core of q_llm_cdc_chunking (also driven
-    directly by the edit-locality property test)."""
+    directly by the edit-locality property test).
+
+    The char array is pinned behind an ``explode(array(e))`` Generate
+    barrier and both lambdas read it via O(1) ``element_at``/``slice``
+    (r10): the r5–r9 form called ``substring(text, i-j, 1)`` eight times
+    per boundary position and ``substring(text, start, len)`` per chunk —
+    substring re-scans UTF-8 to the offset, so boundary detection alone
+    was O(8·L²) chars per doc (flagged by the plan-audit lambda-rederive
+    gate the day substring joined its fat-deriver list). For empty text
+    ``split`` yields [''] (size 1 < W → no boundaries) and the slicing
+    branch emits one '' chunk that the c != '' filter drops — the same
+    empty output as the old length()-guard on both engines.
+    """
     hash_expr = _cdc_hash_terms(
-        lambda j: f"substring(text, CAST(i - {j} AS INT), 1)"
+        lambda j: f"element_at(cs, CAST(i - {j} AS INT))"
     )
     bounds = (
-        f"IF(length(text) < {_CDC_W}, array(),"
-        f" filter(transform(sequence({_CDC_W}, length(text)),"
+        f"IF(size(cs) < {_CDC_W}, array(),"
+        f" filter(transform(sequence({_CDC_W}, size(cs)),"
         f"   i -> IF(({hash_expr}) % {_CDC_MASK} = 0,"
         f"           CAST(i AS BIGINT), CAST(-1 AS BIGINT))),"
         f"   x -> x != -1))"
     )
     bpos = (
         f"array_sort(array_distinct(concat(array(CAST(0 AS BIGINT)),"
-        f" {bounds}, array(CAST(length(text) AS BIGINT)))))"
+        f" {bounds}, array(CAST(size(cs) AS BIGINT)))))"
     )
     # bpos is HOISTED into its own column before the slicing lambda:
     # subexpression elimination stops at lambda boundaries (the llm/text.py
     # lambda-hoisting rule), so an inlined bpos would be recomputed per
     # chunk — O(len²) per doc (measured 85 s → 2 s at sf0.01).
-    # size(bpos) guard: empty text yields bpos = [0] and sequence(1, 0)
-    # would produce a DESCENDING [1, 0] whose element_at(bpos, 2) throws —
-    # the oracle's range(1, 1) is simply empty, so match it with array()
+    # size(bpos) guard: a W-1-char doc yields bpos = [0, len] (fine), but
+    # the IF keeps the sequence() from ever running DESCENDING if a future
+    # edit changes the concat shape.
     chunks_expr = (
         "IF(size(bpos) < 2, array(),"
         " filter(transform(sequence(1, size(bpos) - 1),"
-        " k -> substring(text,"
+        " k -> array_join(slice(cs,"
         "   CAST(element_at(bpos, k) + 1 AS INT),"
-        "   CAST(element_at(bpos, k + 1) - element_at(bpos, k) AS INT))),"
+        "   CAST(element_at(bpos, k + 1) - element_at(bpos, k) AS INT)),"
+        "   '')),"
         " c -> c != ''))"
     )
     return (
-        d.select("doc_id", "text", F.expr(bpos).alias("bpos"))
+        d.select(
+            "doc_id", F.explode(F.array(F.split("text", ""))).alias("cs")
+        )
+        .select("doc_id", "cs", F.expr(bpos).alias("bpos"))
         .select("doc_id", F.explode(F.expr(chunks_expr)).alias("chunk"))
     )
 

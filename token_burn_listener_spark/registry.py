@@ -100,99 +100,69 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   longer exists. Such keys jump the queue to directly after the canary
 #   (and any new keys) in the next window, regardless of evidence age.
 #
-#   r10 window (already in position — promoting it is a no-op; listed so
-#   the next round can verify positions 1-50 against this comment — the
-#   18 r01-r03-evidence keys the r9 dirty block displaced (map/json
-#   scalars, hashes, windows, sorts/limits) + the streaming family (r03)
-#   + setops/storage/subqueries head (r04)):
-#   q_scan_parquet q_map_json q_json_tuple q_json_to q_hash_sha2
-#   q_hash_md5 q_hash_xxhash q_win_rank q_win_ntile q_win_pct
-#   q_win_lag_lead q_win_running q_win_range_frame q_win_sliding
-#   q_win_first_last q_win_topk_group q_sort_multi q_limit
-#   q_topk_global q_stream_source_replay q_stream_rate_smoke
-#   q_stream_availablenow q_stream_rate_limit q_stream_tumbling
-#   q_stream_sliding q_stream_session q_stream_watermark
-#   q_stream_late_data q_stream_dedup q_stream_static_join
-#   q_stream_stream_join q_stream_stateful q_stream_foreachbatch
-#   q_stream_checkpoint q_stream_outer_join q_set_union_all q_set_union
-#   q_set_intersect q_arr_basic q_scan_orc q_sink_partitioned
-#   q_sink_compaction q_scan_schema_evolution q_join_bucketed
-#   q_struct_ops q_set_intersect_all q_set_except q_set_except_all
-#   q_set_distinct q_sub_scalar
+#   r09 proved: canary + the 18 r9-dirty keys (vector-kernel rewrite,
+#            bloom overflow fix, winnow/simhash Generate-barrier pin) +
+#            the 31 stalest clean keys (r01/r02 agg/join tail + r03
+#            scalar head) — 46 green, 4 rows-only by design, 0 red.
+#
+#   r11 window (listed so the next round can verify positions 1-50
+#   against this comment after its rotation edit — the 11 storage/
+#   setops/subquery keys the r10 dirty block displaced, then the
+#   r04-evidence subquery/TPC-H block, the r05 LLM text/prep head and
+#   event-analytics head; the r10 dirty keys rotate to the back once
+#   proven):
+#   q_scan_parquet q_scan_orc q_sink_partitioned q_sink_compaction
+#   q_scan_schema_evolution q_join_bucketed q_struct_ops
+#   q_set_intersect_all q_set_except q_set_except_all q_set_distinct
+#   q_sub_scalar q_sub_in q_sub_correlated q_tpch_q4ish q_tpch_q5ish
+#   q_tpch_q6ish q_tpch_q7ish q_tpch_q10ish q_tpch_q12ish q_tpch_q13ish
+#   q_tpch_q18ish q_tpch_q19ish q_tpch_q22ish q_stream_union
+#   q_stream_rocksdb q_llm_exact_dedup q_llm_tokenize q_llm_tfidf
+#   q_llm_ngrams q_llm_text_filter q_llm_doc_stats q_llm_quality_score
+#   q_llm_fingerprint q_llm_lang_id q_llm_token_count q_llm_repetition
+#   q_llm_quantize q_llm_inverted_index q_llm_redact_pii q_llm_chunk
+#   q_llm_mix_domains q_llm_sample_stratified q_llm_global_shuffle
+#   q_llm_pack_sequences q_llm_corpus_prep q_llm_frames q_evt_sessionize
+#   q_evt_funnel q_evt_retention
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r09 driver window (positions 1-50): canary + the 18 DIRTY keys
-    # (15 from the r9 vector-kernel rewrite after the 1000× embedding
-    # probe: one-fold sq_norm nonzero filter, cast-in-lambda dot/l2,
-    # explode-raw-then-cast centroid paths — every key whose plan flows
-    # through similarity.dot/l2/nonzero or the rewritten centroid/
-    # kmeans/unit-vector sites, value-identical to the old forms and
-    # re-proved by full parity; q_join_bloom, whose mix now reduces
-    # the key mod M before the multiply after the 1000× probe caught an
-    # ANSI long-overflow crash at realistic key magnitudes; and
-    # winnow + simhash, whose projection-collapse pin is now a zero-
-    # shuffle Generate barrier instead of a repartition) + the 31
-    # stalest clean keys (r01/r02 agg/join tail + r03 scalar head). The
-    # 18 staleness keys the dirty block displaced slide to the r10
-    # window head. ---
-    "q_scan_parquet",  # canary: driver-proven eight times, cheapest probe
-    # dirty r9 (vector-kernel rewrite, similarity.py + dedup.py; bloom
-    # overflow fix, joins.py; Generate-barrier pin replacing the
-    # repartition pin, prep.py winnow + dedup.py simhash):
-    "q_join_bloom",
+    # --- r10 driver window (positions 1-50): canary + the 11 r10-dirty
+    # keys + the pre-planned staleness head the r9 verdict named (the
+    # r03-evidence map/json/hash scalars, windows, sorts/limits, the
+    # full streaming family — the reference-parity A1-A10 surface, the
+    # oldest evidence in the registry — and the setops head). The 11
+    # displaced storage/setops/subquery keys slide to the r11 window
+    # head. ---
+    "q_scan_parquet",  # canary: driver-proven nine times, cheapest probe
+    # dirty r10 (every change probe- or gate-driven this round):
+    # winnow -> Arrow mapInPandas production kernel, promoted on
+    # measurement (24.5 s vs 95.3 s best-JVM form at 5 M docs,
+    # tools/winnow_kernel_bench.py); char_entropy pins its sorted
+    # char array behind a Generate barrier (the honest force() probe
+    # exposed the fold re-sorting the whole doc per closed run);
+    # decontaminate (_grams8) and subdoc_dup pin their token arrays
+    # (the new plan-audit lambda-rederive gate caught both
+    # re-splitting text once per gram/chunk):
     "q_llm_winnow",
+    "q_llm_char_entropy",
+    "q_llm_decontaminate",
+    "q_llm_subdoc_dup",
+    # ...and the shingled()/cdc_chunks O(L^2)-substring rewrites (the
+    # probe made the minhash signature stage crawl; substring re-scans
+    # UTF-8 to the offset, so sweeping it across the string is O(L^2)
+    # per doc — all six shingle consumers plus CDC chunking now read a
+    # Generate-pinned char array via O(1) element_at/slice):
+    "q_llm_near_dedup",
+    "q_llm_jaccard_pairs",
     "q_llm_simhash",
-    "q_llm_cosine_topk",
-    "q_llm_knn_query",
-    "q_llm_ann_lsh",
-    "q_llm_centroids",
-    "q_llm_ivf_search",
-    "q_llm_kmeans",
-    "q_llm_knn_classify",
-    "q_llm_hard_negatives",
-    "q_llm_ann_recall",
-    "q_llm_matryoshka_recall",
-    "q_llm_anisotropy",
-    "q_llm_emb_near_dup",
-    "q_llm_dup_clusters",
-    "q_graph_triangles",
-    "q_graph_pagerank",
-    # staleness fill (r01/r02 evidence)
-    "q_join_asof",
-    "q_join_salted",
-    "q_agg_global",
-    "q_agg_groupby",
-    "q_agg_count_distinct",
-    "q_agg_approx_distinct",
-    "q_agg_sum_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_collect",
-    "q_agg_stddev",
-    "q_agg_minmax_by",
-    "q_agg_percentile",
-    "q_agg_conditional",
-    "q_agg_having",
-    "q_agg_pivot",
-    "q_agg_time_rollup",
-    "q_agg_approx_percentile",
-    "q_win_row_number",
-    "q_str_basic",
-    "q_str_split",
-    "q_str_regex",
+    "q_llm_dedup_survivors",
+    "q_llm_minhash_exact",
+    "q_llm_lsh_recall",
+    "q_llm_cdc_chunking",
     # --- staleness tail: driver-proven keys in ASCENDING recency of
     # evidence (r03 remainder, r04, r05, r06, r07, then the just-proven
     # r08 block at the very back). ---
     # driver-proven in r03
-    "q_date_parts",
-    "q_date_arith",
-    "q_date_unix",
-    "q_math_fns",
-    "q_math_conv",
-    "q_arr_hof",
-    "q_arr_explode",
-    "q_arr_zip",
     "q_map_json",
     "q_json_tuple",
     "q_json_to",
@@ -258,8 +228,6 @@ DRIVER_ORDER: list[str] = [
     "q_stream_union",
     "q_stream_rocksdb",
     "q_llm_exact_dedup",
-    "q_llm_near_dedup",
-    "q_llm_jaccard_pairs",
     "q_llm_tokenize",
     "q_llm_tfidf",
     # driver-proven in r05
@@ -279,7 +247,6 @@ DRIVER_ORDER: list[str] = [
     "q_llm_sample_stratified",
     "q_llm_global_shuffle",
     "q_llm_pack_sequences",
-    "q_llm_dedup_survivors",
     "q_llm_corpus_prep",
     "q_llm_frames",
     "q_evt_sessionize",
@@ -327,12 +294,10 @@ DRIVER_ORDER: list[str] = [
     "q_evt_attribution",
     "q_evt_paths",
     "q_join_range_bucketed",
-    "q_llm_subdoc_dup",
     "q_llm_leak_check",
     "q_llm_source_overlap",
     "q_evt_forecast_naive",
     "q_evt_cohort_ltv",
-    "q_llm_minhash_exact",
     "q_evt_ab_test",
     "q_evt_pareto",
     "q_llm_heaps_law",
@@ -351,7 +316,6 @@ DRIVER_ORDER: list[str] = [
     "q_llm_temperature_mix",
     "q_llm_delta_dedup",
     "q_llm_bm25",
-    "q_llm_cdc_chunking",
     "q_llm_dataset_card",
     "q_scan_dpp",
     "q_evt_funnel_latency",
@@ -404,14 +368,11 @@ DRIVER_ORDER: list[str] = [
     "q_llm_span_removal",
     "q_llm_vocab_coverage",
     "q_llm_dim_stats",
-    "q_llm_char_entropy",
     "q_agg_corr",
     "q_tpch_q8ish",
     "q_tpch_q14ish",
     "q_llm_random_projection",
     "q_llm_semantic_prune",
-    "q_llm_lsh_recall",
-    "q_llm_decontaminate",
     "q_join_star",
     "q_tpch_q2ish",
     "q_tpch_q9ish",
@@ -433,6 +394,62 @@ DRIVER_ORDER: list[str] = [
     "q_join_cross",
     "q_join_theta",
     "q_join_interval",
+    # --- r09-proven head block, rotated to the back (r10 edit); the
+    # r9-dirty vector/graph keys plus the r01/r02 staleness fill, in
+    # their proven order (q_llm_winnow was pulled forward dirty-first
+    # after the r10 kernel swap) ---
+    # dirty r9 (vector-kernel rewrite, similarity.py + dedup.py; bloom
+    # overflow fix, joins.py; Generate-barrier pin replacing the
+    # repartition pin, prep.py winnow + dedup.py simhash):
+    "q_join_bloom",
+    "q_llm_cosine_topk",
+    "q_llm_knn_query",
+    "q_llm_ann_lsh",
+    "q_llm_centroids",
+    "q_llm_ivf_search",
+    "q_llm_kmeans",
+    "q_llm_knn_classify",
+    "q_llm_hard_negatives",
+    "q_llm_ann_recall",
+    "q_llm_matryoshka_recall",
+    "q_llm_anisotropy",
+    "q_llm_emb_near_dup",
+    "q_llm_dup_clusters",
+    "q_graph_triangles",
+    "q_graph_pagerank",
+    # staleness fill (r01/r02 evidence)
+    "q_join_asof",
+    "q_join_salted",
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_count_distinct",
+    "q_agg_approx_distinct",
+    "q_agg_sum_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_collect",
+    "q_agg_stddev",
+    "q_agg_minmax_by",
+    "q_agg_percentile",
+    "q_agg_conditional",
+    "q_agg_having",
+    "q_agg_pivot",
+    "q_agg_time_rollup",
+    "q_agg_approx_percentile",
+    "q_win_row_number",
+    "q_str_basic",
+    "q_str_split",
+    "q_str_regex",
+    # driver-proven in r03, re-proven in the r09 window
+    "q_date_parts",
+    "q_date_arith",
+    "q_date_unix",
+    "q_math_fns",
+    "q_math_conv",
+    "q_arr_hof",
+    "q_arr_explode",
+    "q_arr_zip",
 ]
 
 

@@ -247,7 +247,10 @@ ALLOW_LAMBDA_REDERIVE: set[str] = set()
 # Expression heads that are O(input) per evaluation: re-deriving one of
 # these from a non-lambda attribute INSIDE a lambda body multiplies the
 # whole derivation by the lambda's invocation count.
-_FAT_DERIVERS = ("split", "array_sort", "sentences", "sequence")
+# substring(col, i, n) is O(i) per call (UTF-8 re-scan to the offset), so
+# a lambda sweeping i over the string is O(L^2)/row — the r10 shingles()
+# finding; the others are O(input) outright.
+_FAT_DERIVERS = ("split", "array_sort", "sentences", "sequence", "substring")
 
 
 def lambda_rederivations(opt_plan: str) -> list[str]:

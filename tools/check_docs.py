@@ -61,8 +61,10 @@ def main() -> int:
     # "NN at 1000x", "NN at 10000x" — the x may be the multiplication
     # sign). Historical round-record mentions elsewhere are fine; what
     # cannot drift is the CURRENT claim.
-    scale = open(os.path.join(root, "SCALE.md")).read()
-    tb = open(os.path.join(root, "100TB.md")).read()
+    # newline-normalized: prose wraps mid-phrase ("83\ndistinct") and the
+    # gate checks figures, not line layout
+    scale = re.sub(r"\s+", " ", open(os.path.join(root, "SCALE.md")).read())
+    tb = re.sub(r"\s+", " ", open(os.path.join(root, "100TB.md")).read())
     probe_drift = False
     marker = re.search(
         r"<!-- probe-record: distinct=(\d+) x1000=(\d+) x10000=(\d+) -->",
@@ -73,11 +75,12 @@ def main() -> int:
         probe_drift = True
     else:
         d, k1, k10 = marker.groups()
+        readme_n = re.sub(r"\s+", " ", readme)
         checks = [
             ("SCALE.md", scale, rf"\b{d} distinct probed keys"),
-            ("README.md", readme, rf"\b{d} distinct"),
-            ("README.md", readme, rf"\b{k1} at 1000[x×]"),
-            ("README.md", readme, rf"\b{k10} at 10000[x×]"),
+            ("README.md", readme_n, rf"\b{d} distinct"),
+            ("README.md", readme_n, rf"\b{k1} at 1000[x×]"),
+            ("README.md", readme_n, rf"\b{k10} at 10000[x×]"),
             ("100TB.md", tb, rf"\b{d} distinct"),
             ("100TB.md", tb, rf"\b{k1} at 1000[x×]"),
             ("100TB.md", tb, rf"\b{k10} at 10000[x×]"),

@@ -114,11 +114,17 @@ PROBE_KEYS = [
     "q_llm_centroids",
     # r10 (VERDICT r9 #5): the stateful-streaming tail — RocksDB-backed
     # state, event-time session windows, stream-stream interval join,
-    # watermarked dedup. NOTE: the LSH/span dup-DETECTION keys
-    # (near_dedup, minhash_exact, dup_spans, span_removal) are probed
-    # TARGETED with --perturb-docs only — on plain key-shifted copies
-    # every doc is duplicated N× and the banded join degenerates to N²
-    # pairs per doc by construction (a contract violation, not a plan).
+    # watermarked dedup. NOTE: the span dup-DETECTION keys (dup_spans,
+    # span_removal, subdoc_dup, decontaminate) are probed TARGETED with
+    # --perturb-docs only — on plain key-shifted copies every doc is
+    # duplicated N× and the detection degenerates to its output-bound
+    # worst case (a contract violation, not a plan). The banded-LSH keys
+    # (minhash_exact, near_dedup) must NOT be ×N-probed on this corpus
+    # AT ALL, perturbed or not: the synthetic fixture's background
+    # shingle Jaccard is 0.17 (measured, SCALE.md r10), so ~11% of ALL
+    # pairs band-collide by spec and candidates are Θ(n²) at any N —
+    # the corpus lacks the contrast the production contract assumes
+    # (real-crawl J_bg ≈ 0.01). See q_llm_minhash_exact's docstring.
     "q_stream_rocksdb",
     "q_stream_session",
     "q_stream_stream_join",
