@@ -558,6 +558,15 @@ def _winnow_batches(it):
     for pdf in it:
         out_n, out_w = [], []
         for text in pdf["text"]:
+            if text is None:
+                # Out-of-contract input (the documents fixture guarantees
+                # non-null text): fail legibly instead of an AttributeError
+                # aborting the stage — the JVM form this kernel replaced
+                # degraded null-safely, so the contract must be explicit.
+                raise ValueError(
+                    "q_llm_winnow: null text violates the documents "
+                    "contract (non-null text); filter nulls upstream"
+                )
             codes = np.frombuffer(
                 text.encode("utf-32-le"), dtype=np.uint32
             ).astype(np.int64)

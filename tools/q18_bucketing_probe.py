@@ -92,11 +92,17 @@ def main() -> int:
     for t in tables:
         spark.read.parquet(f"{scaled}/{t}.parquet").count()
 
-    # one-time bucketed layout of the scaled facts (cached across runs)
+    # one-time bucketed layout of the scaled facts (cached across runs).
+    # The table names carry the same SF_DIR sha1 tag build_scaled() keys
+    # its cache on (ADVICE r10): a fixture switch must force a rebuild,
+    # never silently reuse tables bucketed from a different source.
+    import hashlib
+
+    src = hashlib.sha1(os.path.abspath(SF_DIR).encode()).hexdigest()[:10]
     layout_s = {}
     specs = {
-        f"q18bkt_lineitem_x{n}": ("lineitem", "l_orderkey"),
-        f"q18bkt_orders_x{n}": ("orders", "o_orderkey"),
+        f"q18bkt_{src}_lineitem_x{n}": ("lineitem", "l_orderkey"),
+        f"q18bkt_{src}_orders_x{n}": ("orders", "o_orderkey"),
     }
     for name, (t, key) in specs.items():
         if not spark.catalog.tableExists(name):
@@ -116,8 +122,8 @@ def main() -> int:
     plain = lambda: QUERIES["q_tpch_q18ish"](spark, scaled)  # noqa: E731
     c = spark.read.parquet(f"{scaled}/customer.parquet")
     bucketed = lambda: q18_shape(  # noqa: E731
-        spark.table(f"q18bkt_lineitem_x{n}"),
-        spark.table(f"q18bkt_orders_x{n}"),
+        spark.table(f"q18bkt_{src}_lineitem_x{n}"),
+        spark.table(f"q18bkt_{src}_orders_x{n}"),
         c,
     )
 
