@@ -98,7 +98,11 @@ HEADLINE_KEYS = [
     # r10 additions (guard the round's kernel work): the two honest-probe
     # rewrites. First-round numbers in BENCH_r10.json are their baselines.
     "q_llm_winnow",         # Arrow mapInPandas winnowing kernel (new in r10)
-    "q_llm_char_entropy",   # Generate-pinned sorted-run entropy fold (new in r10)
+    "q_llm_char_entropy",   # Arrow integer-counting + JVM decimal fold (kernel since r11)
+    # r11 additions (guard the round's kernel work): the second Arrow
+    # promotion and the zero-exchange bucketed q18 layout key.
+    "q_llm_repetition",     # Arrow trigram-counting kernel (promoted in r11)
+    "q_tpch_q18_bucketed",  # zero-exchange bucketed q18 (new in r11)
 ]
 
 

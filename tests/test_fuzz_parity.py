@@ -23,18 +23,20 @@ rules:
   (r6: pareto; r7: the cosine family, the recall denominator, two TPC-H
   shares, and the corr builtin).
 
-Fuzz census — the 40 registered keys NOT in any corpus, with reasons
+Fuzz census — the 32 registered keys NOT in any corpus, with reasons
 (all other keys ride a suite; test_fuzz_census_accounts_for_every_key
 below machine-checks this arithmetic so the census cannot drift):
 
-- 25 streaming keys (q_stream_* and q_src_python_stream): their
-  correctness surface is multi-batch replay, watermarks, and
-  checkpoint RESTARTS — properties of the trigger/state machinery, not
-  of the input table's value distribution. Randomizing the table would
-  re-test batch expression parity the batch twins already fuzz; the
-  stateful semantics are proven in tests/test_stream_equivalence.py
-  (batch-twin equivalence, genuine restarts, randomized
-  file-replay-order runs) plus driver rows.
+- 17 streaming keys (q_stream_* and q_src_python_stream, minus the 8
+  fuzzed ones): their correctness surface is multi-batch replay,
+  watermarks, and checkpoint RESTARTS — properties of the trigger/state
+  machinery, not of the input table's value distribution; the stateful
+  semantics are proven in tests/test_stream_equivalence.py (batch-twin
+  equivalence, genuine restarts, randomized file-replay-order runs)
+  plus driver rows. The 8 oracle-bearing streaming keys whose VALUE
+  semantics do depend on the distribution (tumbling, sliding, session,
+  dedup, watermark, late_data, static_join, stateful) ride the events
+  corpus since r11 — real availableNow replays per example.
 - 11 rows-only keys (q_agg_approx_distinct, q_agg_approx_percentile,
   q_agg_hll_union, q_hash_xxhash, q_llm_ann_lsh, q_llm_frames,
   q_llm_multimodal, q_llm_near_dedup, q_llm_simhash, q_llm_tfidf,
@@ -152,6 +154,26 @@ _FUZZ_KEYS = [
     "q_udf_map_iter",
     "q_udf_pandas_agg",
     "q_src_python_sink",  # two-phase-commit sink round-trip, random feed
+    # r11 census shrink (VERDICT r10 #7): the oracle-bearing streaming
+    # keys whose VALUE semantics depend on the input distribution ride
+    # the events corpus like any batch key — each runs its REAL
+    # availableNow replay against the random table and must match the
+    # DuckDB oracle exactly. The replay/restart machinery itself stays
+    # covered by test_stream_equivalence.py (genuine restarts,
+    # randomized file-replay permutations); what fuzzing adds is the
+    # value-boundary surface: window edges at quantized instants,
+    # session gaps exactly at the threshold, duplicate rows for dedup,
+    # watermark cutoffs at tie-heavy timestamps. NOTE the corpus keeps
+    # event_id unique (enumerate below) — it is the feed's KEY
+    # (FIXTURES.md), and dedup/session contracts assume it.
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_watermark",
+    "q_stream_late_data",
+    "q_stream_static_join",
+    "q_stream_stateful",
 ]
 
 
@@ -631,6 +653,8 @@ _TPCH_FUZZ_KEYS = [
     "q_scan_json",  # JSON round-trip (region content-fixed: see writer)
     "q_scan_csv",  # CSV round-trip (region content-fixed: see writer)
     "q_join_bucketed",  # bucketed SMJ on seed-varied orders x customer
+    "q_tpch_q18_bucketed",  # zero-exchange bucketed q18 incl. its plan
+                            # assert, on per-example rebuilt bucket tables
 ]
 
 # (orderkey, partkey, qty, price_quarters, discount_idx, ship_month, flag)
@@ -778,7 +802,9 @@ def test_random_tpch_tables_match_duckdb(spark, tmp_path_factory, lines):
 # machine-checked, so adding a key without deciding its fuzz story fails
 # here instead of silently widening the unfuzzed pool.
 
-_CENSUS_STREAMING = 25  # q_stream_* + q_src_python_stream
+_CENSUS_STREAMING = 17  # q_stream_* + q_src_python_stream, minus the 8
+                        # oracle-bearing value-semantics keys fuzzed in
+                        # the events suite since r11 (VERDICT r10 #7)
 _CENSUS_ROWS_ONLY = {
     "q_agg_approx_distinct",
     "q_agg_approx_percentile",
@@ -823,7 +849,7 @@ def test_fuzz_census_accounts_for_every_key():
         k
         for k in QUERIES
         if k.startswith("q_stream_") or k == "q_src_python_stream"
-    }
+    } - fuzzed
     assert len(streaming) == _CENSUS_STREAMING, sorted(streaming)
     census = streaming | _CENSUS_ROWS_ONLY | _CENSUS_OTHER
     assert not (census & fuzzed), sorted(census & fuzzed)

@@ -53,8 +53,56 @@ def test_simhash_generate_barrier(spark, sf_dir):
     _assert_barrier(spark, sf_dir, "q_llm_simhash", 1, "xxhash64(")
 
 
-def test_char_entropy_generate_barrier(spark, sf_dir):
-    # char_entropy pins the sorted char array; the fold's run-close term
-    # divides by size(chars) and must read the bound attribute — inlined,
-    # every closed run re-splits and re-sorts the whole document
-    _assert_barrier(spark, sf_dir, "q_llm_char_entropy", 1, "array_sort(")
+def _assert_arrow_kernel(spark, sf_dir, key: str, in_cols: set):
+    """The optimized plan must contain exactly one MapInPandas stage, fed
+    by a projection of ONLY `in_cols` — if a refactor widens the Arrow
+    input, every extra column pays the serialize/deserialize toll per
+    row at corpus scale (the reason these kernels select before
+    mapInPandas)."""
+    opt = QUERIES[key](spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+    plan = str(opt)
+    assert plan.count("MapInPandas") == 1, (
+        f"{key}: expected exactly one MapInPandas stage:\n{plan}"
+    )
+    map_line = next(
+        line for line in plan.splitlines() if "MapInPandas" in line
+    )
+    import re
+
+    # line shape: `MapInPandas _kernel(doc_id#0L, text#1)#6, [outputs...]`
+    # — the kernel's INPUT attributes are the first parenthesized args
+    args = re.search(r"MapInPandas \w+\(([^)]*)\)", map_line).group(1)
+    fed = set(re.findall(r"(\w+)#\d+", args))
+    assert fed == in_cols, (
+        f"{key}: Arrow kernel fed {sorted(fed)}, expected "
+        f"{sorted(in_cols)} — widened input pays Arrow transfer per row"
+    )
+
+
+def test_char_entropy_arrow_kernel_shape(spark, sf_dir):
+    # r11: char_entropy's counting runs in an Arrow kernel over
+    # (doc_id, text) ONLY; the decimal entropy fold stays JVM-side above
+    # it (the hybrid split that keeps the oracle bit-exact). The r10
+    # Generate-barrier test retired with the JVM fold — that form stays
+    # measurable in tools/text_kernel_bench.py.
+    _assert_arrow_kernel(
+        spark, sf_dir, "q_llm_char_entropy", {"doc_id", "text"}
+    )
+    # the JVM fold must consume the kernel's bound counts attribute
+    plan = str(
+        QUERIES["q_llm_char_entropy"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+    )
+    assert "aggregate(counts#" in plan, (
+        f"char_entropy: decimal fold no longer reads the Arrow counts "
+        f"attribute:\n{plan}"
+    )
+
+
+def test_repetition_arrow_kernel_shape(spark, sf_dir):
+    # r11: repetition's trigram counting runs in an Arrow kernel over
+    # (doc_id, text) ONLY; the 1 - d/n ratio and round(6) stay JVM-side.
+    _assert_arrow_kernel(
+        spark, sf_dir, "q_llm_repetition", {"doc_id", "text"}
+    )

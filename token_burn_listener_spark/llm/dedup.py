@@ -963,8 +963,11 @@ def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles are the minority, so the join's build side is small); the
     island merge is a per-doc window — state bounded by document length,
     never cross-document. Only (doc_id, pos, hash) rows shuffle; text
-    never leaves the scan. At scale, swap sha256 for xxhash64 to cut
-    shuffle bytes — the hash only keys the spread, it is not output.
+    never leaves the scan. Since r11 the Spark-side hash IS xxhash64
+    (8-byte long) rather than the oracle's sha256 hex — it only keys the
+    spread, never the output, so the engines agree unless a 64-bit
+    collision fabricates a duplicate (P ≈ 0.4% at the 1000× probe's
+    ~4e8 shingles, ~1e-11 at oracle scale; see the pin comment below).
     """
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split("text", " ").alias("t")).filter(
@@ -975,8 +978,8 @@ def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(t) - {_SPAN_GRAM}), "
-                f"i -> sha2(array_join(slice(t, i + 1, {_SPAN_GRAM}), ' '),"
-                " 256))"
+                f"i -> xxhash64(array_join(slice(t, i + 1, {_SPAN_GRAM}),"
+                " ' ')))"
             )
         ).alias("pos", "h"),
         # pinned: g feeds BOTH the spread aggregation and the hits join —
@@ -984,6 +987,15 @@ def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # q_llm_span_removal, where the plan audit flags it). The pin
         # materializes the (doc_id, pos, hash) rows once — the same
         # shuffle-sized intermediate the two consumers already move.
+        # r11 (VERDICT r10 #5): the pin hash is xxhash64 (8-byte long),
+        # not the oracle's 64-char sha256 hex — the hash only KEYS the
+        # spread + join, it is never output, so the engines agree as
+        # long as the induced duplicated-shingle relation is identical.
+        # A false duplicate needs an xxhash64 collision between two
+        # distinct shingles in >= 2 docs: P <= rows²/2^65 ≈ 0.4% even at
+        # the 1000× probe's ~4e8 rows, ~1e-11 at oracle scale. The
+        # ~3.7× narrower row is what let the 1000× probe fit the 64 GB
+        # single-box heap the r10 sha-hex pin OOMed.
     ).localCheckpoint(eager=False)
     spread = (
         g.groupBy("h")

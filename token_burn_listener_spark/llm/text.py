@@ -404,6 +404,34 @@ def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trigram_count_batches(it):
+    """Arrow-batched trigram-duplication kernel (see q_llm_repetition):
+    INTEGER work only — per doc, total and distinct word-trigram counts
+    via zip/set over the split token list. Trigram identity as a token
+    TUPLE is equivalent to the oracle's space-joined string: split(' ')
+    tokens can never contain a space, so ' '-joining is injective. The
+    ratio/round float math stays JVM-side (the q_llm_char_entropy
+    hybrid split), so cross-engine float identity is untouched."""
+    import pandas as pd
+
+    for pdf in it:
+        ids, ng, nd = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                raise ValueError(
+                    "q_llm_repetition: null text violates the documents "
+                    "contract (non-null text); filter nulls upstream"
+                )
+            toks = text.split(" ")
+            n = len(toks) - 2
+            if n <= 0:  # <3 tokens: no trigrams, no row (both engines)
+                continue
+            ids.append(doc_id)
+            ng.append(n)
+            nd.append(len(set(zip(toks, toks[1:], toks[2:]))))
+        yield pd.DataFrame({"doc_id": ids, "n_grams": ng, "n_distinct": nd})
+
+
 @query(
     "q_llm_repetition",
     oracle="""
@@ -424,35 +452,32 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extra, beyond §2.B10) — the Gopher/C4-style repetitiousness signal
     used to drop boilerplate and degenerate generations from a corpus.
 
-    All in-row array HOFs (trigrams via zip_with over shifted slices, dedup
-    via array_distinct) — per-document work, no shuffle at all: at 100 TB
-    this is a pure map-side scan like the other quality signals, and the
-    ratio composes with q_llm_text_filter's predicate stack. The slice
-    formulation keeps every split() OUTSIDE the lambdas where codegen's
-    subexpression elimination evaluates it once per row (the element_at
-    (split, i)-in-lambda form re-splits per gram: O(tokens²), measured
-    7.1 s → 1.6 s at sf0.1). The DuckDB oracle builds the identical
-    trigram list with a list comprehension.
+    Per-document work, no shuffle at all: at 100 TB this is a pure
+    map-side scan like the other quality signals, and the ratio composes
+    with q_llm_text_filter's predicate stack. The counting runs in an
+    Arrow mapInPandas kernel emitting exact INTEGERS only (total and
+    distinct trigram counts); the 1 - d/n ratio and round(6) stay in the
+    JVM with expression text unchanged from the r5–r10 all-JVM form, so
+    the oracle argument (identical integer inputs → identical doubles)
+    is untouched. Promoted r11 under the SURVEY §6 measurement rule
+    (VERDICT r10 #3): the zip_with-over-shifted-slices JVM form — itself
+    the measured winner over the element_at-in-lambda O(tokens²) form —
+    recorded 65.5 s at 5 M docs in r10 (44.7 s re-measured same-session)
+    with its interpreted per-gram concat lambdas; the set-of-tuples
+    kernel cuts it to 6.9 s — 6.5× (tools/text_kernel_bench.py,
+    value-identical on all 5000 fixture rows). The JVM form stays
+    measurable in that tool.
     """
     d = load_table(spark, sf_dir, "documents")
-    grams = F.expr(
-        "zip_with("
-        "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
-        "  zip_with("
-        "    slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 2, 0)),"
-        "    slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0)),"
-        "    (b, c) -> concat(b, ' ', c)),"
-        "  (a, bc) -> concat(a, ' ', bc))"
+    counted = d.select("doc_id", "text").mapInPandas(
+        _trigram_count_batches,
+        schema="doc_id bigint, n_grams bigint, n_distinct bigint",
     )
-    return (
-        d.select("doc_id", grams.alias("grams"))
-        .filter(F.size("grams") > 0)
-        .select(
-            "doc_id",
-            F.round(
-                1.0 - F.size(F.array_distinct("grams")) / F.size("grams"), 6
-            ).alias("rep_ratio"),
-        )
+    return counted.select(
+        "doc_id",
+        F.round(
+            1.0 - F.col("n_distinct") / F.col("n_grams"), 6
+        ).alias("rep_ratio"),
     )
 
 
@@ -1645,6 +1670,35 @@ _ENTROPY_TERM = (
 )
 
 
+def _char_count_batches(it):
+    """Arrow-batched char-counting kernel (see q_llm_char_entropy):
+    INTEGER work only — per doc, exact distinct-char counts via
+    np.unique over a utf-16-le reinterpret (Spark's split('') code-unit
+    semantics, the winnow kernel's trick at 16 bits) plus the total
+    length. Every transcendental/decimal op stays JVM-side, so the
+    bit-exactness argument of the all-JVM form carries over verbatim;
+    numpy only ever produces integers here."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        ids, counts, ns = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                raise ValueError(
+                    "q_llm_char_entropy: null text violates the documents "
+                    "contract (non-null text); filter nulls upstream"
+                )
+            arr = np.frombuffer(text.encode("utf-16-le"), dtype=np.uint16)
+            if len(arr) == 0:  # filtered upstream (length(text) > 0)
+                continue
+            _, c = np.unique(arr, return_counts=True)
+            ids.append(doc_id)
+            counts.append(c.astype(np.int64))
+            ns.append(len(arr))
+        yield pd.DataFrame({"doc_id": ids, "counts": counts, "n_chars": ns})
+
+
 @query(
     "q_llm_char_entropy",
     oracle=f"""
@@ -1678,98 +1732,65 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     its ln(ndv) ceiling (the q_diag_column_entropy report shape, per
     document instead of per column).
 
-    Exactness: the Spark side never builds a counts table — it folds
-    SORTED chars in-row, closing each equal-run with the same per-term
-    float expression the oracle evaluates on its exact integer counts
-    ((c/n)*ln(c/n), identical doubles at identical counts), and
-    accumulates the terms in a DECIMAL(28,12) accumulator — decimal
-    addition is exact, so the sequential in-row fold equals the
-    oracle's order-independent decimal SUM bit-for-bit (the
-    q_diag_column_entropy technique, moved in-row). Empty-text docs
-    have no defined distribution and produce no row on either engine:
-    BOTH engines split '' into [''] (measured via collect — show()
-    renders [''] indistinguishably from [], which hid this at first),
-    DuckDB's oracle drops the pseudo-char through chr <> '' while the
-    Spark fold would count it as a run AND collide with the fold's
-    prev='' init sentinel — so the row filter is length(text) > 0, on
-    the text itself, never a size test on the split. Fixture/fuzz
-    text is ASCII;
+    Exactness (the r11 hybrid split): the Arrow kernel does INTEGER
+    WORK ONLY — np.unique counts over a utf-16-le reinterpret of the
+    text (exactly Spark's split('') code-unit semantics) yield the same
+    exact counts DuckDB's GROUP BY computes — and every float and
+    decimal op stays in the JVM with the expression text unchanged from
+    the r8–r10 forms: per count, (c/n)*ln(c/n) as doubles (identical
+    doubles at identical integers on both engines), each term cast to
+    DECIMAL(28,12) and summed in a decimal accumulator — decimal
+    addition is exact, so the fold equals the oracle's
+    order-independent decimal SUM bit-for-bit regardless of count
+    order. numpy never touches a float (the r10 non-promotion reason —
+    numpy log may differ from JVM/DuckDB libm by 1 ulp and flip the
+    DECIMAL round — is structurally avoided, not waived). Empty-text
+    docs have no defined distribution and produce no row on either
+    engine (both engines split '' into ['']; the row filter is
+    length(text) > 0 on the text itself). Fixture/fuzz text is ASCII;
     non-BMP text splits into UTF-16 code units on Spark vs codepoints
     on DuckDB and is out of contract.
 
-    100 TB plan: ZERO shuffles — per-doc entropy is a pure map-side
-    array_sort + run-length fold (O(len log len) per doc), like every
-    other per-doc quality signal (q_llm_quality_score,
-    q_llm_repetition). The first cut shuffled (doc, char) occurrence
-    rows into a counts table + totals join; measured at 1000x rows it
-    was the probe set's outlier (factor 82.6 vs corpus_prep's 19.7) —
-    the fold form removes both exchanges and the checkpoint outright.
-    The sorted array is pinned behind a Generate barrier (r10): unpinned,
-    the fold's run-close term re-sorted the whole document per distinct
-    char (the honest force() probe caught it; the r9 1.64 "reading" was
-    a count()-fallback artifact of the force() overflow bug).
+    100 TB plan: ZERO shuffles — mapInPandas over the scan emitting
+    (doc_id, counts array, n) with ndv ≤ charset elements per row, then
+    a JVM decimal fold over that BOUNDED array. The r10 all-JVM
+    sorted-run fold was correct and linear but carried the record's
+    worst constant (350.8 s / 5 M docs — ~L decimal struct ops per doc,
+    VERDICT r10 #1); moving the counting to numpy and folding charset-
+    not-length many terms cut it to 16.2 s at 5 M docs — 6.4× vs the
+    same-session JVM-fold re-measure of 104.7 s, ~21× vs the r10 SCALE
+    row's 350.8 s recorded under round-10 load
+    (tools/text_kernel_bench.py, value-identical on all 5000 fixture
+    rows). The JVM fold form stays measurable in that tool.
     """
     d = load_table(spark, sf_dir, "documents")
     dec = "decimal(28,12)"
-    # The sorted char array is pinned behind an explode(array(e)) Generate
-    # barrier (r10; the honest force()-measured probe caught this): the
-    # fold's per-run-close `term` divides by n = size(chars), and with
-    # `chars` left as a raw expression CollapseProject inlines
-    # size(array_sort(split(text))) into the lambda — a FULL re-split +
-    # re-sort of the document on every closed run, O(ndv · L log L) per
-    # doc instead of O(L log L). Behind the Generate, `chars` is a bound
-    # attribute: sorted once, size() is an O(1) length read.
-    base = d.filter(F.length("text") > 0).select(
+    counted = (
+        d.filter(F.length("text") > 0)
+        .select("doc_id", "text")
+        .mapInPandas(
+            _char_count_batches,
+            schema="doc_id bigint, counts array<bigint>, n_chars bigint",
+        )
+    )
+    # counts/n_chars are bound attributes of the Arrow stage's output —
+    # the lambda below reads them O(1), nothing to rederive (the
+    # audit_plans lambda_rederivations gate stays structurally green).
+    n = F.col("n_chars")
+
+    def step(acc, c):
+        p = c.cast("double") / n.cast("double")
+        return (acc + (p * F.log(p)).cast(dec)).cast(dec)
+
+    s = F.aggregate(F.col("counts"), F.lit(0).cast(dec), step)
+    return counted.select(
         "doc_id",
-        F.explode(F.array(F.array_sort(F.split("text", "")))).alias("chars"),
-    )
-    n = F.size("chars")
-
-    def term(run):
-        p = run.cast("double") / n.cast("double")
-        return (p * F.log(p)).cast(dec)
-
-    init = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast(dec).alias("s"),
-        F.lit(0).cast("long").alias("k"),
-    )
-
-    def step(acc, x):
-        same = x == acc["prev"]
-        closed = (acc["s"] + term(acc["run"])).cast(dec)
-        return F.struct(
-            x.alias("prev"),
-            F.when(same, acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.when(same | (acc["run"] == 0), acc["s"])
-            .otherwise(closed)
-            .alias("s"),
-            F.when(same, acc["k"]).otherwise(acc["k"] + 1).alias("k"),
-        )
-
-    def fin(acc):
-        return F.struct(
-            F.when(acc["run"] > 0, (acc["s"] + term(acc["run"])).cast(dec))
-            .otherwise(acc["s"])
-            .alias("s"),
-            acc["k"].alias("k"),
-        )
-
-    ent = F.aggregate(F.col("chars"), init, step, fin)
-    return (
-        base.select("doc_id", ent.alias("e"), n.alias("nc"))
-        .select(
-            "doc_id",
-            F.col("e.k").alias("ndv"),
-            F.col("nc").cast("long").alias("n_chars"),
-            F.round((-F.col("e.s")).cast("double"), 6).alias("entropy_nats"),
-            F.round(F.log(F.col("e.k").cast("double")), 6).alias(
-                "max_entropy_nats"
-            ),
-        )
+        F.size("counts").cast("long").alias("ndv"),
+        F.col("n_chars").alias("n_chars"),
+        F.round((-s).cast("double"), 6).alias("entropy_nats"),
+        F.round(F.log(F.size("counts").cast("double")), 6).alias(
+            "max_entropy_nats"
+        ),
     )
 
 

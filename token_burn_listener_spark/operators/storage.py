@@ -162,6 +162,85 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q18_bucketed",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q18ish over an order-key-bucketed layout: the SHUFFLE-FREE
+    form of the round-10 probe's biggest structural finding, promoted to
+    a driver key so the layout win stays permanent driver evidence
+    (VERDICT r10 #6).
+
+    The plain q18 shape at 1000× is dominated by the ~150 M-group
+    l_orderkey aggregation shuffle (SCALE.md r9: 464.9 s honest; the
+    shuffle-partition knob made it WORSE). tools/q18_bucketing_probe.py
+    measured the structural fix: lineitem and orders pre-bucketed on the
+    order key drop the q18 shape from 3 shuffle exchanges to 0 and
+    16.9× wall time at 1000×, for a once-per-ingest layout cost that
+    amortizes over every downstream order-keyed query. This key runs the
+    IDENTICAL logical query (same oracle text as q_tpch_q18ish) over
+    8-way bucketed scratch tables and ASSERTS the zero-shuffle plan:
+    the groupBy consumes the scan's HashPartitioning(l_orderkey)
+    directly, the orders join is bucket-co-located (merge hint pins SMJ
+    over the fixture-size broadcast), and the customer join broadcasts —
+    at 100 TB the customer side is still the dimension, so broadcast is
+    the right production shape too.
+    """
+    h = scratch_dir(
+        sf_dir, "", source=f"{sf_dir}/lineitem.parquet"
+    ).split("/")[-2]
+    specs = {
+        f"bkt_q18_lineitem_{h}": ("lineitem", "l_orderkey"),
+        f"bkt_q18_orders_{h}": ("orders", "o_orderkey"),
+    }
+    for name, (table, key) in specs.items():
+        if not spark.catalog.tableExists(name):
+            (
+                load_table(spark, sf_dir, table)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", fresh_run_dir(name))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    l_name, o_name = list(specs)
+    l, o = spark.table(l_name), spark.table(o_name)
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    out = (
+        big.join(o.hint("merge"), big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+    plan = _plan(out)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    if n_exchanges != 0:
+        raise AssertionError(
+            f"bucketed q18 not shuffle-free: {n_exchanges} Exchanges in plan"
+            " (expected 0: agg + order join consume the bucket layout,"
+            " customer broadcasts)"
+        )
+    return out
+
+
+@query(
     "q_sink_compaction",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -105,103 +105,73 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #            the 31 stalest clean keys (r01/r02 agg/join tail + r03
 #            scalar head) — 46 green, 4 rows-only by design, 0 red.
 #
-#   r11 window (listed so the next round can verify positions 1-50
-#   against this comment after its rotation edit — the 11 storage/
-#   setops/subquery keys the r10 dirty block displaced, then the
-#   r04-evidence subquery/TPC-H block, the r05 LLM text/prep head and
-#   event-analytics head; the r10 dirty keys rotate to the back once
-#   proven):
-#   q_scan_parquet q_scan_orc q_sink_partitioned q_sink_compaction
-#   q_scan_schema_evolution q_join_bucketed q_struct_ops
-#   q_set_intersect_all q_set_except q_set_except_all q_set_distinct
-#   q_sub_scalar q_sub_in q_sub_correlated q_tpch_q4ish q_tpch_q5ish
-#   q_tpch_q6ish q_tpch_q7ish q_tpch_q10ish q_tpch_q12ish q_tpch_q13ish
-#   q_tpch_q18ish q_tpch_q19ish q_tpch_q22ish q_stream_union
-#   q_stream_rocksdb q_llm_exact_dedup q_llm_tokenize q_llm_tfidf
-#   q_llm_ngrams q_llm_text_filter q_llm_doc_stats q_llm_quality_score
-#   q_llm_fingerprint q_llm_lang_id q_llm_token_count q_llm_repetition
-#   q_llm_quantize q_llm_inverted_index q_llm_redact_pii q_llm_chunk
-#   q_llm_mix_domains q_llm_sample_stratified q_llm_global_shuffle
-#   q_llm_pack_sequences q_llm_corpus_prep q_llm_frames q_evt_sessionize
-#   q_evt_funnel q_evt_retention
+#   r10 proved: canary + the 11 r10-dirty keys (winnow Arrow promotion,
+#            char_entropy/decontaminate/subdoc_dup barrier pins, the
+#            shingled()/cdc O(L²) rewrites) + the r03-evidence
+#            scalar/window/sort/streaming/setops staleness head —
+#            45 green, 5 rows-only by design, 0 red.
+#
+#   r11 window = positions 1-50 below (the r10 pre-plan, amended for
+#   this round's work): canary, the NEW q_tpch_q18_bucketed, the 6
+#   r11-dirty keys (char_entropy/repetition Arrow promotions, winnow
+#   null guard, dup_spans/span_removal xxhash pin, the
+#   q_stream_session oracle boundary fix), then the 42 stalest clean
+#   keys (r04/r05 evidence). The keys of the r10 pre-plan that no
+#   longer fit (q_llm_pack_sequences q_llm_corpus_prep q_llm_frames
+#   q_evt_sessionize q_evt_funnel q_evt_retention) slide to the r12
+#   head.
+#
+#   r12 window (listed so the next round can verify positions 1-50
+#   against this comment after its rotation edit; amend with r12-dirty
+#   and new keys first — displaced keys slide onward):
+#   q_scan_parquet q_llm_pack_sequences q_arr_basic q_llm_corpus_prep
+#   q_llm_frames q_evt_sessionize q_evt_funnel q_evt_retention
+#   q_evt_anomaly q_evt_resample q_evt_histogram q_cdc_snapshot_diff
+#   q_cdc_scd2 q_cdc_merge q_llm_bigram_lm q_stream_upsert_latest
+#   q_scan_text q_agg_hll_union q_evt_transitions q_cdc_incr_agg
+#   q_llm_fuzzy_dup q_llm_split q_llm_length_buckets q_llm_zipf
+#   q_llm_cms_topk q_stream_listener_e2e q_llm_media_decode
+#   q_llm_dup_rate_by_source q_llm_ngram_novelty q_llm_curriculum
+#   q_llm_embedding_coverage q_stream_chained q_sink_zorder q_llm_dsir
+#   q_evt_dynamic_sessions q_llm_training_manifest q_scan_time_travel
+#   q_llm_ccnet_buckets q_diag_join_skew q_stream_dynamic_session
+#   q_llm_bpe_merges q_evt_windowed_funnel q_scan_csv_corrupt q_evt_rfm
+#   q_evt_rolling_active q_cdc_pit_join q_evt_attribution q_evt_paths
+#   q_join_range_bucketed q_llm_leak_check
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r10 driver window (positions 1-50): canary + the 11 r10-dirty
-    # keys + the pre-planned staleness head the r9 verdict named (the
-    # r03-evidence map/json/hash scalars, windows, sorts/limits, the
-    # full streaming family — the reference-parity A1-A10 surface, the
-    # oldest evidence in the registry — and the setops head). The 11
-    # displaced storage/setops/subquery keys slide to the r11 window
-    # head. ---
-    "q_scan_parquet",  # canary: driver-proven nine times, cheapest probe
-    # dirty r10 (every change probe- or gate-driven this round):
-    # winnow -> Arrow mapInPandas production kernel, promoted on
-    # measurement (24.5 s vs 95.3 s best-JVM form at 5 M docs,
-    # tools/winnow_kernel_bench.py); char_entropy pins its sorted
-    # char array behind a Generate barrier (the honest force() probe
-    # exposed the fold re-sorting the whole doc per closed run);
-    # decontaminate (_grams8) and subdoc_dup pin their token arrays
-    # (the new plan-audit lambda-rederive gate caught both
-    # re-splitting text once per gram/chunk):
-    "q_llm_winnow",
+    # --- r11 driver window (positions 1-50): canary + the NEW bucketed
+    # q18 key + the 6 r11-dirty keys + the pre-planned staleness head
+    # from the r10 rotation comment (the 11 storage/setops/subquery keys
+    # the r10 dirty block displaced, the r04-evidence subquery/TPC-H
+    # block, the r05 LLM text/prep head). The last keys of the r10
+    # pre-plan (pack_sequences, corpus_prep, frames,
+    # evt_sessionize/funnel/retention) did not fit behind the dirty
+    # block and slide to the r12 head. ---
+    "q_scan_parquet",  # canary: driver-proven ten times, cheapest probe
+    # NEW key (driver-unseen), directly after the canary per the
+    # invariant: the zero-exchange bucketed q18 (VERDICT r10 #6)
+    "q_tpch_q18_bucketed",
+    # dirty r11: char_entropy + repetition promoted to INTEGER-ONLY
+    # Arrow counting kernels on a measured head-to-head (16.2 s vs
+    # 104.7 s and 6.9 s vs 44.7 s at 5 M docs, value-identical —
+    # tools/text_kernel_bench.py; all float/decimal ops stay JVM-side
+    # so the oracle argument is unchanged); winnow's kernel gained the
+    # null-text contract guard (ADVICE r10); dup_spans (and
+    # span_removal, which composes it) swapped the pin hash from
+    # sha256-hex to xxhash64 (~3.7x narrower pin rows, VERDICT r10 #5):
     "q_llm_char_entropy",
-    "q_llm_decontaminate",
-    "q_llm_subdoc_dup",
-    # ...and the shingled()/cdc_chunks O(L^2)-substring rewrites (the
-    # probe made the minhash signature stage crawl; substring re-scans
-    # UTF-8 to the offset, so sweeping it across the string is O(L^2)
-    # per doc — all six shingle consumers plus CDC chunking now read a
-    # Generate-pinned char array via O(1) element_at/slice):
-    "q_llm_near_dedup",
-    "q_llm_jaccard_pairs",
-    "q_llm_simhash",
-    "q_llm_dedup_survivors",
-    "q_llm_minhash_exact",
-    "q_llm_lsh_recall",
-    "q_llm_cdc_chunking",
-    # --- staleness tail: driver-proven keys in ASCENDING recency of
-    # evidence (r03 remainder, r04, r05, r06, r07, then the just-proven
-    # r08 block at the very back). ---
-    # driver-proven in r03
-    "q_map_json",
-    "q_json_tuple",
-    "q_json_to",
-    "q_hash_sha2",
-    "q_hash_md5",
-    "q_hash_xxhash",
-    "q_win_rank",
-    "q_win_ntile",
-    "q_win_pct",
-    "q_win_lag_lead",
-    "q_win_running",
-    "q_win_range_frame",
-    "q_win_sliding",
-    "q_win_first_last",
-    "q_win_topk_group",
-    "q_sort_multi",
-    "q_limit",
-    "q_topk_global",
-    "q_stream_source_replay",
-    "q_stream_rate_smoke",
-    "q_stream_availablenow",
-    "q_stream_rate_limit",
-    "q_stream_tumbling",
-    "q_stream_sliding",
+    "q_llm_repetition",
+    "q_llm_winnow",
+    "q_llm_dup_spans",
+    "q_llm_span_removal",
+    # ...and q_stream_session: its oracle's session-break boundary was
+    # corrected >= -> > after the r11 streaming fuzz (the 5-min-quantized
+    # corpus hit an exact-30:00 gap; Spark's session_window merges at the
+    # half-open end boundary). Oracle change = dirty.
     "q_stream_session",
-    "q_stream_watermark",
-    "q_stream_late_data",
-    "q_stream_dedup",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_stream_stateful",
-    "q_stream_foreachbatch",
-    "q_stream_checkpoint",
-    "q_stream_outer_join",
-    "q_set_union_all",
-    "q_set_union",
-    "q_set_intersect",
-    # driver-proven in r04
-    "q_arr_basic",
+    # --- staleness head: the 43 stalest clean keys (r04/r05 evidence),
+    # the order the r10 rotation comment pre-planned ---
     "q_scan_orc",
     "q_sink_partitioned",
     "q_sink_compaction",
@@ -230,7 +200,6 @@ DRIVER_ORDER: list[str] = [
     "q_llm_exact_dedup",
     "q_llm_tokenize",
     "q_llm_tfidf",
-    # driver-proven in r05
     "q_llm_ngrams",
     "q_llm_text_filter",
     "q_llm_doc_stats",
@@ -238,7 +207,6 @@ DRIVER_ORDER: list[str] = [
     "q_llm_fingerprint",
     "q_llm_lang_id",
     "q_llm_token_count",
-    "q_llm_repetition",
     "q_llm_quantize",
     "q_llm_inverted_index",
     "q_llm_redact_pii",
@@ -246,7 +214,12 @@ DRIVER_ORDER: list[str] = [
     "q_llm_mix_domains",
     "q_llm_sample_stratified",
     "q_llm_global_shuffle",
+    # (q_llm_pack_sequences was displaced to position 51 by the
+    # q_stream_session dirty lift -- first of the r12 window)
     "q_llm_pack_sequences",
+    # driver-proven in r04
+    "q_arr_basic",
+    # driver-proven in r05
     "q_llm_corpus_prep",
     "q_llm_frames",
     "q_evt_sessionize",
@@ -364,8 +337,6 @@ DRIVER_ORDER: list[str] = [
     # keys, 6 r01/r02 joins — rotated to the back per the invariant;
     # the 15 keys the r9 vector-kernel rewrite dirtied were lifted out
     # of this block into the r09 window head)
-    "q_llm_dup_spans",
-    "q_llm_span_removal",
     "q_llm_vocab_coverage",
     "q_llm_dim_stats",
     "q_agg_corr",
@@ -450,6 +421,55 @@ DRIVER_ORDER: list[str] = [
     "q_arr_hof",
     "q_arr_explode",
     "q_arr_zip",
+    # --- r10-proven head block (minus the canary and the keys lifted
+    # dirty into the r11 window), rotated to the back per the
+    # invariant: the 10 r10-dirty shingle/barrier keys, the r03
+    # scalar/window/sort/streaming re-proofs, the setops head ---
+    "q_llm_decontaminate",
+    "q_llm_subdoc_dup",
+    "q_llm_near_dedup",
+    "q_llm_jaccard_pairs",
+    "q_llm_simhash",
+    "q_llm_dedup_survivors",
+    "q_llm_minhash_exact",
+    "q_llm_lsh_recall",
+    "q_llm_cdc_chunking",
+    "q_map_json",
+    "q_json_tuple",
+    "q_json_to",
+    "q_hash_sha2",
+    "q_hash_md5",
+    "q_hash_xxhash",
+    "q_win_rank",
+    "q_win_ntile",
+    "q_win_pct",
+    "q_win_lag_lead",
+    "q_win_running",
+    "q_win_range_frame",
+    "q_win_sliding",
+    "q_win_first_last",
+    "q_win_topk_group",
+    "q_sort_multi",
+    "q_limit",
+    "q_topk_global",
+    "q_stream_source_replay",
+    "q_stream_rate_smoke",
+    "q_stream_availablenow",
+    "q_stream_rate_limit",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_watermark",
+    "q_stream_late_data",
+    "q_stream_dedup",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_stateful",
+    "q_stream_foreachbatch",
+    "q_stream_checkpoint",
+    "q_stream_outer_join",
+    "q_set_union_all",
+    "q_set_union",
+    "q_set_intersect",
 ]
 
 

@@ -193,7 +193,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -214,9 +214,17 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user with a 30-minute inactivity gap.
 
-    Oracle is the classic gap-and-island SQL: a session breaks when the gap
-    to the previous event reaches the timeout; session end = last event +
-    gap (Spark's session_window end semantics).
+    Oracle is the classic gap-and-island SQL: a session breaks when the
+    gap to the previous event EXCEEDS the timeout — strictly greater, not
+    >=: an event at exactly last + 30 min lands on the closing session's
+    half-open end boundary and Spark's session_window MERGES it
+    (measured: events at 00:00/00:30 are one session of 2, 01:00:01
+    opens a new one). The driver fixture's ns-precision timestamps make
+    an exact-gap hit measure-zero, so this boundary only surfaced when
+    the 5-minute-quantized fuzz corpus joined in r11 — the >= oracle was
+    one session too many whenever a user's gap was exactly 30:00.
+    Session end = last event + gap (Spark's session_window end
+    semantics).
     """
     agg = (
         _stream(spark, sf_dir)

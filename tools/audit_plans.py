@@ -227,6 +227,13 @@ ALLOW_PYTHON = {
                          # (r10, VERDICT r9 #2): 24.5 s vs the best JVM
                          # form's 95.3 s at 5 M docs, value-identical —
                          # tools/winnow_kernel_bench.py keeps both honest
+    "q_llm_char_entropy",  # mapInPandas INTEGER-ONLY counting kernel
+                           # (r11, VERDICT r10 #2): 16.2 s vs the JVM
+                           # fold's 104.7 s at 5 M docs; all float/decimal
+                           # ops stay JVM-side — tools/text_kernel_bench.py
+    "q_llm_repetition",  # mapInPandas INTEGER-ONLY trigram counts (r11,
+                         # VERDICT r10 #3): 6.9 s vs 44.7 s at 5 M docs;
+                         # ratio/round stay JVM-side — text_kernel_bench.py
     "q_llm_training_manifest",  # composes pack_sequences' fold — same Arrow
                                 # contract, same skinny (id, source, n) rows
 }

@@ -12,7 +12,7 @@ This is a MEASUREMENT tool, not a fixture: queries()/oracles never read
 these copies (the driver contract still runs on /root/testdata only).
 
 Usage: python tools/scale_probe.py [N] [key,key,...] [table,table,...]
-                                   [--perturb-docs]
+                                   [--perturb-docs | --entropy-docs]
        (default N=10, all PROBE_KEYS, all tables)
 
 ``--perturb-docs`` builds the scaled ``documents`` copies with
@@ -25,6 +25,19 @@ the original text and every other copy keeps only the first ~7% of
 tokens verbatim, tagging the rest with the copy ordinal — so each doc
 contributes ONE duplicated span of ~7% of its length and the duplicated
 shingle set stays the small minority the plans were shaped for.
+
+``--entropy-docs`` (r11, VERDICT r10 #4) rebuilds the scaled
+``documents`` text from a HIGH-ENTROPY vocabulary: every (doc, copy)
+gets its own deterministic xxhash64 token ids from a 2^40 vocabulary, so
+the background shingle Jaccard drops to the real-crawl regime
+(measured ~1e-3 vs the fixture prose's 0.17 — the contrast the banded-
+LSH contract assumes), while every 50th base doc plants one near-dup
+PAIR per two copies (copies 2k/2k+1 share their first ~80% of tokens,
+char-shingle J ≈ 0.67 ≥ the 0.4 gate) so the true-positive set is
+linear in N and never cliques. This is the ONLY corpus the banded-LSH
+keys (minhash_exact, near_dedup, jaccard_pairs, lsh_recall) may be
+×N-probed on; under this flag the 1× baseline is the ×1 entropy build,
+not SF_DIR, so both sides of the factor see the same text distribution.
 
 The optional 2nd/3rd args run a TARGETED probe: only the listed keys,
 building only the listed tables in the N×-scaled root — the 100× probe
@@ -119,12 +132,14 @@ PROBE_KEYS = [
     # --perturb-docs only — on plain key-shifted copies every doc is
     # duplicated N× and the detection degenerates to its output-bound
     # worst case (a contract violation, not a plan). The banded-LSH keys
-    # (minhash_exact, near_dedup) must NOT be ×N-probed on this corpus
-    # AT ALL, perturbed or not: the synthetic fixture's background
+    # (minhash_exact, near_dedup) must NOT be ×N-probed on key-shifted
+    # prose copies, perturbed or not: the synthetic fixture's background
     # shingle Jaccard is 0.17 (measured, SCALE.md r10), so ~11% of ALL
     # pairs band-collide by spec and candidates are Θ(n²) at any N —
     # the corpus lacks the contrast the production contract assumes
-    # (real-crawl J_bg ≈ 0.01). See q_llm_minhash_exact's docstring.
+    # (real-crawl J_bg ≈ 0.01). Since r11 they get honest ×N rows via
+    # the TARGETED --entropy-docs corpus (see the module docstring and
+    # q_llm_minhash_exact's docstring).
     "q_stream_rocksdb",
     "q_stream_session",
     "q_stream_stream_join",
@@ -148,7 +163,11 @@ STREAM_KEYS = {
 
 
 def build_scaled(
-    spark, n: int, tables: dict[str, list[str]], perturb_docs: bool = False
+    spark,
+    n: int,
+    tables: dict[str, list[str]],
+    perturb_docs: bool = False,
+    entropy_docs: bool = False,
 ) -> str:
     # keyed on the SOURCE fixture path too: a cached copy built from a
     # different SF_DIR must never be silently reused; targeted builds
@@ -161,6 +180,8 @@ def build_scaled(
         tag += "_" + "-".join(sorted(tables))
     if perturb_docs:
         tag += "_perturbed"
+    if entropy_docs:
+        tag += "_entropy"
     out = f"{SCRATCH_ROOT}/scale_probe_{tag}_x{n}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
@@ -216,6 +237,35 @@ def build_scaled(
                     )
                 ),
             ).drop("_toks")
+        if entropy_docs and t == "documents":
+            # high-entropy vocabulary (see module docstring): every
+            # (base doc, copy) draws deterministic xxhash64 token ids
+            # from a 2^40 vocabulary — background shingle Jaccard ~1e-3;
+            # every 50th BASE doc plants a near-dup pair per two copies
+            # (copies 2k/2k+1 hash with the same group id for the first
+            # ~80% of positions). The original token array only supplies
+            # realistic per-doc LENGTHS; it is pinned behind the same
+            # Generate barrier as the perturb branch so size(_toks) in
+            # the lambda is an O(1) attribute read. The base id strips
+            # the copy shift (stride is a multiple of 50, so the plant
+            # predicate is copy-invariant either way).
+            cols = [c for c in copies.columns if c != "text"]
+            copies = copies.select(
+                *cols,
+                F.explode(F.array(F.split("text", " "))).alias("_toks"),
+            ).withColumn(
+                "text",
+                F.expr(
+                    "array_join(transform(_toks, (tok, i) -> concat('w',"
+                    " CAST(CASE WHEN (doc_id % 10000000) % 50 = 0"
+                    "            AND i < ceil(size(_toks) * 0.8)"
+                    "      THEN abs(xxhash64(doc_id % 10000000,"
+                    "                        _copy div 2, i))"
+                    "           % 1099511627776"
+                    "      ELSE abs(xxhash64(doc_id % 10000000, _copy, i))"
+                    "           % 1099511627776 END AS STRING))), ' ')"
+                ),
+            ).drop("_toks")
         copies.drop("_copy").write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
@@ -260,6 +310,13 @@ def main() -> int:
     perturb = "--perturb-docs" in sys.argv
     if perturb:
         sys.argv.remove("--perturb-docs")
+    entropy = "--entropy-docs" in sys.argv
+    if entropy:
+        sys.argv.remove("--entropy-docs")
+    if perturb and entropy:
+        print("--perturb-docs and --entropy-docs are exclusive corpus"
+              " contracts", file=sys.stderr)
+        return 2
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     keys = sys.argv[2].split(",") if len(sys.argv) > 2 else PROBE_KEYS
     # validate BEFORE the Spark session and the expensive N× build: a
@@ -285,16 +342,26 @@ def main() -> int:
         return 2
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    scaled = build_scaled(spark, n, tables, perturb_docs=perturb)
+    scaled = build_scaled(
+        spark, n, tables, perturb_docs=perturb, entropy_docs=entropy
+    )
+    # the 1× side: SF_DIR normally; under --entropy-docs the ×1 entropy
+    # build, so numerator and denominator see the same text distribution
+    # (SF_DIR prose has J_bg 0.17 — comparing against it would divide an
+    # entropy-corpus timing by a degenerate-corpus timing)
+    base_root = (
+        build_scaled(spark, 1, tables, entropy_docs=True) if entropy
+        else SF_DIR
+    )
     # warm both roots (footer/FS init outside the timings, like bench.py)
-    for root in (SF_DIR, scaled):
+    for root in (base_root, scaled):
         for t in tables:
             spark.read.parquet(f"{root}/{t}.parquet").count()
     report = {}
     for k in keys:
         fn = QUERIES[k]
         if k in STREAM_KEYS:
-            force(fn(spark, SF_DIR))
+            force(fn(spark, base_root))
             force(fn(spark, scaled))
         # force(), not collect() and not count() (r9 methodology fix):
         # - collect() would time driver-side row transfer for keys whose
@@ -311,7 +378,7 @@ def main() -> int:
         # force() hashes every output column into one sum — every
         # expression evaluates, rows stay distributed, one scalar moves.
         t0 = time.perf_counter()
-        act_base = force(fn(spark, SF_DIR))
+        act_base = force(fn(spark, base_root))
         base = time.perf_counter() - t0
         t0 = time.perf_counter()
         act_big = force(fn(spark, scaled))
