@@ -94,6 +94,18 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join emits each candidate pair once per matching bucket, deduped by
     the framework, with the exact Jaccard distance of the hashed feature
     sets as distCol.
+
+    SCALE ROLE (measured, r11): this key is the ml-lib API-PARITY
+    demonstration, fixture-scale by design — approxSimilarityJoin can
+    only OR-amplify (each hash table is a 1-row band), so on a corpus
+    with real-crawl background similarity (J_bg ≈ 0.01, the r11 entropy
+    probe corpus) its candidate set is ≈ 1-(1-J)^6 ≈ 5.8% of ALL pairs —
+    structurally quadratic; the ×30 probe was killed straggler-bound
+    after 75 min while q_llm_minhash_exact's 4-band×2-row AND-banding
+    (P_band = 4·J² ≈ 4e-4, ~150× more selective) finished the identical
+    corpus in 264 s (SCALE.md r11). AND-banding is not expressible
+    through the ml operator's API; the production 100 TB path is
+    q_llm_minhash_exact's relational banded form.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 

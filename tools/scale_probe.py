@@ -29,15 +29,19 @@ shingle set stays the small minority the plans were shaped for.
 ``--entropy-docs`` (r11, VERDICT r10 #4) rebuilds the scaled
 ``documents`` text from a HIGH-ENTROPY vocabulary: every (doc, copy)
 gets its own deterministic xxhash64 token ids from a 2^40 vocabulary, so
-the background shingle Jaccard drops to the real-crawl regime
-(measured ~1e-3 vs the fixture prose's 0.17 — the contrast the banded-
-LSH contract assumes), while every 50th base doc plants one near-dup
-PAIR per two copies (copies 2k/2k+1 share their first ~80% of tokens,
-char-shingle J ≈ 0.67 ≥ the 0.4 gate) so the true-positive set is
-linear in N and never cliques. This is the ONLY corpus the banded-LSH
-keys (minhash_exact, near_dedup, jaccard_pairs, lsh_recall) may be
-×N-probed on; under this flag the 1× baseline is the ×1 entropy build,
-not SF_DIR, so both sides of the factor see the same text distribution.
+the background shingle Jaccard drops to the real-crawl regime the
+banded-LSH contract assumes (MEASURED on the ×1 build, 120-doc sample,
+all pairs: mean 0.0103 / p90 0.0168 / max 0.0254 — vs the fixture
+prose's 0.17), while every 50th base doc plants one near-dup PAIR per
+two copies (copies 2k/2k+1 share their first ~80% of tokens — measured
+char-shingle J ≈ 0.688, above the 0.4 gate) so the true-positive set is
+linear in N and never cliques. This is the ONLY corpus the banded
+PRODUCTION keys (minhash_exact, near_dedup) may be ×N-probed on; their
+exact-twin AUDIT keys (jaccard_pairs, lsh_recall) stay out of ×N probes
+entirely — their crossJoin pair grids are O(n²) BY DESIGN (the
+documented fixture-scale oracle baseline, SURVEY §7.4). Under this flag
+the 1× baseline is the ×1 entropy build, not SF_DIR, so both sides of
+the factor see the same text distribution.
 
 The optional 2nd/3rd args run a TARGETED probe: only the listed keys,
 building only the listed tables in the N×-scaled root — the 100× probe
