@@ -1368,17 +1368,31 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # ENCODE argmin (r11 rewrite, measured): the r9-r10 form ran a
+    # row_number window per (vec_id, m) over the n·8·16 distance rows —
+    # a corpus-size-x-128 SHUFFLE + SORT (2.56e9 rows at the 10000x
+    # probe) that made pq_adc the record's worst absolute four-decade
+    # time (1373.3 s at 20 M vectors, SCALE.md r11). The argmin is now
+    # min(struct(d, c)) — struct ordering is lexicographic, exactly the
+    # window's ORDER BY d, c tie-break, and min() PARTIAL-AGGREGATES:
+    # the 16 codeword rows of each (vec_id, m) group collapse map-side
+    # (they are produced contiguously by the broadcast crossJoins), so
+    # only n·8 collapsed rows reach the exchange instead of n·128
+    # through a sort. (A fully unrolled in-row argmin over the collected
+    # codebook was also measured: its 1024-term expression breaks
+    # whole-stage codegen — janino method limits — and pays ~15 s of
+    # compile-retry per run before falling back to interpreted eval;
+    # rejected on measurement.)
     dists = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(grid))
         .crossJoin(F.broadcast(cb))
         .select("vec_id", "m", "c", subdist("emb", "cemb").alias("d"))
     )
-    w_arg = Window.partitionBy("vec_id", "m").orderBy("d", "c")
     codes = (
-        dists.withColumn("rn", F.row_number().over(w_arg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "c")
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "c")).alias("mc"))
+        .select("vec_id", "m", F.col("mc.c").alias("c"))
     )
     q = (
         e.filter(F.col("vec_id") == 0)
