@@ -6,7 +6,7 @@ This suite closes the space in between: hypothesis generates random
 tables — with deliberately collision-prone domains — and asserts exact
 parity on the keys whose semantics live at boundaries the fixture
 rarely hits. Five suites (events, documents, orders, embeddings,
-TPC-H), 240 keys, 1200 cross-engine runs per execution. Shared design
+TPC-H), 254 keys, 1270 cross-engine runs per execution. Shared design
 rules:
 
 - timestamps quantized to 5-minute slots (events) or calendar month
@@ -23,20 +23,27 @@ rules:
   (r6: pareto; r7: the cosine family, the recall denominator, two TPC-H
   shares, and the corr builtin).
 
-Fuzz census — the 32 registered keys NOT in any corpus, with reasons
+Fuzz census — the 28 registered keys NOT in any corpus, with reasons
 (all other keys ride a suite; test_fuzz_census_accounts_for_every_key
 below machine-checks this arithmetic so the census cannot drift):
 
-- 17 streaming keys (q_stream_* and q_src_python_stream, minus the 8
+- 13 streaming keys (q_stream_* and q_src_python_stream, minus the 12
   fuzzed ones): their correctness surface is multi-batch replay,
   watermarks, and checkpoint RESTARTS — properties of the trigger/state
   machinery, not of the input table's value distribution; the stateful
   semantics are proven in tests/test_stream_equivalence.py (batch-twin
   equivalence, genuine restarts, randomized file-replay-order runs)
-  plus driver rows. The 8 oracle-bearing streaming keys whose VALUE
-  semantics do depend on the distribution (tumbling, sliding, session,
-  dedup, watermark, late_data, static_join, stateful) ride the events
-  corpus since r11 — real availableNow replays per example.
+  plus driver rows. The 12 oracle-bearing streaming keys whose VALUE
+  semantics do depend on the distribution ride the events corpus —
+  real availableNow replays per example: tumbling, sliding, session,
+  dedup, watermark, late_data, static_join, stateful (r11) plus
+  rocksdb, upsert_latest, chained, dynamic_session (r12). The 13
+  remaining: rate_smoke/rate_limit/availablenow/source_replay (trigger
+  and throttle machinery on synthetic payloads), checkpoint/foreachbatch
+  /reorg/backfill/listener_e2e (restart/idempotency protocol asserts),
+  stream_join/outer_join (join-emission timing), union (two-feed
+  multiplexing of the SAME fixture), q_src_python_stream (custom source
+  protocol).
 - 11 rows-only keys (q_agg_approx_distinct, q_agg_approx_percentile,
   q_agg_hll_union, q_hash_xxhash, q_llm_ann_lsh, q_llm_frames,
   q_llm_multimodal, q_llm_near_dedup, q_llm_simhash, q_llm_tfidf,
@@ -174,6 +181,18 @@ _FUZZ_KEYS = [
     "q_stream_late_data",
     "q_stream_static_join",
     "q_stream_stateful",
+    # r12 census shrink (VERDICT r11 #7), same recipe — the next
+    # oracle-bearing tranche whose VALUE semantics depend on the input:
+    # RocksDB state store (same rollup values as the HDFS provider, plus
+    # its in-key .zip layout assert), keyed upsert-latest (ts/event_id
+    # tie-breaks at quantized instants), chained two-level windowed agg
+    # (watermark bounds derived from the random table's own min/max —
+    # often empty, the boundary the fixture never hits), and dynamic-gap
+    # sessions (per-event gap expression at exact-gap boundaries).
+    "q_stream_rocksdb",
+    "q_stream_upsert_latest",
+    "q_stream_chained",
+    "q_stream_dynamic_session",
 ]
 
 
@@ -273,6 +292,9 @@ _DOC_FUZZ_KEYS = [
     # branch) and sub-shingle-width / fully-duplicated texts
     "q_llm_lsh_recall",  # banding recall vs exact pairs; n_exact=0 -> NULL
     "q_llm_minhash_exact",  # deterministic-hash LSH candidate pairs
+    "q_llm_minhash_steep",  # 6x3 steep banding: same verify gate,
+    # salted-digest signatures; tiny corpora exercise the all-collide
+    # and no-collide band edges on both engines (r12)
     "q_llm_fuzzy_dup",  # ED-Join prefix buckets on tiny token streams
     "q_llm_delta_dedup",  # incl. the empty-delta (doc_id % 10) branch
     "q_llm_dedup_survivors",  # pairs -> components -> quality argmax
@@ -802,9 +824,11 @@ def test_random_tpch_tables_match_duckdb(spark, tmp_path_factory, lines):
 # machine-checked, so adding a key without deciding its fuzz story fails
 # here instead of silently widening the unfuzzed pool.
 
-_CENSUS_STREAMING = 17  # q_stream_* + q_src_python_stream, minus the 8
+_CENSUS_STREAMING = 13  # q_stream_* + q_src_python_stream, minus the 12
                         # oracle-bearing value-semantics keys fuzzed in
-                        # the events suite since r11 (VERDICT r10 #7)
+                        # the events suite (8 since r11, VERDICT r10 #7;
+                        # +rocksdb/upsert_latest/chained/dynamic_session
+                        # in r12, VERDICT r11 #7)
 _CENSUS_ROWS_ONLY = {
     "q_agg_approx_distinct",
     "q_agg_approx_percentile",

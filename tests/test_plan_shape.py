@@ -70,8 +70,16 @@ def _assert_arrow_kernel(spark, sf_dir, key: str, in_cols: set):
     import re
 
     # line shape: `MapInPandas _kernel(doc_id#0L, text#1)#6, [outputs...]`
-    # — the kernel's INPUT attributes are the first parenthesized args
-    args = re.search(r"MapInPandas \w+\(([^)]*)\)", map_line).group(1)
+    # — the kernel's INPUT attributes are the first parenthesized args.
+    # The regex assumes that arg list never nests parens; guard the
+    # match so a Spark plan-format drift fails legibly with the plan
+    # text instead of an AttributeError on None (ADVICE r11).
+    m = re.search(r"MapInPandas \w+\(([^)]*)\)", map_line)
+    assert m is not None, (
+        f"{key}: MapInPandas plan line no longer matches the expected "
+        f"`MapInPandas <fn>(<args>)` shape — update the parser:\n{map_line}"
+    )
+    args = m.group(1)
     fed = set(re.findall(r"(\w+)#\d+", args))
     assert fed == in_cols, (
         f"{key}: Arrow kernel fed {sorted(fed)}, expected "
@@ -105,4 +113,49 @@ def test_repetition_arrow_kernel_shape(spark, sf_dir):
     # (doc_id, text) ONLY; the 1 - d/n ratio and round(6) stay JVM-side.
     _assert_arrow_kernel(
         spark, sf_dir, "q_llm_repetition", {"doc_id", "text"}
+    )
+
+
+def test_pq_adc_arrow_kernel_shape(spark, sf_dir):
+    # r12: pq_adc's encode argmin runs in an Arrow kernel over
+    # (vec_id, emb) ONLY, emitting integer code ids; the broadcast-LUT
+    # join and the DECIMAL(28,12) ADC fold stay JVM-side. A widened
+    # input would pay 64 doubles per row twice across Arrow. The full
+    # query's final plan hides the encode branch behind the adc10
+    # localCheckpoint pin (a LogicalRDD), so the assert runs on the
+    # codes subplan the query composes (_pq_codes_arrow).
+    import re
+
+    from pyspark.sql import functions as F
+
+    from token_burn_listener_spark.llm.similarity import (
+        _PQ_K,
+        _pq_codes_arrow,
+        as_double,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    cb = e.filter(F.col("vec_id").between(1, _PQ_K)).select(
+        (F.col("vec_id") - 1).alias("c"), F.col("emb").alias("cemb")
+    )
+    plan = str(
+        _pq_codes_arrow(e, cb)._jdf.queryExecution().optimizedPlan()
+    )
+    assert plan.count("MapInPandas") == 1, (
+        f"pq codes: expected exactly one MapInPandas stage:\n{plan}"
+    )
+    map_line = next(
+        line for line in plan.splitlines() if "MapInPandas" in line
+    )
+    m = re.search(r"MapInPandas \w+\(([^)]*)\)", map_line)
+    assert m is not None, (
+        f"pq codes: MapInPandas plan line no longer matches the expected "
+        f"shape — update the parser:\n{map_line}"
+    )
+    fed = set(re.findall(r"(\w+)#\d+", m.group(1)))
+    assert fed == {"vec_id", "emb"}, (
+        f"pq codes: Arrow kernel fed {sorted(fed)}, expected "
+        f"['emb', 'vec_id'] — widened input pays Arrow transfer per row"
     )

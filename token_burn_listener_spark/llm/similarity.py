@@ -1262,6 +1262,113 @@ def _pq_fulldist_sql(a: str, b: str) -> str:
     return f"(0 + {terms})"
 
 
+def _pq_subdist_col(a: str, b: str) -> Column:
+    """Squared L2 between the m-th subvectors of array columns a and b —
+    the Spark twin of _pq_subdist_sql (same left-associated IEEE fold).
+    slice(col, m*8+1, 8): the m-th subvector; reads the bound column m."""
+    sa = F.slice(F.col(a), F.col("m") * _PQ_SUB + 1, _PQ_SUB)
+    sb = F.slice(F.col(b), F.col("m") * _PQ_SUB + 1, _PQ_SUB)
+    return F.aggregate(
+        F.zip_with(sa, sb, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_encode_kernel(cb_np):
+    """Arrow encode-kernel factory: batches of (vec_id, emb) → (vec_id,
+    m, c) integer code rows, argmin over the closed-over (16, 64)
+    codebook.
+
+    Exactness argument (the char_entropy-style split, adapted for the
+    FLOAT caveat SCALE.md r11 documented): the kernel emits INTEGER code
+    ids only, and the float work it does to pick them uses nothing but
+    IEEE-754 basic ops (subtract, multiply, add) — each correctly
+    rounded and therefore bit-identical across numpy, the JVM, and
+    DuckDB — applied in the ORACLE'S exact fold order: the explicit
+    k-loop below accumulates d = t0 + t1 + ... left-associated, matching
+    _pq_subdist_sql's ``(0 + t1 + ... + t8)`` (0 + t0 == t0 exactly).
+    numpy's np.sum is deliberately NOT used (its pairwise base case
+    regroups additions). Ties break via np.argmin's first-minimum rule ==
+    the oracle's ORDER BY d, c / min(struct(d, c)) lexicographic rule.
+    No libm call ever runs in Python, so the r10 char_entropy
+    non-promotion hazard (1-ulp transcendental drift flipping a decimal
+    round) is structurally absent, not waived.
+    """
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["emb"].to_numpy()).astype(np.float64, copy=False)
+            n = X.shape[0]
+            codes = np.empty((n, _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                Xm = X[:, m * _PQ_SUB:(m + 1) * _PQ_SUB]
+                Cm = cb_np[:, m * _PQ_SUB:(m + 1) * _PQ_SUB]
+                t = Xm[:, None, 0] - Cm[None, :, 0]
+                d = t * t
+                for k in range(1, _PQ_SUB):
+                    t = Xm[:, None, k] - Cm[None, :, k]
+                    d = d + t * t
+                codes[:, m] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(np.int64), _PQ_M
+                    ),
+                    "m": np.tile(
+                        np.arange(_PQ_M, dtype=np.int32), n
+                    ),
+                    "c": codes.reshape(-1),
+                }
+            )
+
+    return encode
+
+
+def _pq_codes_arrow(e: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, c) PQ codes for the non-query corpus via the Arrow
+    kernel. cb is the pinned 16-row codebook; collecting it is a bounded
+    16×64-double fetch (house collect policy: codebooks/centroids only).
+    The kernel input is pinned to (vec_id, emb) — nothing else crosses
+    Arrow (tests/test_plan_shape.py)."""
+    import numpy as np
+
+    cb_np = np.array(
+        [r["cemb"] for r in sorted(cb.collect(), key=lambda r: r["c"])],
+        dtype=np.float64,
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "emb")
+        .mapInPandas(
+            _pq_encode_kernel(cb_np), schema="vec_id bigint, m int, c int"
+        )
+    )
+
+
+def _pq_codes_jvm(e: DataFrame, cb: DataFrame, grid: DataFrame) -> DataFrame:
+    """The r11 all-JVM encode (broadcast crossJoin grid + min(struct)
+    partial-agg argmin) — superseded by the Arrow kernel on measurement
+    (tools/pq_kernel_bench.py) but kept callable so the head-to-head
+    stays reproducible, winnow_kernel_bench-style."""
+    dists = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(cb))
+        .select("vec_id", "m", "c", _pq_subdist_col("emb", "cemb").alias("d"))
+    )
+    return (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "c")).alias("mc"))
+        .select("vec_id", "m", F.col("mc.c").alias("c"))
+    )
+
+
 def _pq_oracle() -> str:
     return f"""
     WITH e AS (
@@ -1336,13 +1443,13 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-term ADC sum folds in DECIMAL(28,12) so aggregation order cannot
     move it. The rank column materializes the output order.
 
-    100 TB plan: encoding joins each vector against the BROADCAST 16-row
-    codebook per subspace (map-only; the raw corpus never shuffles — the
-    argmin window partitions on (vec_id, m), co-partitioned with the
-    scan); serving touches only the 4-byte codes plus the broadcast
-    128-entry LUT, and the decimal fold is a partial-aggregable groupBy
-    on vec_id. The exact-L2 denominator is the documented fixture-scale
-    brute force (production samples queries, as q_llm_ann_recall does).
+    100 TB plan: encoding is MAP-ONLY — an Arrow kernel per scan batch
+    against the closed-over 16-row codebook (the raw corpus never
+    shuffles; the kernel emits n·8 skinny integer code rows); serving
+    touches only those codes plus the broadcast 128-entry LUT, and the
+    decimal fold is a partial-aggregable groupBy on vec_id. The exact-L2
+    denominator is the documented fixture-scale brute force (production
+    samples queries, as q_llm_ann_recall does).
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
@@ -1358,42 +1465,24 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
     )
 
-    def subdist(a: str, b: str):
-        # slice(col, m*8+1, 8): the m-th subvector; left fold matches SQL
-        sa = F.slice(F.col(a), F.col("m") * _PQ_SUB + 1, _PQ_SUB)
-        sb = F.slice(F.col(b), F.col("m") * _PQ_SUB + 1, _PQ_SUB)
-        return F.aggregate(
-            F.zip_with(sa, sb, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # ENCODE argmin (r11 rewrite, measured): the r9-r10 form ran a
-    # row_number window per (vec_id, m) over the n·8·16 distance rows —
-    # a corpus-size-x-128 SHUFFLE + SORT (2.56e9 rows at the 10000x
-    # probe) that made pq_adc the record's worst absolute four-decade
-    # time (1373.3 s at 20 M vectors, SCALE.md r11). The argmin is now
-    # min(struct(d, c)) — struct ordering is lexicographic, exactly the
-    # window's ORDER BY d, c tie-break, and min() PARTIAL-AGGREGATES:
-    # the 16 codeword rows of each (vec_id, m) group collapse map-side
-    # (they are produced contiguously by the broadcast crossJoins), so
-    # only n·8 collapsed rows reach the exchange instead of n·128
-    # through a sort. (A fully unrolled in-row argmin over the collected
-    # codebook was also measured: its 1024-term expression breaks
-    # whole-stage codegen — janino method limits — and pays ~15 s of
-    # compile-retry per run before falling back to interpreted eval;
-    # rejected on measurement.)
-    dists = (
-        e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(grid))
-        .crossJoin(F.broadcast(cb))
-        .select("vec_id", "m", "c", subdist("emb", "cemb").alias("d"))
-    )
-    codes = (
-        dists.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d", "c")).alias("mc"))
-        .select("vec_id", "m", F.col("mc.c").alias("c"))
-    )
+    # ENCODE (r12 Arrow promotion, measured — tools/pq_kernel_bench.py):
+    # the encode argmin is a numpy kernel over (vec_id, emb) emitting
+    # INTEGER code ids only (see _pq_encode_kernel for the IEEE
+    # bit-exactness argument — basic ops in the oracle's fold order, no
+    # libm, ties by first-minimum). History of this stage, all measured:
+    # r9-r10 ran a row_number window over n·8·16 distance rows (n·128
+    # shuffle+sort — 1373.3 s at 20 M vectors, the record's worst
+    # four-decade time); r11 rewrote it to min(struct(d, c))
+    # partial-agg (exact, but the interpreted zip_with/aggregate HOF
+    # still pays ~8·16 lambda evals per vector: 1553.3 s at 20 M
+    # vectors, SCALE.md r12); the kernel vectorizes the same arithmetic
+    # batch-wise — 131.5 s -> 2.77 s encode-only at 2 M vectors (47x,
+    # tools/pq_kernel_bench.py, code sets identical on 16k + 1.6 M
+    # rows) and 31.6 s for the FULL query at 20 M vectors (vs 1373.3 s
+    # r11 / 1553.3 s min(struct)). A fully unrolled in-row JVM argmin
+    # was also tried: its 1024-term expression breaks whole-stage
+    # codegen (janino limits) — rejected on measurement in r11.
+    codes = _pq_codes_arrow(e, cb)
     q = (
         e.filter(F.col("vec_id") == 0)
         .select(F.col("emb").alias("qemb"))
@@ -1402,7 +1491,7 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = (
         q.crossJoin(F.broadcast(grid))
         .crossJoin(F.broadcast(cb))
-        .select("m", "c", subdist("qemb", "cemb").alias("dq"))
+        .select("m", "c", _pq_subdist_col("qemb", "cemb").alias("dq"))
     )
     adc = (
         codes.join(F.broadcast(lut), ["m", "c"])

@@ -111,111 +111,68 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #            scalar/window/sort/streaming/setops staleness head —
 #            45 green, 5 rows-only by design, 0 red.
 #
-#   r11 window = positions 1-50 below (the r10 pre-plan, amended for
-#   this round's work): canary, the NEW q_tpch_q18_bucketed, the 6
-#   r11-dirty keys (char_entropy/repetition Arrow promotions, winnow
-#   null guard, dup_spans/span_removal xxhash pin, the
-#   q_stream_session oracle boundary fix), then the 42 stalest clean
-#   keys (r04/r05 evidence). The keys of the r10 pre-plan that no
-#   longer fit (q_llm_pack_sequences q_llm_corpus_prep q_llm_frames
-#   q_evt_sessionize q_evt_funnel q_evt_retention) slide to the r12
-#   head.
+#   r11 proved: canary + the NEW q_tpch_q18_bucketed + the 6 r11-dirty
+#            keys (char_entropy/repetition Arrow promotions, winnow
+#            null guard, dup_spans/span_removal xxhash pin, the
+#            q_stream_session oracle boundary fix) + the 42 stalest
+#            clean keys (r04/r05 evidence) — 49 green, 1 rows-only by
+#            design (q_llm_tfidf), 0 red. The keys of the r10 pre-plan
+#            that no longer fit slid to the r12 head.
 #
-#   r12 window (listed so the next round can verify positions 1-50
-#   against this comment after its rotation edit; amend with r12-dirty
+#   r12 window = positions 1-50 below (the r11 pre-plan, amended for
+#   this round's work per the invariant): canary; the NEW
+#   q_llm_minhash_steep (6x3 steep banding, VERDICT r11 #3); DIRTY
+#   q_llm_pq_adc (the r11 encode rewrite missed its dirty-first slot —
+#   VERDICT r11 #1); DIRTY q_tpch_q18_bucketed + q_join_bucketed (r12
+#   _ensure_bucketed: cross-session on-disk layout reuse, VERDICT r11
+#   #4); then the first 45 pre-planned staleness keys. The last 4
+#   pre-plan keys (q_evt_attribution q_evt_paths q_join_range_bucketed
+#   q_llm_leak_check) slide to the r13 head.
+#
+#   r13 window (listed so the next round can verify positions 1-50
+#   against this comment after its rotation edit; amend with r13-dirty
 #   and new keys first — displaced keys slide onward):
-#   q_scan_parquet q_llm_pack_sequences q_arr_basic q_llm_corpus_prep
-#   q_llm_frames q_evt_sessionize q_evt_funnel q_evt_retention
-#   q_evt_anomaly q_evt_resample q_evt_histogram q_cdc_snapshot_diff
-#   q_cdc_scd2 q_cdc_merge q_llm_bigram_lm q_stream_upsert_latest
-#   q_scan_text q_agg_hll_union q_evt_transitions q_cdc_incr_agg
-#   q_llm_fuzzy_dup q_llm_split q_llm_length_buckets q_llm_zipf
-#   q_llm_cms_topk q_stream_listener_e2e q_llm_media_decode
-#   q_llm_dup_rate_by_source q_llm_ngram_novelty q_llm_curriculum
-#   q_llm_embedding_coverage q_stream_chained q_sink_zorder q_llm_dsir
-#   q_evt_dynamic_sessions q_llm_training_manifest q_scan_time_travel
-#   q_llm_ccnet_buckets q_diag_join_skew q_stream_dynamic_session
-#   q_llm_bpe_merges q_evt_windowed_funnel q_scan_csv_corrupt q_evt_rfm
-#   q_evt_rolling_active q_cdc_pit_join q_evt_attribution q_evt_paths
-#   q_join_range_bucketed q_llm_leak_check
+#   q_scan_parquet q_evt_attribution q_evt_paths q_join_range_bucketed
+#   q_llm_leak_check q_llm_source_overlap q_evt_forecast_naive
+#   q_evt_cohort_ltv q_evt_ab_test q_evt_pareto q_llm_heaps_law
+#   q_src_python_batch q_src_python_stream q_src_python_sink
+#   q_udf_python q_udf_pandas_scalar q_udf_pandas_agg q_udf_grouped_map
+#   q_udf_map_iter q_udtf q_udf_cogroup q_llm_temperature_mix
+#   q_llm_delta_dedup q_llm_bm25 q_llm_dataset_card q_scan_dpp
+#   q_evt_funnel_latency q_llm_kl_divergence q_evt_survival
+#   q_evt_changepoint q_evt_chain_reorg q_evt_xcorr
+#   q_evt_profile_similarity q_stream_reorg q_diag_table_stats
+#   q_evt_gap_detection q_llm_k_anonymity q_diag_column_entropy
+#   q_llm_weighted_sample q_evt_streaks q_evt_anomaly_mad
+#   q_stream_backfill q_evt_cumulative_uniques q_llm_topic_boundaries
+#   q_join_asof_forward q_scan_projection_pushdown
+#   q_scan_filter_pushdown q_scan_json q_scan_csv q_scan_binaryfile
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r11 driver window (positions 1-50): canary + the NEW bucketed
-    # q18 key + the 6 r11-dirty keys + the pre-planned staleness head
-    # from the r10 rotation comment (the 11 storage/setops/subquery keys
-    # the r10 dirty block displaced, the r04-evidence subquery/TPC-H
-    # block, the r05 LLM text/prep head). The last keys of the r10
-    # pre-plan (pack_sequences, corpus_prep, frames,
-    # evt_sessionize/funnel/retention) did not fit behind the dirty
-    # block and slide to the r12 head. ---
-    "q_scan_parquet",  # canary: driver-proven ten times, cheapest probe
+    # --- r12 driver window (positions 1-50): canary + 1 NEW key + 3
+    # DIRTY keys + the first 45 keys of the r11 rotation comment's
+    # pre-plan (the r04/r05-evidence LLM/event/CDC staleness head). The
+    # last 4 pre-plan keys (q_evt_attribution q_evt_paths
+    # q_join_range_bucketed q_llm_leak_check) did not fit behind the
+    # dirty block and slide to the r13 head. ---
+    "q_scan_parquet",  # canary: driver-proven eleven times, cheapest probe
     # NEW key (driver-unseen), directly after the canary per the
-    # invariant: the zero-exchange bucketed q18 (VERDICT r10 #6)
+    # invariant: the steep-banded (6x3) minhash LSH — the measured
+    # production answer to the 4x2 twin's x100 disk ceiling
+    # (VERDICT r11 #3)
+    "q_llm_minhash_steep",
+    # dirty r11 (missed — VERDICT r11 #1): the encode-argmin rewrite
+    # (window -> min(struct)) landed after pq_adc's last driver row (r9);
+    # the invariant says stale evidence jumps the queue
+    "q_llm_pq_adc",
+    # dirty r12: both bucketed-layout keys now content-address their
+    # bucketed DATA on disk and re-register via DDL across sessions
+    # instead of rebuilding per session (_ensure_bucketed; VERDICT r11
+    # #4 + the ADVICE r11 per-table cache-key fix)
     "q_tpch_q18_bucketed",
-    # dirty r11: char_entropy + repetition promoted to INTEGER-ONLY
-    # Arrow counting kernels on a measured head-to-head (16.2 s vs
-    # 104.7 s and 6.9 s vs 44.7 s at 5 M docs, value-identical —
-    # tools/text_kernel_bench.py; all float/decimal ops stay JVM-side
-    # so the oracle argument is unchanged); winnow's kernel gained the
-    # null-text contract guard (ADVICE r10); dup_spans (and
-    # span_removal, which composes it) swapped the pin hash from
-    # sha256-hex to xxhash64 (~3.7x narrower pin rows, VERDICT r10 #5):
-    "q_llm_char_entropy",
-    "q_llm_repetition",
-    "q_llm_winnow",
-    "q_llm_dup_spans",
-    "q_llm_span_removal",
-    # ...and q_stream_session: its oracle's session-break boundary was
-    # corrected >= -> > after the r11 streaming fuzz (the 5-min-quantized
-    # corpus hit an exact-30:00 gap; Spark's session_window merges at the
-    # half-open end boundary). Oracle change = dirty.
-    "q_stream_session",
-    # --- staleness head: the 43 stalest clean keys (r04/r05 evidence),
-    # the order the r10 rotation comment pre-planned ---
-    "q_scan_orc",
-    "q_sink_partitioned",
-    "q_sink_compaction",
-    "q_scan_schema_evolution",
     "q_join_bucketed",
-    "q_struct_ops",
-    "q_set_intersect_all",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_distinct",
-    "q_sub_scalar",
-    "q_sub_in",
-    "q_sub_correlated",
-    "q_tpch_q4ish",
-    "q_tpch_q5ish",
-    "q_tpch_q6ish",
-    "q_tpch_q7ish",
-    "q_tpch_q10ish",
-    "q_tpch_q12ish",
-    "q_tpch_q13ish",
-    "q_tpch_q18ish",
-    "q_tpch_q19ish",
-    "q_tpch_q22ish",
-    "q_stream_union",
-    "q_stream_rocksdb",
-    "q_llm_exact_dedup",
-    "q_llm_tokenize",
-    "q_llm_tfidf",
-    "q_llm_ngrams",
-    "q_llm_text_filter",
-    "q_llm_doc_stats",
-    "q_llm_quality_score",
-    "q_llm_fingerprint",
-    "q_llm_lang_id",
-    "q_llm_token_count",
-    "q_llm_quantize",
-    "q_llm_inverted_index",
-    "q_llm_redact_pii",
-    "q_llm_chunk",
-    "q_llm_mix_domains",
-    "q_llm_sample_stratified",
-    "q_llm_global_shuffle",
-    # (q_llm_pack_sequences was displaced to position 51 by the
-    # q_stream_session dirty lift -- first of the r12 window)
+    # --- staleness head: the first 45 pre-planned keys (r04/r05
+    # evidence) ---
     "q_llm_pack_sequences",
     # driver-proven in r04
     "q_arr_basic",
@@ -294,7 +251,9 @@ DRIVER_ORDER: list[str] = [
     "q_evt_funnel_latency",
     "q_llm_kl_divergence",
     "q_evt_survival",
-    "q_llm_pq_adc",
+    # (q_llm_pq_adc was lifted DIRTY to the r12 head: its r11 encode
+    # rewrite — window argmin → min(struct) — landed after its last
+    # driver row, VERDICT r11 #1)
     "q_evt_changepoint",
     "q_evt_chain_reorg",
     "q_evt_xcorr",
@@ -470,6 +429,58 @@ DRIVER_ORDER: list[str] = [
     "q_set_union_all",
     "q_set_union",
     "q_set_intersect",
+    # --- r11-proven head block (minus the canary and the keys lifted
+    # dirty into the r12 window: q_tpch_q18_bucketed and q_join_bucketed,
+    # both touched by the r12 _ensure_bucketed layout decoupling),
+    # rotated to the back per the invariant: the 6 r11-dirty keys, then
+    # the r11 staleness head in its proven order ---
+    "q_llm_char_entropy",
+    "q_llm_repetition",
+    "q_llm_winnow",
+    "q_llm_dup_spans",
+    "q_llm_span_removal",
+    "q_stream_session",
+    "q_scan_orc",
+    "q_sink_partitioned",
+    "q_sink_compaction",
+    "q_scan_schema_evolution",
+    "q_struct_ops",
+    "q_set_intersect_all",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_distinct",
+    "q_sub_scalar",
+    "q_sub_in",
+    "q_sub_correlated",
+    "q_tpch_q4ish",
+    "q_tpch_q5ish",
+    "q_tpch_q6ish",
+    "q_tpch_q7ish",
+    "q_tpch_q10ish",
+    "q_tpch_q12ish",
+    "q_tpch_q13ish",
+    "q_tpch_q18ish",
+    "q_tpch_q19ish",
+    "q_tpch_q22ish",
+    "q_stream_union",
+    "q_stream_rocksdb",
+    "q_llm_exact_dedup",
+    "q_llm_tokenize",
+    "q_llm_tfidf",
+    "q_llm_ngrams",
+    "q_llm_text_filter",
+    "q_llm_doc_stats",
+    "q_llm_quality_score",
+    "q_llm_fingerprint",
+    "q_llm_lang_id",
+    "q_llm_token_count",
+    "q_llm_quantize",
+    "q_llm_inverted_index",
+    "q_llm_redact_pii",
+    "q_llm_chunk",
+    "q_llm_mix_domains",
+    "q_llm_sample_stratified",
+    "q_llm_global_shuffle",
 ]
 
 

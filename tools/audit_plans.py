@@ -234,6 +234,11 @@ ALLOW_PYTHON = {
     "q_llm_repetition",  # mapInPandas INTEGER-ONLY trigram counts (r11,
                          # VERDICT r10 #3): 6.9 s vs 44.7 s at 5 M docs;
                          # ratio/round stay JVM-side — text_kernel_bench.py
+    "q_llm_pq_adc",      # mapInPandas encode kernel emitting INTEGER code
+                         # ids only (r12, VERDICT r11 #1c): IEEE basic ops
+                         # in the oracle's fold order, no libm; measured
+                         # head-to-head vs the JVM min(struct) form in
+                         # tools/pq_kernel_bench.py
     "q_llm_training_manifest",  # composes pack_sequences' fold — same Arrow
                                 # contract, same skinny (id, source, n) rows
 }
