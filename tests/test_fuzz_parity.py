@@ -6,7 +6,7 @@ This suite closes the space in between: hypothesis generates random
 tables — with deliberately collision-prone domains — and asserts exact
 parity on the keys whose semantics live at boundaries the fixture
 rarely hits. Five suites (events, documents, orders, embeddings,
-TPC-H), 254 keys, 1270 cross-engine runs per execution. Shared design
+TPC-H), 256 keys, 1280 cross-engine runs per execution. Shared design
 rules:
 
 - timestamps quantized to 5-minute slots (events) or calendar month
@@ -23,27 +23,32 @@ rules:
   (r6: pareto; r7: the cosine family, the recall denominator, two TPC-H
   shares, and the corr builtin).
 
-Fuzz census — the 28 registered keys NOT in any corpus, with reasons
+Fuzz census — the 26 registered keys NOT in any corpus, with reasons
 (all other keys ride a suite; test_fuzz_census_accounts_for_every_key
 below machine-checks this arithmetic so the census cannot drift):
 
-- 13 streaming keys (q_stream_* and q_src_python_stream, minus the 12
+- 11 streaming keys (q_stream_* and q_src_python_stream, minus the 14
   fuzzed ones): their correctness surface is multi-batch replay,
   watermarks, and checkpoint RESTARTS — properties of the trigger/state
   machinery, not of the input table's value distribution; the stateful
   semantics are proven in tests/test_stream_equivalence.py (batch-twin
   equivalence, genuine restarts, randomized file-replay-order runs)
-  plus driver rows. The 12 oracle-bearing streaming keys whose VALUE
+  plus driver rows. The 14 oracle-bearing streaming keys whose VALUE
   semantics do depend on the distribution ride the events corpus —
   real availableNow replays per example: tumbling, sliding, session,
   dedup, watermark, late_data, static_join, stateful (r11) plus
-  rocksdb, upsert_latest, chained, dynamic_session (r12). The 13
-  remaining: rate_smoke/rate_limit/availablenow/source_replay (trigger
-  and throttle machinery on synthetic payloads), checkpoint/foreachbatch
-  /reorg/backfill/listener_e2e (restart/idempotency protocol asserts),
-  stream_join/outer_join (join-emission timing), union (two-feed
-  multiplexing of the SAME fixture), q_src_python_stream (custom source
-  protocol).
+  rocksdb, upsert_latest, chained, dynamic_session (r12), plus
+  stream_stream_join and union (r12 second tranche: the single-file
+  replay drains in ONE micro-batch, so the interval join and the
+  two-feed rollup are deterministic vs their batch oracles at ANY
+  input — what fuzzing adds is the value surface: interval edges at
+  exactly-1-hour offsets on the quantized slots, doubled-sum rounding).
+  The 11 remaining: rate_smoke/rate_limit/availablenow/source_replay
+  (trigger and throttle machinery on synthetic payloads),
+  checkpoint/foreachbatch/reorg/backfill/listener_e2e
+  (restart/idempotency protocol asserts), outer_join (rows-only:
+  outer-null EMISSION TIMING is the semantics under test),
+  q_src_python_stream (custom source protocol).
 - 11 rows-only keys (q_agg_approx_distinct, q_agg_approx_percentile,
   q_agg_hll_union, q_hash_xxhash, q_llm_ann_lsh, q_llm_frames,
   q_llm_multimodal, q_llm_near_dedup, q_llm_simhash, q_llm_tfidf,
@@ -193,6 +198,15 @@ _FUZZ_KEYS = [
     "q_stream_upsert_latest",
     "q_stream_chained",
     "q_stream_dynamic_session",
+    # r12 second tranche: both drain the SINGLE-FILE replay in one
+    # availableNow micro-batch, so the watermark never drops rows and
+    # the output is deterministic vs the batch oracle at ANY input.
+    # stream_stream_join's fuzz surface is the interval-join boundary
+    # (v.ts BETWEEN p.ts - 1h AND p.ts is inclusive BOTH ends, and the
+    # 5-min-slot quantization makes exactly-1-hour offsets COMMON);
+    # union's is the doubled-sum 6-dp rounding on dyadic values.
+    "q_stream_stream_join",
+    "q_stream_union",
 ]
 
 
@@ -824,11 +838,12 @@ def test_random_tpch_tables_match_duckdb(spark, tmp_path_factory, lines):
 # machine-checked, so adding a key without deciding its fuzz story fails
 # here instead of silently widening the unfuzzed pool.
 
-_CENSUS_STREAMING = 13  # q_stream_* + q_src_python_stream, minus the 12
+_CENSUS_STREAMING = 11  # q_stream_* + q_src_python_stream, minus the 14
                         # oracle-bearing value-semantics keys fuzzed in
                         # the events suite (8 since r11, VERDICT r10 #7;
                         # +rocksdb/upsert_latest/chained/dynamic_session
-                        # in r12, VERDICT r11 #7)
+                        # in r12, VERDICT r11 #7; +stream_stream_join/
+                        # union in the r12 second tranche)
 _CENSUS_ROWS_ONLY = {
     "q_agg_approx_distinct",
     "q_agg_approx_percentile",
