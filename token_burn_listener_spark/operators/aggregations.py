@@ -311,22 +311,48 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_minmax_by",
     oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC)
+               AS rb,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice ASC, o_orderkey ASC)
+               AS rw
+      FROM orders)
     SELECT o_custkey,
-           arg_max(o_orderkey, o_totalprice) AS best_order,
-           arg_min(o_orderkey, o_totalprice) AS worst_order,
+           max(CASE WHEN rb = 1 THEN o_orderkey END) AS best_order,
+           max(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order,
            round(max(o_totalprice), 2) AS best_price
-    FROM orders GROUP BY o_custkey
+    FROM ranked GROUP BY o_custkey
     """,
 )
 def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arg-min/arg-max aggregates (o_totalprice is tie-free per customer in
-    the fixtures — verified — so arg_max is deterministic)."""
+    """Arg-min/arg-max aggregates with a DETERMINISTIC tie-break.
+
+    r12: the orders fuzz corpus caught the latent flake the fixture's
+    tie-free o_totalprice masked — on tied prices Spark's bare
+    min_by/max_by picks whichever row its scan order meets first
+    (partition-schedule dependent), so the same input could legally
+    produce different winners run-to-run and diverge from any fixed
+    oracle. The ordering key is now the (price, orderkey) STRUCT —
+    lexicographic, total, and unique per row — so best = highest price
+    then highest orderkey, worst = lowest price then lowest orderkey,
+    on BOTH engines (the oracle spells it as row_number tie-breaks:
+    DuckDB's arg_max only accepts scalar ordering keys).
+
+    100 TB: still one hash aggregate with map-side partial min/max over
+    a 16-byte struct — no window, no extra shuffle; determinism under
+    ties is exactly what an at-scale pipeline needs for reproducible
+    reruns on real (tie-bearing) data.
+    """
+    ord_key = F.struct("o_totalprice", "o_orderkey")
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
-            F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
+            F.max_by("o_orderkey", ord_key).alias("best_order"),
+            F.min_by("o_orderkey", ord_key).alias("worst_order"),
             F.round(F.max("o_totalprice"), 2).alias("best_price"),
         )
     )

@@ -125,34 +125,38 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   q_llm_pq_adc (the r11 encode rewrite missed its dirty-first slot —
 #   VERDICT r11 #1); DIRTY q_tpch_q18_bucketed + q_join_bucketed (r12
 #   _ensure_bucketed: cross-session on-disk layout reuse, VERDICT r11
-#   #4); then the first 45 pre-planned staleness keys. The last 4
-#   pre-plan keys (q_evt_attribution q_evt_paths q_join_range_bucketed
-#   q_llm_leak_check) slide to the r13 head.
+#   #4); DIRTY q_agg_minmax_by (r12 fuzz catch: deterministic
+#   (price, orderkey)-struct tie-break replaced the scan-order-dependent
+#   bare min_by/max_by); then the first 44 pre-planned staleness keys.
+#   The last 5 pre-plan keys (q_cdc_pit_join q_evt_attribution
+#   q_evt_paths q_join_range_bucketed q_llm_leak_check) slide to the
+#   r13 head.
 #
 #   r13 window (listed so the next round can verify positions 1-50
 #   against this comment after its rotation edit; amend with r13-dirty
 #   and new keys first — displaced keys slide onward):
-#   q_scan_parquet q_evt_attribution q_evt_paths q_join_range_bucketed
-#   q_llm_leak_check q_llm_source_overlap q_evt_forecast_naive
-#   q_evt_cohort_ltv q_evt_ab_test q_evt_pareto q_llm_heaps_law
-#   q_src_python_batch q_src_python_stream q_src_python_sink
-#   q_udf_python q_udf_pandas_scalar q_udf_pandas_agg q_udf_grouped_map
-#   q_udf_map_iter q_udtf q_udf_cogroup q_llm_temperature_mix
-#   q_llm_delta_dedup q_llm_bm25 q_llm_dataset_card q_scan_dpp
-#   q_evt_funnel_latency q_llm_kl_divergence q_evt_survival
-#   q_evt_changepoint q_evt_chain_reorg q_evt_xcorr
-#   q_evt_profile_similarity q_stream_reorg q_diag_table_stats
-#   q_evt_gap_detection q_llm_k_anonymity q_diag_column_entropy
-#   q_llm_weighted_sample q_evt_streaks q_evt_anomaly_mad
-#   q_stream_backfill q_evt_cumulative_uniques q_llm_topic_boundaries
-#   q_join_asof_forward q_scan_projection_pushdown
-#   q_scan_filter_pushdown q_scan_json q_scan_csv q_scan_binaryfile
+#   q_scan_parquet q_cdc_pit_join q_evt_attribution q_evt_paths
+#   q_join_range_bucketed q_llm_leak_check q_llm_source_overlap
+#   q_evt_forecast_naive q_evt_cohort_ltv q_evt_ab_test q_evt_pareto
+#   q_llm_heaps_law q_src_python_batch q_src_python_stream
+#   q_src_python_sink q_udf_python q_udf_pandas_scalar q_udf_pandas_agg
+#   q_udf_grouped_map q_udf_map_iter q_udtf q_udf_cogroup
+#   q_llm_temperature_mix q_llm_delta_dedup q_llm_bm25
+#   q_llm_dataset_card q_scan_dpp q_evt_funnel_latency
+#   q_llm_kl_divergence q_evt_survival q_evt_changepoint
+#   q_evt_chain_reorg q_evt_xcorr q_evt_profile_similarity
+#   q_stream_reorg q_diag_table_stats q_evt_gap_detection
+#   q_llm_k_anonymity q_diag_column_entropy q_llm_weighted_sample
+#   q_evt_streaks q_evt_anomaly_mad q_stream_backfill
+#   q_evt_cumulative_uniques q_llm_topic_boundaries q_join_asof_forward
+#   q_scan_projection_pushdown q_scan_filter_pushdown q_scan_json
+#   q_scan_csv
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r12 driver window (positions 1-50): canary + 1 NEW key + 3
-    # DIRTY keys + the first 45 keys of the r11 rotation comment's
+    # --- r12 driver window (positions 1-50): canary + 1 NEW key + 4
+    # DIRTY keys + the first 44 keys of the r11 rotation comment's
     # pre-plan (the r04/r05-evidence LLM/event/CDC staleness head). The
-    # last 4 pre-plan keys (q_evt_attribution q_evt_paths
+    # last 5 pre-plan keys (q_cdc_pit_join q_evt_attribution q_evt_paths
     # q_join_range_bucketed q_llm_leak_check) did not fit behind the
     # dirty block and slide to the r13 head. ---
     "q_scan_parquet",  # canary: driver-proven eleven times, cheapest probe
@@ -171,7 +175,12 @@ DRIVER_ORDER: list[str] = [
     # #4 + the ADVICE r11 per-table cache-key fix)
     "q_tpch_q18_bucketed",
     "q_join_bucketed",
-    # --- staleness head: the first 45 pre-planned keys (r04/r05
+    # dirty r12 (fuzz catch): min_by/max_by tie-break made deterministic
+    # via a (price, orderkey) struct ordering key after the orders fuzz
+    # corpus caught the scan-order-dependent winner on tied prices that
+    # the fixture's tie-free totals had masked
+    "q_agg_minmax_by",
+    # --- staleness head: the first 44 pre-planned keys (r04/r05
     # evidence) ---
     "q_llm_pack_sequences",
     # driver-proven in r04
@@ -360,7 +369,8 @@ DRIVER_ORDER: list[str] = [
     "q_agg_grouping_sets",
     "q_agg_collect",
     "q_agg_stddev",
-    "q_agg_minmax_by",
+    # (q_agg_minmax_by was lifted DIRTY to the r12 head: the r12 fuzz
+    # catch made its tie-break deterministic, changing the plan)
     "q_agg_percentile",
     "q_agg_conditional",
     "q_agg_having",
