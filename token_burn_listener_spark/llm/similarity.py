@@ -1275,6 +1275,12 @@ def _pq_subdist_col(a: str, b: str) -> Column:
     )
 
 
+# per-process codebook memo for _pq_codes_arrow, keyed on the embeddings
+# source (path, mtime_ns, size) so a regenerated fixture never reuses a
+# stale codebook; values are 16×64 float64 arrays (~8 KiB each)
+_PQ_CB_CACHE: dict = {}
+
+
 def _pq_encode_kernel(cb_np):
     """Arrow encode-kernel factory: batches of (vec_id, emb) → (vec_id,
     m, c) integer code rows, argmin over the closed-over (16, 64)
@@ -1330,18 +1336,32 @@ def _pq_encode_kernel(cb_np):
     return encode
 
 
-def _pq_codes_arrow(e: DataFrame, cb: DataFrame) -> DataFrame:
+def _pq_codes_arrow(
+    e: DataFrame, cb: DataFrame, cache_key: tuple | None = None
+) -> DataFrame:
     """(vec_id, m, c) PQ codes for the non-query corpus via the Arrow
     kernel. cb is the pinned 16-row codebook; collecting it is a bounded
     16×64-double fetch (house collect policy: codebooks/centroids only).
     The kernel input is pinned to (vec_id, emb) — nothing else crosses
-    Arrow (tests/test_plan_shape.py)."""
+    Arrow (tests/test_plan_shape.py).
+
+    The collect runs at CONSTRUCTION time (the kernel closure needs the
+    codebook values), which is the one Spark job a plan-only consumer —
+    audit_plans, plan-shape tests, probe tools constructing the query
+    N times — would otherwise pay per construction. ``cache_key``
+    (source path + stat, supplied by the query) memoizes the 8 KiB
+    array per fixture so repeated constructions in one process collect
+    once."""
     import numpy as np
 
-    cb_np = np.array(
-        [r["cemb"] for r in sorted(cb.collect(), key=lambda r: r["c"])],
-        dtype=np.float64,
-    )
+    cb_np = _PQ_CB_CACHE.get(cache_key) if cache_key is not None else None
+    if cb_np is None:
+        cb_np = np.array(
+            [r["cemb"] for r in sorted(cb.collect(), key=lambda r: r["c"])],
+            dtype=np.float64,
+        )
+        if cache_key is not None:
+            _PQ_CB_CACHE[cache_key] = cb_np
     return (
         e.filter(F.col("vec_id") != 0)
         .select("vec_id", "emb")
@@ -1482,7 +1502,13 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r11 / 1553.3 s min(struct)). A fully unrolled in-row JVM argmin
     # was also tried: its 1024-term expression breaks whole-stage
     # codegen (janino limits) — rejected on measurement in r11.
-    codes = _pq_codes_arrow(e, cb)
+    import os
+
+    _src = os.path.join(sf_dir, "embeddings.parquet")
+    _st = os.stat(_src)
+    codes = _pq_codes_arrow(
+        e, cb, cache_key=(_src, _st.st_mtime_ns, _st.st_size)
+    )
     q = (
         e.filter(F.col("vec_id") == 0)
         .select(F.col("emb").alias("qemb"))

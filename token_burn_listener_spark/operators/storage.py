@@ -75,7 +75,11 @@ def _ensure_bucketed(
 
     src = f"{sf_dir}/{table}.parquet"
     path = scratch_dir(sf_dir, f"bkt8_{table}_{key}", source=src)
-    name = f"{prefix}_{table}_" + path.split("/")[-2]
+    # the catalog name must carry the BUCKETING KEY too: the scratch hash
+    # is keyed on (sf_dir, source stat) only, so two call sites sharing a
+    # prefix+table but clustering on different columns would otherwise
+    # collide in tableExists and silently reuse the wrong layout
+    name = f"{prefix}_{table}_{key}_" + path.split("/")[-2]
     if spark.catalog.tableExists(name):
         return name
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

@@ -89,8 +89,12 @@ def main() -> int:
         jvm = sorted(map(tuple, _pq_codes_jvm(e, cb, grid).collect()))
         arrow = sorted(map(tuple, _pq_codes_arrow(e, cb).collect()))
         assert jvm == arrow, (
-            f"pq codes diverge at {label}: "
-            f"{next((a, b) for a, b in zip(jvm, arrow) if a != b)}"
+            f"pq codes diverge at {label}: {len(jvm)} jvm vs "
+            f"{len(arrow)} arrow rows, first differing pair "
+            # default guards the prefix case (one side lost/duplicated
+            # whole rows): zip then finds no unequal pair and a bare
+            # next() would die with StopIteration instead of this message
+            f"{next(((a, b) for a, b in zip(jvm, arrow) if a != b), None)}"
         )
         parity[label] = len(jvm)
         print(f"parity {label}: {len(jvm)} code rows identical",
