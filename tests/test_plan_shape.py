@@ -159,3 +159,25 @@ def test_pq_adc_arrow_kernel_shape(spark, sf_dir):
         f"pq codes: Arrow kernel fed {sorted(fed)}, expected "
         f"['emb', 'vec_id'] — widened input pays Arrow transfer per row"
     )
+
+
+def test_ensure_bucketed_identity_includes_key(spark, sf_dir):
+    """Regression (r12 review): two layouts of the SAME table clustered
+    on DIFFERENT keys must register DISTINCT catalog tables. The scratch
+    hash is keyed on (sf_dir, source stat) only — identical for both —
+    so a catalog name without the bucketing key would collide in the
+    tableExists fast path and silently hand the second caller the first
+    caller's layout (a merge join on the wrong cluster column quietly
+    regains its exchanges)."""
+    from token_burn_listener_spark.operators.storage import _ensure_bucketed
+
+    n1 = _ensure_bucketed(spark, sf_dir, "orders", "o_custkey", "bkt_t")
+    n2 = _ensure_bucketed(spark, sf_dir, "orders", "o_orderkey", "bkt_t")
+    assert n1 != n2, n1
+    for name, key in ((n1, "o_custkey"), (n2, "o_orderkey")):
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        buckets = next(
+            (r.data_type for r in desc if r.col_name == "Bucket Columns"),
+            None,
+        )
+        assert buckets is not None and key in buckets, (name, buckets)
