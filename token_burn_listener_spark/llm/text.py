@@ -521,8 +521,6 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms; round(6) absorbs FP summation-order noise (|score| ≈ 4, tail
     error ≈ 1e-12).
     """
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
     # Bigrams via zip_with over two shifted char-array slices, NOT
     # substring(text, i, 2) per position: each substring call re-scans the
@@ -637,7 +635,7 @@ _VOCAB_TOP = 200  # vocabulary size for the OOV-coverage gate
 )
 def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage / OOV audit (extra, beyond §2.B10): build the
-    top-{_VOCAB_TOP} token vocabulary from the corpus itself (count-desc,
+    top-_VOCAB_TOP token vocabulary from the corpus itself (count-desc,
     token tiebreak — a total order, so the cut is deterministic on both
     engines), then score every document by the fraction of its tokens
     OUTSIDE that vocabulary. This is the tokenizer-fit check run before
@@ -652,7 +650,7 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB plan: token counting is the standard explode + partial/final
     agg (one shuffle on the token); the vocabulary cut uses
     ranking.global_row_number over the VOCABULARY (sublinear in corpus
-    size — the zipf pattern), and the resulting <= {_VOCAB_TOP}-row vocab
+    size — the zipf pattern), and the resulting <= _VOCAB_TOP-row vocab
     BROADCASTS into the scoring join, so the exploded corpus never
     shuffles for membership; the per-doc aggregation partial-combines
     map-side (a doc's tokens are colocated with the doc). Corpus read
@@ -715,7 +713,7 @@ _CMS_D = 4  # hash rows (disjoint 8-hex-char windows of sha256)
     """,
 )
 def q_llm_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min-sketch heavy hitters: a {_CMS_D}×{_CMS_W} CMS over corpus
+    """Count-min-sketch heavy hitters: a _CMS_D × _CMS_W CMS over corpus
     tokens, then point-estimates (min over rows of the hashed slot's
     counter) for the top-20 tokens next to their exact counts — est_cnt >=
     exact_cnt always (counters only over-count), the CMS guarantee the
@@ -1136,11 +1134,21 @@ def q_llm_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword extraction for search/labeling — and every number is exact
     on both engines.
 
-    100 TB plan: tf is one partial+final agg on (doc, term); df is
-    vocabulary-sized and BROADCASTS into the scoring join along with the
-    1-row corpus count; the per-doc top-3 window prunes via
-    WindowGroupLimit. Hashing (q_llm_tfidf) trades this exactness for a
-    fixed-width vector when the vocabulary itself is the memory problem.
+    100 TB plan: tf is one partial+final agg on (doc, term) and is
+    PINNED (r12 review): df and the corpus count both DERIVE from it —
+    tf holds exactly one row per (doc, term), so count(*) per term over
+    tf == distinct docs per term over tok, and distinct doc_id over tf
+    == distinct doc_id over tok (a doc with ≥1 token has ≥1 tf row).
+    Previously n/tf/df were three independent subtrees, each replaying
+    the corpus scan + explode (the q_llm_lang_id lesson: '6 static
+    scans measured before the pin') — MEASURED at 100× docs (3 reps
+    each): ~7 s pinned vs 35-37 s unpinned on two of three unpinned
+    reps (the triple explode+agg replay), the r12 review sweep's
+    biggest win. df is vocabulary-sized and
+    BROADCASTS into the scoring join along with the 1-row corpus count;
+    the per-doc top-3 window prunes via WindowGroupLimit. Hashing
+    (q_llm_tfidf) trades this exactness for a fixed-width vector when
+    the vocabulary itself is the memory problem.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = (
@@ -1148,11 +1156,13 @@ def q_llm_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .select("doc_id", F.lower("tok").alias("term"))
     )
-    n = tok.agg(F.count_distinct("doc_id").cast("double").alias("n_docs"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("double").alias("df")
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
+    n = tf.agg(F.count_distinct("doc_id").cast("double").alias("n_docs"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     scored = (
         tf.join(df_, "term")
         .crossJoin(F.broadcast(n))

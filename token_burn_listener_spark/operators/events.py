@@ -313,7 +313,7 @@ _HIST_BIN = 25.0
     """,
 )
 def q_evt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width value histogram per event type ({_HIST_BIN}-wide bins):
+    """Fixed-width value histogram per event type (bin width _HIST_BIN):
     the distribution summary behind every dashboard panel and the input to
     skew diagnosis.
 
@@ -647,7 +647,11 @@ def q_evt_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by users × days — orders of magnitude under the event
     count); the grid side is days-sized and BROADCASTS into the range
     join, which fans each user-day out at most 7×; the per-day distinct
-    is the only other shuffle. The fact is scanned once.
+    is the only other shuffle. MEASURED NON-PROMOTION (r12): pinning
+    `ud` with localCheckpoint (it feeds grid/wau/dau) was A/B'd at 100×
+    (3 reps each) and LOST — ~6.4 s pinned vs ~5.7 s unpinned — the
+    user-day materialization barrier costs more than the replayed
+    scans AQE dedups at runtime; the unpinned form stays.
     """
     e = load_table(spark, sf_dir, "events")
     ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
@@ -826,7 +830,11 @@ def q_evt_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB plan: the hourly rollup is the one fact-sized aggregation
     (types × hours output — tiny); the self-join and scoring run on that
     bounded table. The same shape extends to weekly seasonality by
-    changing the interval.
+    changing the interval. MEASURED NON-PROMOTION (r12): pinning
+    `hourly` (it feeds both self-join sides) was A/B'd at 100× (3 reps
+    each) and LOST — ~2.0 s pinned vs ~1.5 s unpinned — the tiny grid's
+    checkpoint barrier costs more than the second scan AQE dedups at
+    runtime; the unpinned form stays.
     """
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
@@ -884,11 +892,19 @@ def q_evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     that user-keyed aggregate once and rolls up to (cohort, week-index)
     — a bounded table on which the cumulative window runs (weeks ×
     cohorts rows, partitioned per cohort). The division by cohort size
-    happens AFTER the cumsum so partial sums stay exact.
+    happens AFTER the cumsum so partial sums stay exact. `cohort` is
+    PINNED (r12 review): it feeds both the weekly fact join and the
+    `sized` rollup, and unpinned the corpus-sized groupBy(user_id) runs
+    once per consumer — MEASURED at 100× (3 reps each): ~3.75 s pinned
+    vs ~4.78 s unpinned, the one events-key pin of the r12 review sweep
+    that won (its sibling candidates lost to AQE runtime reuse and were
+    reverted — see rolling_active/forecast_naive/pareto).
     """
     e = load_table(spark, sf_dir, "events")
-    cohort = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    cohort = (
+        e.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+        .localCheckpoint(eager=False)
     )
     weekly = (
         e.join(cohort, "user_id")
@@ -1038,7 +1054,11 @@ def q_evt_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB plan: one shuffle aggregates the fact to users; the threshold
     is a 1-row percentile over the user table broadcast back; the final
-    report is a 1-row rollup. The fact is scanned once.
+    report is a 1-row rollup. MEASURED NON-PROMOTION (r12): pinning `u`
+    (it feeds the threshold agg and the report agg, the shape
+    q_evt_rfm pins) was A/B'd at 100× (3 reps each) and came out a WASH
+    (~1.94 s pinned vs ~1.97 s unpinned) — the unpinned form stays, with
+    AQE runtime exchange reuse absorbing the duplicate subtree.
     """
     e = load_table(spark, sf_dir, "events")
     u = e.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("total"))

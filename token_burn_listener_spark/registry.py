@@ -127,38 +127,41 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   _ensure_bucketed: cross-session on-disk layout reuse, VERDICT r11
 #   #4); DIRTY q_agg_minmax_by (r12 fuzz catch: deterministic
 #   (price, orderkey)-struct tie-break replaced the scan-order-dependent
-#   bare min_by/max_by); then the first 44 pre-planned staleness keys.
-#   The last 5 pre-plan keys (q_cdc_pit_join q_evt_attribution
-#   q_evt_paths q_join_range_bucketed q_llm_leak_check) slide to the
-#   r13 head.
+#   bare min_by/max_by); DIRTY q_evt_cohort_ltv q_llm_tfidf_exact (r12
+#   review: the two multi-consumer localCheckpoint pins that WON their
+#   100× A/B — the three losing candidates were reverted unchanged);
+#   then the first 42 pre-planned staleness keys. The pre-plan keys
+#   that no longer fit (q_evt_rfm q_evt_rolling_active q_cdc_pit_join
+#   q_evt_attribution q_evt_paths q_join_range_bucketed
+#   q_llm_leak_check) slide to the r13 head.
 #
 #   r13 window (listed so the next round can verify positions 1-50
 #   against this comment after its rotation edit; amend with r13-dirty
 #   and new keys first — displaced keys slide onward):
-#   q_scan_parquet q_cdc_pit_join q_evt_attribution q_evt_paths
-#   q_join_range_bucketed q_llm_leak_check q_llm_source_overlap
-#   q_evt_forecast_naive q_evt_cohort_ltv q_evt_ab_test q_evt_pareto
-#   q_llm_heaps_law q_src_python_batch q_src_python_stream
-#   q_src_python_sink q_udf_python q_udf_pandas_scalar q_udf_pandas_agg
-#   q_udf_grouped_map q_udf_map_iter q_udtf q_udf_cogroup
-#   q_llm_temperature_mix q_llm_delta_dedup q_llm_bm25
-#   q_llm_dataset_card q_scan_dpp q_evt_funnel_latency
-#   q_llm_kl_divergence q_evt_survival q_evt_changepoint
-#   q_evt_chain_reorg q_evt_xcorr q_evt_profile_similarity
-#   q_stream_reorg q_diag_table_stats q_evt_gap_detection
-#   q_llm_k_anonymity q_diag_column_entropy q_llm_weighted_sample
-#   q_evt_streaks q_evt_anomaly_mad q_stream_backfill
-#   q_evt_cumulative_uniques q_llm_topic_boundaries q_join_asof_forward
-#   q_scan_projection_pushdown q_scan_filter_pushdown q_scan_json
-#   q_scan_csv
+#   q_scan_parquet q_evt_rfm q_evt_rolling_active q_cdc_pit_join
+#   q_evt_attribution q_evt_paths q_join_range_bucketed
+#   q_llm_leak_check q_llm_source_overlap q_evt_forecast_naive
+#   q_evt_ab_test q_evt_pareto q_llm_heaps_law q_src_python_batch
+#   q_src_python_stream q_src_python_sink q_udf_python
+#   q_udf_pandas_scalar q_udf_pandas_agg q_udf_grouped_map
+#   q_udf_map_iter q_udtf q_udf_cogroup q_llm_temperature_mix
+#   q_llm_delta_dedup q_llm_bm25 q_llm_dataset_card q_scan_dpp
+#   q_evt_funnel_latency q_llm_kl_divergence q_evt_survival
+#   q_evt_changepoint q_evt_chain_reorg q_evt_xcorr
+#   q_evt_profile_similarity q_stream_reorg q_diag_table_stats
+#   q_evt_gap_detection q_llm_k_anonymity q_diag_column_entropy
+#   q_llm_weighted_sample q_evt_streaks q_evt_anomaly_mad
+#   q_stream_backfill q_evt_cumulative_uniques q_llm_topic_boundaries
+#   q_join_asof_forward q_scan_projection_pushdown
+#   q_scan_filter_pushdown q_scan_json
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r12 driver window (positions 1-50): canary + 1 NEW key + 4
-    # DIRTY keys + the first 44 keys of the r11 rotation comment's
+    # --- r12 driver window (positions 1-50): canary + 1 NEW key + 6
+    # DIRTY keys + the first 42 keys of the r11 rotation comment's
     # pre-plan (the r04/r05-evidence LLM/event/CDC staleness head). The
-    # last 5 pre-plan keys (q_cdc_pit_join q_evt_attribution q_evt_paths
-    # q_join_range_bucketed q_llm_leak_check) did not fit behind the
-    # dirty block and slide to the r13 head. ---
+    # pre-plan keys that did not fit behind the dirty block (q_evt_rfm
+    # q_evt_rolling_active q_cdc_pit_join q_evt_attribution q_evt_paths
+    # q_join_range_bucketed q_llm_leak_check) slide to the r13 head. ---
     "q_scan_parquet",  # canary: driver-proven eleven times, cheapest probe
     # NEW key (driver-unseen), directly after the canary per the
     # invariant: the steep-banded (6x3) minhash LSH — the measured
@@ -180,7 +183,17 @@ DRIVER_ORDER: list[str] = [
     # corpus caught the scan-order-dependent winner on tied prices that
     # the fixture's tie-free totals had masked
     "q_agg_minmax_by",
-    # --- staleness head: the first 44 pre-planned keys (r04/r05
+    # dirty r12 (review catch, then A/B-measured at 100×, 3 reps each):
+    # of five multi-consumer pin candidates only these two WON and
+    # shipped — cohort_ltv pins its corpus-sized groupBy(user_id)
+    # (~3.75 vs ~4.78 s), tfidf_exact pins tf and derives df/n from it
+    # (~7 vs ~35 s, the sweep's biggest win). The other three
+    # (rolling_active, forecast_naive, pareto) lost or washed against
+    # AQE runtime exchange reuse and were reverted unchanged — measured
+    # non-promotions documented in their docstrings, not window-dirty.
+    "q_evt_cohort_ltv",
+    "q_llm_tfidf_exact",
+    # --- staleness head: the first 42 pre-planned keys (r04/r05
     # evidence) ---
     "q_llm_pack_sequences",
     # driver-proven in r04
@@ -236,7 +249,8 @@ DRIVER_ORDER: list[str] = [
     "q_llm_leak_check",
     "q_llm_source_overlap",
     "q_evt_forecast_naive",
-    "q_evt_cohort_ltv",
+    # (q_evt_cohort_ltv was lifted DIRTY to the r12 head: its
+    # multi-consumer pin measurably won the r12 review A/B)
     "q_evt_ab_test",
     "q_evt_pareto",
     "q_llm_heaps_law",
@@ -322,7 +336,8 @@ DRIVER_ORDER: list[str] = [
     "q_tpch_q20ish",
     "q_tpch_q21ish",
     "q_llm_term_stats",
-    "q_llm_tfidf_exact",
+    # (q_llm_tfidf_exact was lifted DIRTY to the r12 head: the r12
+    # review pinned tf and derived df/n from it)
     "q_llm_pmi_collocations",
     "q_llm_kneser_ney",
     "q_llm_multimodal",
