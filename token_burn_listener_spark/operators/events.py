@@ -77,6 +77,43 @@ def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_stages(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The signup→click→purchase stage pipeline shared by q_evt_funnel
+    and q_evt_funnel_latency (extracted r12 review: the two copies had
+    to stay byte-identical for the latency numbers to describe the same
+    funnel the count key reports — q_evt_windowed_funnel already forked
+    one stage's predicate once).
+
+    Each stage anchors at the earliest qualifying event after the
+    previous stage. The per-user stage aggregates feed BOTH their own
+    consumer and the next stage's join, so su/cl are pinned — unpinned,
+    the su subtree replays inside cl and pu (6 static scans measured).
+    Every join is aggregate⋈aggregate on user_id; each stage's
+    event_type predicate pushes to the parquet scan."""
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+        .localCheckpoint(eager=False)
+    )
+    cl = (
+        e.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint(eager=False)
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return su, cl, pu
+
+
 @query(
     "q_evt_funnel",
     oracle="""
@@ -114,31 +151,7 @@ def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     end — coordination cost is nil.
     """
     e = load_table(spark, sf_dir, "events")
-    # each stage aggregate feeds BOTH its own count row and the next
-    # stage's join; pin the skinny per-user tables so the events scan
-    # count stays one per stage (unpinned: the su subtree replays inside
-    # cl and pu — 6 static scans measured)
-    su = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
-        .localCheckpoint(eager=False)
-    )
-    cl = (
-        e.filter(F.col("event_type") == "click")
-        .join(su, "user_id")
-        .filter(F.col("ts") > F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
-        .localCheckpoint(eager=False)
-    )
-    pu = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(cl, "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
+    su, cl, pu = _funnel_stages(e)
     row = lambda name, df: df.agg(  # noqa: E731
         F.lit(name).alias("stage"), F.count("*").alias("users")
     )
@@ -1127,29 +1140,7 @@ def q_evt_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan) plus one final 1-row latency aggregate — nothing new shuffles.
     """
     e = load_table(spark, sf_dir, "events")
-    # stage aggregates pinned (see q_evt_funnel): su/cl feed both the
-    # next stage's join and the final 3-way latency join
-    su = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
-        .localCheckpoint(eager=False)
-    )
-    cl = (
-        e.filter(F.col("event_type") == "click")
-        .join(su, "user_id")
-        .filter(F.col("ts") > F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
-        .localCheckpoint(eager=False)
-    )
-    pu = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(cl, "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
+    su, cl, pu = _funnel_stages(e)
     lat = (
         su.join(cl, "user_id", "left")
         .join(pu, "user_id", "left")
