@@ -94,3 +94,69 @@ def test_hll_union_estimate_error_bound(spark, sf_dir):
     for r in rows:
         err = abs(r.est_users - r.exact_users) / max(r.exact_users, 1)
         assert err <= 0.02, (r.event_type, r.est_users, r.exact_users)
+
+
+def test_feed_sink_append_overwrite_and_fence(spark, sf_dir, tmp_path):
+    """r12 review pins for the custom event_feed sink/reader contract:
+    (1) append mode publishes AFTER existing parts instead of renaming
+    over them; (2) overwrite mode replaces them; (3) a fenced EMPTY
+    commit reads back as an empty DataFrame; (4) an unfenced dir (a
+    simulated half-commit: parts present, no _FEEDCOMMIT/_SUCCESS) is
+    rejected rather than partially read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from token_burn_listener_spark.sources.feed import register_feed_source
+    from token_burn_listener_spark.tables import load_table
+
+    register_feed_source(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    n = ev.count()
+    target = str(tmp_path / "feed")
+
+    def read_count():
+        return (
+            spark.read.format("event_feed").option("path", target).load()
+        ).count()
+
+    w = ev.write.format("event_feed").option("path", target)
+    w.mode("append").save()
+    assert read_count() == n
+    w.mode("append").save()  # second append must ADD, not clobber
+    assert read_count() == 2 * n
+    w.mode("overwrite").save()  # overwrite must replace both commits
+    assert read_count() == n
+
+    # fenced empty commit is readable as empty
+    empty_target = str(tmp_path / "empty")
+    (
+        ev.filter(F.lit(False))
+        .write.format("event_feed")
+        .option("path", empty_target)
+        .mode("append")
+        .save()
+    )
+    assert os.path.exists(os.path.join(empty_target, "_FEEDCOMMIT"))
+    assert (
+        spark.read.format("event_feed").option("path", empty_target).load()
+    ).count() == 0
+
+    # unfenced dir (half-commit) is rejected
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    with open(os.path.join(half, "part-00000.jsonl"), "w") as f:
+        f.write('{"event_id": 1, "ts_us": 0, "user_id": 1, '
+                '"event_type": "view", "value": 1.0}\n')
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="commit fence"):
+        (
+            spark.read.format("event_feed").option("path", half).load()
+        ).count()

@@ -585,3 +585,35 @@ def test_tpch_share_ratios_with_zero_revenue_yield_null_identically(
     assert q14c["promo_revenue_pct"].notna().all()
     q8c = _run_both("q_tpch_q8ish", ctrl_dir, spark)
     assert q8c["mkt_share"].notna().all()
+
+
+def test_session_exact_deadline_boundary_merges(spark, tmp_path):
+    """An event landing EXACTLY on the running session deadline MERGES in
+    Spark's session_window — for static AND dynamic gaps (r12, measured;
+    the r11 q_stream_session `>=` oracle bug re-found on the dynamic
+    twin). Pin the exact-boundary table through all four session keys so
+    the strictly-greater oracle convention can never regress: user 0's
+    second view lands exactly 15 min (the view gap) after the first;
+    user 1's view lands exactly 45 min (the purchase gap) after the
+    purchase. A `>=` oracle splits each pair into two sessions (4 rows);
+    Spark returns 2 merged sessions."""
+    five_min = 300_000_000
+    rows = [
+        (0, 0 * five_min, 0, "view", 1.0),
+        (1, 3 * five_min, 0, "view", 1.0),
+        (2, 0 * five_min, 1, "purchase", 2.0),
+        (3, 9 * five_min, 1, "view", 2.0),
+    ]
+    sf = _write_events(str(tmp_path), rows)
+    for key in (
+        "q_evt_dynamic_sessions",
+        "q_stream_dynamic_session",
+        "q_stream_session",
+        "q_evt_sessionize",
+    ):
+        _run_both(key, sf, spark)
+    # the dynamic keys must see exactly the two MERGED sessions
+    from token_burn_listener_spark.registry import QUERIES
+
+    out = QUERIES["q_evt_dynamic_sessions"](spark, sf).collect()
+    assert len(out) == 2, out

@@ -483,3 +483,52 @@ def test_upsert_latest_independent_of_replay_order(
             )
         )
         assert_df_equal(compacted, batch)
+
+
+def test_reorg_step_is_idempotent_under_batch_retry(spark, sf_dir, tmp_path):
+    """A retried micro-batch must rewrite the SAME action delta, not an
+    empty one (r12 review): crash after the ``log/batch=N`` write but
+    before the checkpoint commit makes Spark re-run batch N, and the
+    step re-reads a log already containing its own failed attempt. The
+    previously-applied set must therefore come from strictly earlier
+    batches only — without that filter the retry sees its own applies
+    as 'previously applied', emits an empty delta, and the overwrite
+    permanently erases the batch's actions."""
+    from token_burn_listener_spark.operators.events import reorg_blocks
+    from token_burn_listener_spark.streaming.queries import _reorg_step
+    from token_burn_listener_spark.streaming.replay import events_df
+
+    blocks = reorg_blocks(events_df(spark, sf_dir)).select(
+        "height", "branch", "hmax", "hash", "parent_hash", "n_events"
+    )
+    phase1 = blocks.filter(
+        ((F.col("branch") == "a") & (F.col("height") <= F.col("hmax") - 3))
+        | (F.col("branch") == "b")
+    ).drop("hmax")
+    phase2 = blocks.filter(
+        (F.col("branch") == "a") & (F.col("height") >= F.col("hmax") - 2)
+    ).drop("hmax")
+    seen, log = str(tmp_path / "seen"), str(tmp_path / "log")
+
+    def log_rows():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(log)
+                .select("batch", "hash", "action")
+                .collect(),
+            )
+        )
+
+    _reorg_step(seen, log, phase1, 0)
+    after_first = log_rows()
+    _reorg_step(seen, log, phase1, 0)  # simulated retry of batch 0
+    assert log_rows() == after_first, "batch-0 retry changed the log"
+
+    _reorg_step(seen, log, phase2, 1)
+    after_second = log_rows()
+    assert any(b == 1 and a == "rollback" for b, _, a in after_second), (
+        "batch 1 must roll back the overtaken uncle branch"
+    )
+    _reorg_step(seen, log, phase2, 1)  # simulated retry of batch 1
+    assert log_rows() == after_second, "batch-1 retry changed the log"

@@ -407,7 +407,11 @@ def q_evt_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
       FROM e
     ), s AS (
-      SELECT *, CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+      -- STRICTLY greater (r12): Spark's session_window MERGES an event
+      -- landing exactly on the running deadline (same boundary the r11
+      -- q_stream_session fix established for static gaps), so only
+      -- ts > prev_end opens a new session
+      SELECT *, CASE WHEN prev_end IS NULL OR epoch_us(ts) > prev_end
                      THEN 1 ELSE 0 END AS brk
       FROM m
     ), sid AS (
@@ -433,9 +437,13 @@ def q_evt_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     and overlapping spans merge, so session_end is the running MAX of
     event deadlines, which a longer-gap event can extend past a later
     short-gap event's deadline. The oracle replays exactly that with a
-    running-max window; boundary convention matches session_window
-    ([start, end) — an event landing exactly on the close boundary starts
-    a new session).
+    running-max window; boundary convention matches session_window —
+    MEASURED (r12): an event landing EXACTLY on the running deadline
+    MERGES (Spark returned one session on an exact-boundary table, both
+    for static and dynamic gaps), so the oracle breaks strictly-greater.
+    The previous `>=` convention here was the same boundary bug the r11
+    streaming fuzz caught in q_stream_session, latent because neither
+    the fixture nor the fuzz examples so far produce an exact hit.
 
     100 TB plan: session_window is one shuffle on user_id + an in-partition
     merge sort — the same cost envelope as the lag formulation; the gap

@@ -193,6 +193,28 @@ DRIVER_ORDER: list[str] = [
     # non-promotions documented in their docstrings, not window-dirty.
     "q_evt_cohort_ltv",
     "q_llm_tfidf_exact",
+    # dirty r12 (streaming review): q_stream_reorg's foreachBatch delta
+    # now derives applied_prev from batch < batch_id only (a retried
+    # micro-batch no longer erases its own actions — retry-idempotency
+    # pinned in tests/test_stream_equivalence.py), and the event_feed
+    # sink/readers gained the honored save mode + enforced commit fence
+    # + readable empty commit (tests/test_contract.py). The two
+    # dynamic-session keys and q_stream_listener_e2e also changed this
+    # round (strictly-greater oracle boundary / publish fence) but were
+    # ALREADY in this window at positions 42/47/33.
+    "q_stream_reorg",
+    "q_src_python_batch",
+    "q_src_python_stream",
+    "q_src_python_sink",
+    # dirty r12 (boundary fix): the dynamic-session oracles now break
+    # strictly-greater — Spark's session_window MERGES an event landing
+    # exactly on the running deadline (measured; the r11
+    # q_stream_session lesson re-found on the dynamic twin by a review
+    # + exact-boundary repro, pinned in tests/test_degenerate.py). The
+    # batch twin q_evt_dynamic_sessions had the same fix and sits at
+    # window position ~46 already; the streaming key was displaced past
+    # position 50 by the lifts above, so it joins the dirty block.
+    "q_stream_dynamic_session",
     # --- staleness head: the first 42 pre-planned keys (r04/r05
     # evidence) ---
     "q_llm_pack_sequences",
@@ -236,7 +258,9 @@ DRIVER_ORDER: list[str] = [
     "q_scan_time_travel",
     "q_llm_ccnet_buckets",
     "q_diag_join_skew",
-    "q_stream_dynamic_session",
+    # (q_stream_dynamic_session was lifted DIRTY to the r12 head: its
+    # oracle boundary became strictly-greater this round and the other
+    # lifts had displaced it past window position 50)
     "q_llm_bpe_merges",
     "q_evt_windowed_funnel",
     "q_scan_csv_corrupt",
@@ -254,9 +278,9 @@ DRIVER_ORDER: list[str] = [
     "q_evt_ab_test",
     "q_evt_pareto",
     "q_llm_heaps_law",
-    "q_src_python_batch",
-    "q_src_python_stream",
-    "q_src_python_sink",
+    # (q_src_python_batch/stream/sink were lifted DIRTY to the r12
+    # head: the r12 streaming review hardened the event_feed
+    # sink/reader contract they exercise)
     "q_udf_python",
     "q_udf_pandas_scalar",
     "q_udf_pandas_agg",
@@ -281,7 +305,8 @@ DRIVER_ORDER: list[str] = [
     "q_evt_chain_reorg",
     "q_evt_xcorr",
     "q_evt_profile_similarity",
-    "q_stream_reorg",
+    # (q_stream_reorg was lifted DIRTY to the r12 head: the r12
+    # streaming review made its retried micro-batch delta idempotent)
     "q_diag_table_stats",
     "q_evt_gap_detection",
     "q_llm_k_anonymity",

@@ -33,6 +33,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,11 +57,25 @@ _COLS = ("event_id", "ts_us", "user_id", "event_type", "value")
 
 
 def _feed_files(path: str) -> list[str]:
-    """All JSONL part files inside a feed dir (sorted for determinism)."""
-    parts = sorted(glob.glob(os.path.join(path, "part-*")))
-    if not parts:
-        raise FileNotFoundError(f"no feed part file under {path}")
-    return parts
+    """All JSONL part files inside a committed feed dir (sorted for
+    determinism).
+
+    r12 review: readers now ENFORCE the commit fence the writer
+    docstring always promised — a dir without ``_FEEDCOMMIT`` (the
+    two-phase sink's manifest) or ``_SUCCESS`` (Spark's own fence, for
+    ensure_feed's json-written dirs) is a crashed half-commit and is
+    rejected rather than silently read partially. A FENCED dir with
+    zero parts is a validly committed EMPTY feed and returns [] (it
+    previously raised, making a legal empty commit unreadable)."""
+    fenced = os.path.exists(os.path.join(path, "_FEEDCOMMIT")) or os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    )
+    if not fenced:
+        raise FileNotFoundError(
+            f"feed at {path} has no commit fence (_FEEDCOMMIT/_SUCCESS) — "
+            "uncommitted or half-visible data is rejected"
+        )
+    return sorted(glob.glob(os.path.join(path, "part-*")))
 
 
 def _feed_lines(path: str):
@@ -105,6 +120,8 @@ class _FeedBatchReader(DataSourceReader):
         return out
 
     def read(self, partition: _LineRange):
+        if partition is None:  # fenced EMPTY feed: partitions() was []
+            return
         with open(partition.file) as f:
             for i, line in enumerate(f):
                 if i >= partition.end:
@@ -159,8 +176,9 @@ class _FeedWriter(DataSourceWriter):
     crashed job leaves staging garbage but never a half-visible commit).
     """
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator) -> _FeedCommit:
         import uuid as _uuid  # executor-side import
@@ -176,11 +194,35 @@ class _FeedWriter(DataSourceWriter):
         return _FeedCommit(staged, n)
 
     def commit(self, messages) -> None:
-        for i, m in enumerate(messages):
+        # r12 review: honor the save mode. Append publishes AFTER the
+        # highest existing part index (previously every commit numbered
+        # from 0, silently renaming over an earlier commit's files AND
+        # breaking _feed_lines' append-only cursor contract); overwrite
+        # removes the old parts at publish time.
+        existing = sorted(glob.glob(os.path.join(self.path, "part-*")))
+        if self.overwrite:
+            for p in existing:
+                os.remove(p)
+            base = 0
+        else:
+            base = (
+                max(
+                    (
+                        int(mt.group(1))
+                        for p in existing
+                        if (mt := re.search(r"part-(\d+)", os.path.basename(p)))
+                    ),
+                    default=-1,
+                )
+                + 1
+            )
+        j = base
+        for m in messages:
             if m is not None and m.n_rows > 0:
                 os.rename(
-                    m.staged, os.path.join(self.path, f"part-{i:05d}.jsonl")
+                    m.staged, os.path.join(self.path, f"part-{j:05d}.jsonl")
                 )
+                j += 1
             elif m is not None:
                 os.remove(m.staged)
         total = sum(m.n_rows for m in messages if m is not None)
@@ -208,7 +250,7 @@ class EventFeedDataSource(DataSource):
         return _FeedStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return _FeedWriter(self.options)
+        return _FeedWriter(self.options, overwrite)
 
 
 def ensure_feed(spark: SparkSession, sf_dir: str) -> str:
@@ -395,6 +437,10 @@ def q_stream_listener_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_file = glob.glob(os.path.join(tmp, "part-*"))[0]
         shutil.copy(src_file, os.path.join(feed, part_name))
         shutil.rmtree(tmp)
+        # fence each append-only publication: readers reject unfenced
+        # dirs since the r12 review (the provider's commit marker)
+        with open(os.path.join(feed, "_FEEDCOMMIT"), "w") as f:
+            json.dump({"published": part_name}, f)
 
     def drain() -> None:
         src = (

@@ -841,7 +841,12 @@ def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
       FROM e
     ), s AS (
-      SELECT *, CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+      -- STRICTLY greater (r12, the r11 q_stream_session lesson
+      -- re-learned on the dynamic twin): an event landing EXACTLY on
+      -- the running deadline MERGES in Spark's session_window — both
+      -- engines reproduced on an exact-boundary table — so only
+      -- ts > prev_end opens a new session
+      SELECT *, CASE WHEN prev_end IS NULL OR epoch_us(ts) > prev_end
                      THEN 1 ELSE 0 END AS brk
       FROM m
     ), sid AS (
@@ -914,6 +919,65 @@ def _reorg_oracle() -> str:
     """
 
 
+def _reorg_step(seen: str, log: str, batch_df: DataFrame, batch_id: int) -> None:
+    """One reorg micro-batch: record the batch's blocks, re-walk the
+    whole chain seen so far, and emit this batch's apply/rollback delta
+    as an idempotent ``batch=<id>`` overwrite.
+
+    RETRY-SAFE (r12 review): the previously-applied set is derived from
+    STRICTLY EARLIER batches only (``batch < batch_id``). A retried
+    batch (crash after the delta write, before the checkpoint commit —
+    the exact window this key exists to prove safe) re-reads a log that
+    already contains its own failed attempt; without the filter,
+    applied_prev would include the current batch's applies, the
+    recomputed delta would come out empty, and the overwrite would
+    permanently erase the batch's actions. ``seen`` needs no such
+    filter: rewriting the same ``seen/batch=<id>`` rows is idempotent
+    by content. Module-level so tests can drive a retry directly
+    (tests/test_stream_equivalence.py)."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from token_burn_listener_spark.operators.events import flag_canonical
+
+    spark = batch_df.sparkSession
+    batch_df.write.mode("overwrite").parquet(f"{seen}/batch={batch_id}")
+    all_blocks = (
+        spark.read.parquet(seen).drop("batch").localCheckpoint(eager=False)
+    )
+    canon = (
+        flag_canonical(all_blocks)
+        .filter(F.col("canonical"))
+        .select("height", "hash", "n_events")
+    )
+    if os.path.exists(log):
+        prev = spark.read.parquet(log).filter(F.col("batch") < batch_id)
+        w = Window.partitionBy("hash").orderBy(F.desc("batch"))
+        applied_prev = (
+            prev.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("action") == "apply"))
+            .select("hash")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        applied_prev = spark.createDataFrame([], "hash string")
+    new_applies = canon.join(applied_prev, "hash", "left_anti").select(
+        "height", "hash", "n_events", F.lit("apply").alias("action")
+    )
+    rollbacks = (
+        applied_prev.join(canon.select("hash"), "hash", "left_anti")
+        .join(all_blocks.select("height", "hash", "n_events"), "hash")
+        .select(
+            "height", "hash", "n_events",
+            F.lit("rollback").alias("action"),
+        )
+    )
+    new_applies.unionAll(rollbacks).write.mode("overwrite").parquet(
+        f"{log}/batch={batch_id}"
+    )
+
+
 @query("q_stream_reorg", oracle=_reorg_oracle())
 def q_stream_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING reorg handling — the live form of q_evt_chain_reorg and
@@ -940,13 +1004,7 @@ def q_stream_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets, same recipe as q_stream_upsert_latest); the walk cost is
     six one-row broadcast joins per micro-batch.
     """
-    import os
-
-    from token_burn_listener_spark.operators.events import (
-        flag_canonical,
-        reorg_blocks,
-    )
-    from pyspark.sql.window import Window
+    from token_burn_listener_spark.operators.events import reorg_blocks
 
     blocks = reorg_blocks(events_df(spark, sf_dir)).select(
         "height", "branch", "hmax", "hash", "parent_hash", "n_events"
@@ -968,42 +1026,7 @@ def q_stream_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{seen}/batch={batch_id}")
-        all_blocks = (
-            spark.read.parquet(seen)
-            .drop("batch")
-            .localCheckpoint(eager=False)
-        )
-        canon = (
-            flag_canonical(all_blocks)
-            .filter(F.col("canonical"))
-            .select("height", "hash", "n_events")
-        )
-        if os.path.exists(log):
-            prev = spark.read.parquet(log)
-            w = Window.partitionBy("hash").orderBy(F.desc("batch"))
-            applied_prev = (
-                prev.withColumn("rn", F.row_number().over(w))
-                .filter((F.col("rn") == 1) & (F.col("action") == "apply"))
-                .select("hash")
-                .localCheckpoint(eager=False)
-            )
-        else:
-            applied_prev = spark.createDataFrame([], "hash string")
-        new_applies = canon.join(applied_prev, "hash", "left_anti").select(
-            "height", "hash", "n_events", F.lit("apply").alias("action")
-        )
-        rollbacks = (
-            applied_prev.join(canon.select("hash"), "hash", "left_anti")
-            .join(all_blocks.select("height", "hash", "n_events"), "hash")
-            .select(
-                "height", "hash", "n_events",
-                F.lit("rollback").alias("action"),
-            )
-        )
-        new_applies.unionAll(rollbacks).write.mode("overwrite").parquet(
-            f"{log}/batch={batch_id}"
-        )
+        _reorg_step(seen, log, batch_df, batch_id)
 
     def run_once() -> None:
         stream = spark.readStream.schema(
