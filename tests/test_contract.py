@@ -160,3 +160,42 @@ def test_feed_sink_append_overwrite_and_fence(spark, sf_dir, tmp_path):
         (
             spark.read.format("event_feed").option("path", half).load()
         ).count()
+
+
+def test_preflight_sweep_never_touches_live_jvm_dirs(tmp_path, monkeypatch):
+    """r13 pin for tools/scale_probe.preflight_sweep (VERDICT r12 #8):
+    only Spark scratch dirs that PREDATE the oldest live JVM are swept —
+    a dir a live JVM could own (created after it started) must survive,
+    because an idle JVM holds no open fds there (the fd-only heuristic
+    swept a live parity JVM's blockmgr mid-run; this is its regression
+    test)."""
+    import importlib.util
+    import os
+    import time
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "scale_probe.py"),
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+
+    old = tmp_path / "blockmgr-dead"
+    new = tmp_path / "blockmgr-live"
+    old.mkdir()
+    new.mkdir()
+    (old / "shuffle_0_0_0.data").write_bytes(b"x" * 128)
+    past = time.time() - 3600
+    os.utime(old, (past, past))
+
+    # a "live JVM" started 10 minutes ago: the hour-old dir is provably
+    # dead, the fresh one could be the live JVM's and must survive
+    monkeypatch.setattr(sp, "_oldest_live_java_start", lambda: time.time() - 600)
+    sp.preflight_sweep(tmp_root=str(tmp_path))
+    assert not old.exists(), "dead-JVM scratch should be swept"
+    assert new.exists(), "possibly-live scratch must never be touched"
+
+    # no JVM at all: everything is sweepable
+    monkeypatch.setattr(sp, "_oldest_live_java_start", lambda: None)
+    sp.preflight_sweep(tmp_root=str(tmp_path))
+    assert not new.exists()

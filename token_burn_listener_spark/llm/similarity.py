@@ -1277,8 +1277,11 @@ def _pq_subdist_col(a: str, b: str) -> Column:
 
 # per-process codebook memo for _pq_codes_arrow, keyed on the embeddings
 # source (path, mtime_ns, size) so a regenerated fixture never reuses a
-# stale codebook; values are 16×64 float64 arrays (~8 KiB each)
+# stale codebook; values are 16×64 float64 arrays (~8 KiB each). Bounded
+# (ADVICE r12): FIFO-capped so a long process cycling many fixtures can't
+# grow it without bound — eviction only re-pays one 16-row collect.
 _PQ_CB_CACHE: dict = {}
+_PQ_CB_CACHE_MAX = 16
 
 
 def _pq_encode_kernel(cb_np):
@@ -1361,6 +1364,8 @@ def _pq_codes_arrow(
             dtype=np.float64,
         )
         if cache_key is not None:
+            while len(_PQ_CB_CACHE) >= _PQ_CB_CACHE_MAX:
+                _PQ_CB_CACHE.pop(next(iter(_PQ_CB_CACHE)))
             _PQ_CB_CACHE[cache_key] = cb_np
     return (
         e.filter(F.col("vec_id") != 0)

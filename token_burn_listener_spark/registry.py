@@ -119,148 +119,45 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #            design (q_llm_tfidf), 0 red. The keys of the r10 pre-plan
 #            that no longer fit slid to the r12 head.
 #
-#   r12 window = positions 1-50 below (the r11 pre-plan, amended for
-#   this round's work per the invariant): canary; the NEW
-#   q_llm_minhash_steep (6x3 steep banding, VERDICT r11 #3); DIRTY
-#   q_llm_pq_adc (the r11 encode rewrite missed its dirty-first slot —
-#   VERDICT r11 #1); DIRTY q_tpch_q18_bucketed + q_join_bucketed (r12
-#   _ensure_bucketed: cross-session on-disk layout reuse, VERDICT r11
-#   #4); DIRTY q_agg_minmax_by (r12 fuzz catch: deterministic
-#   (price, orderkey)-struct tie-break replaced the scan-order-dependent
-#   bare min_by/max_by); DIRTY q_evt_cohort_ltv q_llm_tfidf_exact (r12
-#   review: the two multi-consumer localCheckpoint pins that WON their
-#   100× A/B — the three losing candidates were reverted unchanged);
-#   then the first 42 pre-planned staleness keys. The pre-plan keys
-#   that no longer fit (q_evt_rfm q_evt_rolling_active q_cdc_pit_join
-#   q_evt_attribution q_evt_paths q_join_range_bucketed
-#   q_llm_leak_check) slide to the r13 head.
+#   r12 proved: canary + the NEW q_llm_minhash_steep + the 11 dirty keys
+#            (pq_adc Arrow encode, the bucketed-layout pair, minmax_by
+#            tie-break, the cohort_ltv/tfidf_exact measured pins, the
+#            streaming-review lifts: reorg + python sources +
+#            dynamic_session) + the first 37 pre-planned staleness keys —
+#            48 green, 2 rows-only by design (q_llm_frames,
+#            q_agg_hll_union), 0 red.
 #
-#   r13 window (listed so the next round can verify positions 1-50
-#   against this comment after its rotation edit; amend with r13-dirty
+#   r13 window = positions 1-50 below (the corrected r12 pre-plan after
+#   the mechanical rotation: the r12-proven head block, minus the canary,
+#   rotated to the back): canary; the four keys the r12 dirty-lift
+#   displaced past position 50 (q_diag_join_skew q_llm_bpe_merges
+#   q_evt_windowed_funnel q_scan_csv_corrupt — VERDICT r12 #1's missing
+#   quartet); then the r06/r07-evidence staleness head (q_evt_rfm ...
+#   q_scan_json). Amend with r13-dirty and new keys first per the
+#   invariant — displaced keys slide onward to the r14 head.
+#
+#   r14 window (listed so the next round can verify positions 1-50
+#   against this comment after its rotation edit; amend with r14-dirty
 #   and new keys first — displaced keys slide onward):
-#   q_scan_parquet q_evt_rfm q_evt_rolling_active q_cdc_pit_join
-#   q_evt_attribution q_evt_paths q_join_range_bucketed
-#   q_llm_leak_check q_llm_source_overlap q_evt_forecast_naive
-#   q_evt_ab_test q_evt_pareto q_llm_heaps_law q_src_python_batch
-#   q_src_python_stream q_src_python_sink q_udf_python
-#   q_udf_pandas_scalar q_udf_pandas_agg q_udf_grouped_map
-#   q_udf_map_iter q_udtf q_udf_cogroup q_llm_temperature_mix
-#   q_llm_delta_dedup q_llm_bm25 q_llm_dataset_card q_scan_dpp
-#   q_evt_funnel_latency q_llm_kl_divergence q_evt_survival
-#   q_evt_changepoint q_evt_chain_reorg q_evt_xcorr
-#   q_evt_profile_similarity q_stream_reorg q_diag_table_stats
-#   q_evt_gap_detection q_llm_k_anonymity q_diag_column_entropy
-#   q_llm_weighted_sample q_evt_streaks q_evt_anomaly_mad
-#   q_stream_backfill q_evt_cumulative_uniques q_llm_topic_boundaries
-#   q_join_asof_forward q_scan_projection_pushdown
-#   q_scan_filter_pushdown q_scan_json
+#   q_scan_parquet q_scan_csv q_scan_binaryfile q_proj_select q_proj_arith
+#   q_proj_case_when q_proj_cast q_filter_cmp q_filter_in q_filter_like
+#   q_filter_between q_filter_null q_filter_bool q_proj_nullsafe
+#   q_join_inner_broadcast q_join_inner_smj q_join_inner_shj q_join_left
+#   q_join_right q_llm_vocab_coverage q_llm_dim_stats q_agg_corr
+#   q_tpch_q8ish q_tpch_q14ish q_llm_random_projection q_llm_semantic_prune
+#   q_join_star q_tpch_q2ish q_tpch_q9ish q_tpch_q11ish q_tpch_q15ish
+#   q_tpch_q16ish q_tpch_q17ish q_tpch_q20ish q_tpch_q21ish q_llm_term_stats
+#   q_llm_pmi_collocations q_llm_kneser_ney q_llm_multimodal
+#   q_diag_dq_checks q_join_full q_join_semi q_join_anti q_join_cross
+#   q_join_theta q_join_interval q_join_bloom q_llm_cosine_topk
+#   q_llm_knn_query q_llm_ann_lsh
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r12 driver window (positions 1-50): canary + 1 NEW key + 6
-    # DIRTY keys + the first 42 keys of the r11 rotation comment's
-    # pre-plan (the r04/r05-evidence LLM/event/CDC staleness head). The
-    # pre-plan keys that did not fit behind the dirty block (q_evt_rfm
-    # q_evt_rolling_active q_cdc_pit_join q_evt_attribution q_evt_paths
-    # q_join_range_bucketed q_llm_leak_check) slide to the r13 head. ---
-    "q_scan_parquet",  # canary: driver-proven eleven times, cheapest probe
-    # NEW key (driver-unseen), directly after the canary per the
-    # invariant: the steep-banded (6x3) minhash LSH — the measured
-    # production answer to the 4x2 twin's x100 disk ceiling
-    # (VERDICT r11 #3)
-    "q_llm_minhash_steep",
-    # dirty r11 (missed — VERDICT r11 #1): the encode-argmin rewrite
-    # (window -> min(struct)) landed after pq_adc's last driver row (r9);
-    # the invariant says stale evidence jumps the queue
-    "q_llm_pq_adc",
-    # dirty r12: both bucketed-layout keys now content-address their
-    # bucketed DATA on disk and re-register via DDL across sessions
-    # instead of rebuilding per session (_ensure_bucketed; VERDICT r11
-    # #4 + the ADVICE r11 per-table cache-key fix)
-    "q_tpch_q18_bucketed",
-    "q_join_bucketed",
-    # dirty r12 (fuzz catch): min_by/max_by tie-break made deterministic
-    # via a (price, orderkey) struct ordering key after the orders fuzz
-    # corpus caught the scan-order-dependent winner on tied prices that
-    # the fixture's tie-free totals had masked
-    "q_agg_minmax_by",
-    # dirty r12 (review catch, then A/B-measured at 100×, 3 reps each):
-    # of five multi-consumer pin candidates only these two WON and
-    # shipped — cohort_ltv pins its corpus-sized groupBy(user_id)
-    # (~3.75 vs ~4.78 s), tfidf_exact pins tf and derives df/n from it
-    # (~7 vs ~35 s, the sweep's biggest win). The other three
-    # (rolling_active, forecast_naive, pareto) lost or washed against
-    # AQE runtime exchange reuse and were reverted unchanged — measured
-    # non-promotions documented in their docstrings, not window-dirty.
-    "q_evt_cohort_ltv",
-    "q_llm_tfidf_exact",
-    # dirty r12 (streaming review): q_stream_reorg's foreachBatch delta
-    # now derives applied_prev from batch < batch_id only (a retried
-    # micro-batch no longer erases its own actions — retry-idempotency
-    # pinned in tests/test_stream_equivalence.py), and the event_feed
-    # sink/readers gained the honored save mode + enforced commit fence
-    # + readable empty commit (tests/test_contract.py). The two
-    # dynamic-session keys and q_stream_listener_e2e also changed this
-    # round (strictly-greater oracle boundary / publish fence) but were
-    # ALREADY in this window at positions 42/47/33.
-    "q_stream_reorg",
-    "q_src_python_batch",
-    "q_src_python_stream",
-    "q_src_python_sink",
-    # dirty r12 (boundary fix): the dynamic-session oracles now break
-    # strictly-greater — Spark's session_window MERGES an event landing
-    # exactly on the running deadline (measured; the r11
-    # q_stream_session lesson re-found on the dynamic twin by a review
-    # + exact-boundary repro, pinned in tests/test_degenerate.py). The
-    # batch twin q_evt_dynamic_sessions had the same fix and sits at
-    # window position ~46 already; the streaming key was displaced past
-    # position 50 by the lifts above, so it joins the dirty block.
-    "q_stream_dynamic_session",
-    # --- staleness head: the first 42 pre-planned keys (r04/r05
-    # evidence) ---
-    "q_llm_pack_sequences",
-    # driver-proven in r04
-    "q_arr_basic",
-    # driver-proven in r05
-    "q_llm_corpus_prep",
-    "q_llm_frames",
-    "q_evt_sessionize",
-    "q_evt_funnel",
-    "q_evt_retention",
-    "q_evt_anomaly",
-    "q_evt_resample",
-    "q_evt_histogram",
-    "q_cdc_snapshot_diff",
-    "q_cdc_scd2",
-    "q_cdc_merge",
-    "q_llm_bigram_lm",
-    "q_stream_upsert_latest",
-    "q_scan_text",
-    "q_agg_hll_union",
-    "q_evt_transitions",
-    "q_cdc_incr_agg",
-    "q_llm_fuzzy_dup",
-    "q_llm_split",
-    "q_llm_length_buckets",
-    "q_llm_zipf",
-    "q_llm_cms_topk",
-    # driver-proven in r06 (r5 octet minus lifted dirty keys, r4b tail, sources, UDFs)
-    "q_stream_listener_e2e",
-    "q_llm_media_decode",
-    "q_llm_dup_rate_by_source",
-    "q_llm_ngram_novelty",
-    "q_llm_curriculum",
-    "q_llm_embedding_coverage",
-    "q_stream_chained",
-    "q_sink_zorder",
-    "q_llm_dsir",
-    "q_evt_dynamic_sessions",
-    "q_llm_training_manifest",
-    "q_scan_time_travel",
-    "q_llm_ccnet_buckets",
+    # --- r13 driver window (positions 1-50): canary + the four keys the
+    # r12 dirty-lift displaced past position 50, then the r06/r07-era
+    # staleness head (the corrected r12 pre-plan). ---
+    "q_scan_parquet",  # canary: driver-proven twelve times, cheapest probe
     "q_diag_join_skew",
-    # (q_stream_dynamic_session was lifted DIRTY to the r12 head: its
-    # oracle boundary became strictly-greater this round and the other
-    # lifts had displaced it past window position 50)
     "q_llm_bpe_merges",
     "q_evt_windowed_funnel",
     "q_scan_csv_corrupt",
@@ -273,14 +170,9 @@ DRIVER_ORDER: list[str] = [
     "q_llm_leak_check",
     "q_llm_source_overlap",
     "q_evt_forecast_naive",
-    # (q_evt_cohort_ltv was lifted DIRTY to the r12 head: its
-    # multi-consumer pin measurably won the r12 review A/B)
     "q_evt_ab_test",
     "q_evt_pareto",
     "q_llm_heaps_law",
-    # (q_src_python_batch/stream/sink were lifted DIRTY to the r12
-    # head: the r12 streaming review hardened the event_feed
-    # sink/reader contract they exercise)
     "q_udf_python",
     "q_udf_pandas_scalar",
     "q_udf_pandas_agg",
@@ -288,8 +180,6 @@ DRIVER_ORDER: list[str] = [
     "q_udf_map_iter",
     "q_udtf",
     "q_udf_cogroup",
-    # driver-proven in r07 (the 28-key pool + 21 re-proof keys, rotated
-    # to the back after the r7 window went green 49/50 + 1 rows-only)
     "q_llm_temperature_mix",
     "q_llm_delta_dedup",
     "q_llm_bm25",
@@ -298,15 +188,10 @@ DRIVER_ORDER: list[str] = [
     "q_evt_funnel_latency",
     "q_llm_kl_divergence",
     "q_evt_survival",
-    # (q_llm_pq_adc was lifted DIRTY to the r12 head: its r11 encode
-    # rewrite — window argmin → min(struct) — landed after its last
-    # driver row, VERDICT r11 #1)
     "q_evt_changepoint",
     "q_evt_chain_reorg",
     "q_evt_xcorr",
     "q_evt_profile_similarity",
-    # (q_stream_reorg was lifted DIRTY to the r12 head: the r12
-    # streaming review made its retried micro-batch delta idempotent)
     "q_diag_table_stats",
     "q_evt_gap_detection",
     "q_llm_k_anonymity",
@@ -321,6 +206,9 @@ DRIVER_ORDER: list[str] = [
     "q_scan_projection_pushdown",
     "q_scan_filter_pushdown",
     "q_scan_json",
+    # --- r14 pre-plan head: the r08-evidence scan/projection/filter/join
+    # staleness block, then the r09/r10/r11 proven blocks in rotation
+    # order (see the rotation comment above). ---
     "q_scan_csv",
     "q_scan_binaryfile",
     "q_proj_select",
@@ -339,11 +227,6 @@ DRIVER_ORDER: list[str] = [
     "q_join_inner_shj",
     "q_join_left",
     "q_join_right",
-    # driver-proven in r08 (the just-proven head block — 7 new r8 keys,
-    # 19 r7-dirty zero-vector/ANSI keys, 17 r8-dirty broadcast-sweep
-    # keys, 6 r01/r02 joins — rotated to the back per the invariant;
-    # the 15 keys the r9 vector-kernel rewrite dirtied were lifted out
-    # of this block into the r09 window head)
     "q_llm_vocab_coverage",
     "q_llm_dim_stats",
     "q_agg_corr",
@@ -361,8 +244,6 @@ DRIVER_ORDER: list[str] = [
     "q_tpch_q20ish",
     "q_tpch_q21ish",
     "q_llm_term_stats",
-    # (q_llm_tfidf_exact was lifted DIRTY to the r12 head: the r12
-    # review pinned tf and derived df/n from it)
     "q_llm_pmi_collocations",
     "q_llm_kneser_ney",
     "q_llm_multimodal",
@@ -373,13 +254,6 @@ DRIVER_ORDER: list[str] = [
     "q_join_cross",
     "q_join_theta",
     "q_join_interval",
-    # --- r09-proven head block, rotated to the back (r10 edit); the
-    # r9-dirty vector/graph keys plus the r01/r02 staleness fill, in
-    # their proven order (q_llm_winnow was pulled forward dirty-first
-    # after the r10 kernel swap) ---
-    # dirty r9 (vector-kernel rewrite, similarity.py + dedup.py; bloom
-    # overflow fix, joins.py; Generate-barrier pin replacing the
-    # repartition pin, prep.py winnow + dedup.py simhash):
     "q_join_bloom",
     "q_llm_cosine_topk",
     "q_llm_knn_query",
@@ -396,7 +270,6 @@ DRIVER_ORDER: list[str] = [
     "q_llm_dup_clusters",
     "q_graph_triangles",
     "q_graph_pagerank",
-    # staleness fill (r01/r02 evidence)
     "q_join_asof",
     "q_join_salted",
     "q_agg_global",
@@ -409,8 +282,6 @@ DRIVER_ORDER: list[str] = [
     "q_agg_grouping_sets",
     "q_agg_collect",
     "q_agg_stddev",
-    # (q_agg_minmax_by was lifted DIRTY to the r12 head: the r12 fuzz
-    # catch made its tie-break deterministic, changing the plan)
     "q_agg_percentile",
     "q_agg_conditional",
     "q_agg_having",
@@ -421,7 +292,6 @@ DRIVER_ORDER: list[str] = [
     "q_str_basic",
     "q_str_split",
     "q_str_regex",
-    # driver-proven in r03, re-proven in the r09 window
     "q_date_parts",
     "q_date_arith",
     "q_date_unix",
@@ -430,10 +300,6 @@ DRIVER_ORDER: list[str] = [
     "q_arr_hof",
     "q_arr_explode",
     "q_arr_zip",
-    # --- r10-proven head block (minus the canary and the keys lifted
-    # dirty into the r11 window), rotated to the back per the
-    # invariant: the 10 r10-dirty shingle/barrier keys, the r03
-    # scalar/window/sort/streaming re-proofs, the setops head ---
     "q_llm_decontaminate",
     "q_llm_subdoc_dup",
     "q_llm_near_dedup",
@@ -479,11 +345,6 @@ DRIVER_ORDER: list[str] = [
     "q_set_union_all",
     "q_set_union",
     "q_set_intersect",
-    # --- r11-proven head block (minus the canary and the keys lifted
-    # dirty into the r12 window: q_tpch_q18_bucketed and q_join_bucketed,
-    # both touched by the r12 _ensure_bucketed layout decoupling),
-    # rotated to the back per the invariant: the 6 r11-dirty keys, then
-    # the r11 staleness head in its proven order ---
     "q_llm_char_entropy",
     "q_llm_repetition",
     "q_llm_winnow",
@@ -531,6 +392,57 @@ DRIVER_ORDER: list[str] = [
     "q_llm_mix_domains",
     "q_llm_sample_stratified",
     "q_llm_global_shuffle",
+    # --- r12-proven head block (minus the canary), rotated to the back
+    # per the invariant, in its proven order. ---
+    "q_llm_minhash_steep",
+    "q_llm_pq_adc",
+    "q_tpch_q18_bucketed",
+    "q_join_bucketed",
+    "q_agg_minmax_by",
+    "q_evt_cohort_ltv",
+    "q_llm_tfidf_exact",
+    "q_stream_reorg",
+    "q_src_python_batch",
+    "q_src_python_stream",
+    "q_src_python_sink",
+    "q_stream_dynamic_session",
+    "q_llm_pack_sequences",
+    "q_arr_basic",
+    "q_llm_corpus_prep",
+    "q_llm_frames",
+    "q_evt_sessionize",
+    "q_evt_funnel",
+    "q_evt_retention",
+    "q_evt_anomaly",
+    "q_evt_resample",
+    "q_evt_histogram",
+    "q_cdc_snapshot_diff",
+    "q_cdc_scd2",
+    "q_cdc_merge",
+    "q_llm_bigram_lm",
+    "q_stream_upsert_latest",
+    "q_scan_text",
+    "q_agg_hll_union",
+    "q_evt_transitions",
+    "q_cdc_incr_agg",
+    "q_llm_fuzzy_dup",
+    "q_llm_split",
+    "q_llm_length_buckets",
+    "q_llm_zipf",
+    "q_llm_cms_topk",
+    "q_stream_listener_e2e",
+    "q_llm_media_decode",
+    "q_llm_dup_rate_by_source",
+    "q_llm_ngram_novelty",
+    "q_llm_curriculum",
+    "q_llm_embedding_coverage",
+    "q_stream_chained",
+    "q_sink_zorder",
+    "q_llm_dsir",
+    "q_evt_dynamic_sessions",
+    "q_llm_training_manifest",
+    "q_scan_time_travel",
+    "q_llm_ccnet_buckets",
 ]
 
 

@@ -195,33 +195,65 @@ class _FeedWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         # r12 review: honor the save mode. Append publishes AFTER the
-        # highest existing part index (previously every commit numbered
-        # from 0, silently renaming over an earlier commit's files AND
-        # breaking _feed_lines' append-only cursor contract); overwrite
-        # removes the old parts at publish time.
+        # existing parts (previously every commit numbered from 0,
+        # silently renaming over an earlier commit's files AND breaking
+        # _feed_lines' append-only cursor contract); overwrite removes
+        # the old parts at publish time.
+        #
+        # r13 (ADVICE r12): the cursor contract is LEXICOGRAPHIC
+        # sorted-name order, so the next index derives from the
+        # lexicographically-LAST part — a numeric max over mixed-width
+        # names (part-000.json vs part-00002.jsonl) could publish a new
+        # part that sorts BEFORE an old one, silently shifting committed
+        # cursor positions. Mixed widths are rejected outright, and a new
+        # part whose padded index would overflow the feed's established
+        # width (sorting before part-999...) fails loudly too.
         existing = sorted(glob.glob(os.path.join(self.path, "part-*")))
         if self.overwrite:
             for p in existing:
                 os.remove(p)
-            base = 0
-        else:
-            base = (
-                max(
-                    (
-                        int(mt.group(1))
-                        for p in existing
-                        if (mt := re.search(r"part-(\d+)", os.path.basename(p)))
-                    ),
-                    default=-1,
+            existing = []
+        width = 5
+        base = 0
+        if existing:
+            stems = [
+                re.search(r"part-(\d+)", os.path.basename(p)) for p in existing
+            ]
+            if not all(stems):
+                bad = [
+                    os.path.basename(p)
+                    for p, mt in zip(existing, stems)
+                    if mt is None
+                ]
+                raise ValueError(
+                    f"unparseable part names {bad} in {self.path}: the "
+                    "append-only cursor order needs part-<index> names"
                 )
-                + 1
-            )
+            widths = {len(mt.group(1)) for mt in stems}
+            if len(widths) > 1:
+                raise ValueError(
+                    f"mixed part-index widths {sorted(widths)} in "
+                    f"{self.path}: lexicographic cursor order would be "
+                    "ambiguous — refusing to append"
+                )
+            width = widths.pop()
+            base = int(stems[-1].group(1)) + 1
         j = base
         for m in messages:
             if m is not None and m.n_rows > 0:
-                os.rename(
-                    m.staged, os.path.join(self.path, f"part-{j:05d}.jsonl")
-                )
+                idx = f"{j:0{width}d}"
+                if len(idx) > width:
+                    raise ValueError(
+                        f"part index {j} overflows the feed's {width}-digit "
+                        f"naming in {self.path}: a wider name would sort "
+                        "before existing parts"
+                    )
+                dest = os.path.join(self.path, f"part-{idx}.jsonl")
+                # exclusive publish: two concurrent appends that computed
+                # the same base fail loudly (EEXIST) instead of
+                # rename-clobbering each other's part
+                os.link(m.staged, dest)
+                os.remove(m.staged)
                 j += 1
             elif m is not None:
                 os.remove(m.staged)
@@ -435,7 +467,15 @@ def q_stream_listener_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = f"{base}/tmp_{part_name}"
         phase_df.coalesce(1).write.json(tmp)
         src_file = glob.glob(os.path.join(tmp, "part-*"))[0]
-        shutil.copy(src_file, os.path.join(feed, part_name))
+        # r13 (ADVICE r12): stage-then-rename INSIDE the feed dir so the
+        # part becomes visible atomically — a plain copy is not atomic,
+        # and once the first commit's fence exists a concurrent reader
+        # would otherwise pass the fence check while the second part is
+        # half-copied (the exact state the fence exists to reject). The
+        # staging name must not match the readers' part-* glob.
+        staged = os.path.join(feed, f"_incoming_{part_name}")
+        shutil.copy(src_file, staged)
+        os.rename(staged, os.path.join(feed, part_name))
         shutil.rmtree(tmp)
         # fence each append-only publication: readers reject unfenced
         # dirs since the r12 review (the provider's commit marker)

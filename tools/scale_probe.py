@@ -278,6 +278,85 @@ def build_scaled(
     return out
 
 
+def _oldest_live_java_start() -> float | None:
+    """Epoch start time of the OLDEST live java process, via /proc
+    (btime + stat field 22 / SC_CLK_TCK). None if no JVM is running."""
+    import glob as _glob
+
+    boot = None
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("btime"):
+                boot = float(line.split()[1])
+                break
+    if boot is None:
+        return 0.0  # can't date processes: treat every JVM as ancient
+    hz = os.sysconf("SC_CLK_TCK")
+    starts = []
+    for pid_dir in _glob.glob("/proc/[0-9]*"):
+        try:
+            with open(os.path.join(pid_dir, "comm")) as f:
+                if f.read().strip() != "java":
+                    continue
+            with open(os.path.join(pid_dir, "stat")) as f:
+                # fields after the parenthesised comm; overall field 22
+                # (starttime, clock ticks since boot) is index 19 here
+                fields = f.read().rsplit(")", 1)[1].split()
+            starts.append(boot + float(fields[19]) / hz)
+        except (OSError, IndexError, ValueError):
+            continue
+    return min(starts) if starts else None
+
+
+def preflight_sweep(tmp_root: str = "/tmp") -> None:
+    """Sweep ORPHANED Spark scratch (blockmgr-*, spark-*) before a big
+    build (VERDICT r12 #8): the r12 1 B-row events probe hit ENOSPC
+    because a dead verification JVM had left ~35 GB of shuffle blocks in
+    the JVM temp dir — Spark only cleans its local dirs on a clean JVM
+    exit.
+
+    Liveness rule (learned the hard way — an open-fd check alone swept a
+    LIVE parity JVM's blockmgr mid-run and mass-failed it: an idle JVM
+    holds no fds under its local dirs): Spark creates fresh-uuid local
+    dirs at JVM startup and never adopts pre-existing ones, so a dir
+    whose mtime predates the oldest live java process (60 s margin)
+    provably belongs to a dead JVM — a dir's mtime is set at creation and
+    only ever moves forward, so mtime < any live JVM's start means the
+    dir was created before every live JVM existed. Only those are swept;
+    with no JVM running, everything matches. Errors are non-fatal — the
+    sweep is a best-effort disk reclaim, not a gate."""
+    import glob as _glob
+    import shutil as _shutil
+
+    candidates = [
+        d
+        for pat in ("blockmgr-*", "spark-*")
+        for d in _glob.glob(os.path.join(tmp_root, pat))
+        if os.path.isdir(d)
+    ]
+    if not candidates:
+        return
+    oldest = _oldest_live_java_start()
+    cutoff = time.time() if oldest is None else oldest - 60.0
+    for d in candidates:
+        try:
+            st = os.stat(d)
+            if st.st_mtime >= cutoff:
+                continue  # could belong to a live JVM — never touch
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(d)
+                for f in fs
+            )
+            _shutil.rmtree(d, ignore_errors=True)
+            print(
+                f"preflight: swept orphaned {d} ({size / 1e6:.0f} MB)",
+                file=sys.stderr,
+            )
+        except OSError as exc:
+            print(f"preflight: sweep of {d} failed: {exc}", file=sys.stderr)
+
+
 def force(df) -> str:
     """Execute the FULL plan without driver-side row transfer: hash every
     output column of every row into one XOR-folded scalar. ``count()`` is
@@ -344,6 +423,7 @@ def main() -> int:
     if bad_keys:
         print(f"unknown probe keys: {bad_keys}", file=sys.stderr)
         return 2
+    preflight_sweep()  # reclaim dead-JVM scratch BEFORE the N× build
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     scaled = build_scaled(
