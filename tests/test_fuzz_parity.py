@@ -23,17 +23,17 @@ rules:
   (r6: pareto; r7: the cosine family, the recall denominator, two TPC-H
   shares, and the corr builtin).
 
-Fuzz census — the 26 registered keys NOT in any corpus, with reasons
+Fuzz census — the 22 registered keys NOT in any corpus, with reasons
 (all other keys ride a suite; test_fuzz_census_accounts_for_every_key
 below machine-checks this arithmetic so the census cannot drift):
 
-- 11 streaming keys (q_stream_* and q_src_python_stream, minus the 14
+- 7 streaming keys (q_stream_* and q_src_python_stream, minus the 18
   fuzzed ones): their correctness surface is multi-batch replay,
   watermarks, and checkpoint RESTARTS — properties of the trigger/state
   machinery, not of the input table's value distribution; the stateful
   semantics are proven in tests/test_stream_equivalence.py (batch-twin
   equivalence, genuine restarts, randomized file-replay-order runs)
-  plus driver rows. The 14 oracle-bearing streaming keys whose VALUE
+  plus driver rows. The 18 oracle-bearing streaming keys whose VALUE
   semantics do depend on the distribution ride the events corpus —
   real availableNow replays per example: tumbling, sliding, session,
   dedup, watermark, late_data, static_join, stateful (r11) plus
@@ -42,12 +42,15 @@ below machine-checks this arithmetic so the census cannot drift):
   replay drains in ONE micro-batch, so the interval join and the
   two-feed rollup are deterministic vs their batch oracles at ANY
   input — what fuzzing adds is the value surface: interval edges at
-  exactly-1-hour offsets on the quantized slots, doubled-sum rounding).
-  The 11 remaining: rate_smoke/rate_limit/availablenow/source_replay
-  (trigger and throttle machinery on synthetic payloads),
-  checkpoint/foreachbatch/reorg/backfill/listener_e2e
-  (restart/idempotency protocol asserts), outer_join (rows-only:
-  outer-null EMISSION TIMING is the semantics under test),
+  exactly-1-hour offsets on the quantized slots, doubled-sum rounding),
+  plus the r13 restart-protocol tranche whose two-phase schedules are
+  total at any corpus shape: foreachbatch, checkpoint, backfill,
+  listener_e2e (VERDICT r12 #5 — see the _FUZZ_KEYS entry).
+  The 7 remaining: rate_smoke/rate_limit/availablenow/source_replay
+  (trigger and throttle machinery on synthetic payloads), reorg (its
+  phase split needs >= 4 block heights, i.e. event_id >= 300; the
+  chain walk itself is fuzzed via q_evt_chain_reorg), outer_join
+  (rows-only: outer-null EMISSION TIMING is the semantics under test),
   q_src_python_stream (custom source protocol).
 - 11 rows-only keys (q_agg_approx_distinct, q_agg_approx_percentile,
   q_agg_hll_union, q_hash_xxhash, q_llm_ann_lsh, q_llm_frames,
@@ -207,6 +210,25 @@ _FUZZ_KEYS = [
     # union's is the doubled-sum 6-dp rounding on dyadic values.
     "q_stream_stream_join",
     "q_stream_union",
+    # r13 tranche (VERDICT r12 #5): the restart-protocol keys whose
+    # two-phase schedules are TOTAL at any corpus shape — each splits
+    # the random table by event_id parity or the % 97 hole pattern, and
+    # the fuzz corpus's enumerate()-assigned ids guarantee both phases
+    # are non-empty from min_size=5 up (id 0 always exists for the
+    # backfill's missing set; parity halves of 0..n-1 are non-empty).
+    # What fuzzing adds on top of the fixture run: exactly-once identity
+    # at arbitrary tiny/tied distributions (foreachbatch, checkpoint),
+    # gap-census arithmetic when the front/back gaps the fixture never
+    # has dominate (backfill), and decode/filter value parity incl. the
+    # all-filtered empty-output path (listener_e2e). q_stream_reorg
+    # stays in the census: its phase split needs >= 4 block heights
+    # (event_id >= 3*_REORG_BLOCK = 300) or phase 1 is empty and the
+    # 2-batch restart assert trips — the chain walk itself IS fuzzed
+    # via q_evt_chain_reorg.
+    "q_stream_foreachbatch",
+    "q_stream_checkpoint",
+    "q_stream_backfill",
+    "q_stream_listener_e2e",
 ]
 
 
@@ -838,12 +860,21 @@ def test_random_tpch_tables_match_duckdb(spark, tmp_path_factory, lines):
 # machine-checked, so adding a key without deciding its fuzz story fails
 # here instead of silently widening the unfuzzed pool.
 
-_CENSUS_STREAMING = 11  # q_stream_* + q_src_python_stream, minus the 14
-                        # oracle-bearing value-semantics keys fuzzed in
-                        # the events suite (8 since r11, VERDICT r10 #7;
-                        # +rocksdb/upsert_latest/chained/dynamic_session
-                        # in r12, VERDICT r11 #7; +stream_stream_join/
-                        # union in the r12 second tranche)
+_CENSUS_STREAMING = 7  # q_stream_* + q_src_python_stream, minus the 18
+                       # oracle-bearing keys fuzzed in the events suite
+                       # (8 since r11, VERDICT r10 #7; +rocksdb/
+                       # upsert_latest/chained/dynamic_session in r12,
+                       # VERDICT r11 #7; +stream_stream_join/union in
+                       # the r12 second tranche; +foreachbatch/
+                       # checkpoint/backfill/listener_e2e in r13,
+                       # VERDICT r12 #5). The 7 remaining:
+                       # rate_smoke/rate_limit/availablenow/
+                       # source_replay (trigger/throttle machinery),
+                       # reorg (phase split needs >= 4 block heights —
+                       # the walk is fuzzed via q_evt_chain_reorg),
+                       # outer_join (rows-only emission timing),
+                       # q_src_python_stream (custom source protocol,
+                       # >= 4-batch drain assert assumes fixture scale)
 _CENSUS_ROWS_ONLY = {
     "q_agg_approx_distinct",
     "q_agg_approx_percentile",

@@ -161,6 +161,42 @@ def test_pq_adc_arrow_kernel_shape(spark, sf_dir):
     )
 
 
+def test_kmeans_arrow_kernel_shape(spark, sf_dir):
+    """r13 (VERDICT r12 #3): the kmeans assignment kernel is fed
+    (vec_id, embedding) ONLY — a widened input (the label column, say)
+    would pay extra Arrow transfer per row on every Lloyd iteration."""
+    import re
+
+    from token_burn_listener_spark.llm.similarity import (
+        _assign_arrow,
+        _init_centroid_values,
+    )
+    from token_burn_listener_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = str(
+        _assign_arrow(e, _init_centroid_values(e))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+    )
+    assert plan.count("MapInPandas") == 1, (
+        f"kmeans assign: expected exactly one MapInPandas stage:\n{plan}"
+    )
+    map_line = next(
+        line for line in plan.splitlines() if "MapInPandas" in line
+    )
+    m = re.search(r"MapInPandas \w+\(([^)]*)\)", map_line)
+    assert m is not None, (
+        f"kmeans assign: MapInPandas plan line no longer matches the "
+        f"expected shape — update the parser:\n{map_line}"
+    )
+    fed = set(re.findall(r"(\w+)#\d+", m.group(1)))
+    assert fed == {"vec_id", "embedding"}, (
+        f"kmeans assign: Arrow kernel fed {sorted(fed)}, expected "
+        f"['embedding', 'vec_id']"
+    )
+
+
 def test_ensure_bucketed_identity_includes_key(spark, sf_dir):
     """Regression (r12 review): two layouts of the SAME table clustered
     on DIFFERENT keys must register DISTINCT catalog tables. The scratch

@@ -353,23 +353,40 @@ _KMEANS_K = 4
 _KMEANS_ITERS = 2
 
 
-def _centroid_literals(rows):
-    """(cluster, pos, c) rows → [(cluster_id, literal array Column)] for
-    the clusters that HAVE members (bounded: ≤ k × dim doubles — the
-    broadcast-centroids step of distributed Lloyd). A cluster can empty
-    out mid-iteration (duplicate init centroids lose every argmin tie to
-    the lower id); it then simply has no centroid next round — the same
-    drop the oracle's unrolled CTEs perform, and why ids are carried
-    explicitly instead of re-enumerated (re-numbering would shift every
-    later cluster's id and break the (d2, cluster) tiebreak parity)."""
+def _centroid_values(rows):
+    """(cluster, pos, c) rows → [(cluster_id, [double, ...])] sorted by
+    cluster id, for the clusters that HAVE members (bounded: ≤ k × dim
+    doubles — the broadcast-centroids step of distributed Lloyd). A
+    cluster can empty out mid-iteration (duplicate init centroids lose
+    every argmin tie to the lower id); it then simply has no centroid
+    next round — the same drop the oracle's unrolled CTEs perform, and
+    why ids are carried explicitly instead of re-enumerated
+    (re-numbering would shift every later cluster's id and break the
+    (d2, cluster) tiebreak parity)."""
     by_cluster: dict[int, dict[int, float]] = {}
     for r in rows:
         by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["c"]
-    out = []
-    for c in sorted(by_cluster):
-        d = by_cluster[c]
-        out.append((c, F.array(*[F.lit(d[p]) for p in sorted(d)])))
-    return out
+    return [
+        (c, [by_cluster[c][p] for p in sorted(by_cluster[c])])
+        for c in sorted(by_cluster)
+    ]
+
+
+def _literal_centroids(cents_vals):
+    """[(cluster_id, values)] → [(cluster_id, literal array Column)] for
+    the JVM assignment form."""
+    return [
+        (c, F.array(*[F.lit(float(x)) for x in v])) for c, v in cents_vals
+    ]
+
+
+def _init_centroid_values(e: DataFrame):
+    """Deterministic init: the K lowest vec_ids' embeddings as raw
+    values (collect bounded to k rows — house collect policy)."""
+    init = e.orderBy("vec_id").limit(_KMEANS_K).select("embedding").collect()
+    return [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(init)
+    ]
 
 
 def _assign(e: DataFrame, cents: list) -> DataFrame:
@@ -406,16 +423,88 @@ def _assign(e: DataFrame, cents: list) -> DataFrame:
     return e.select("vec_id", "embedding", choice["cluster"].alias("cluster"))
 
 
-def kmeans_iterate(spark: SparkSession, sf_dir: str, n_iters: int) -> DataFrame:
+def _kmeans_assign_kernel(cids, cent_rows):
+    """Arrow assignment-kernel factory: batches of (vec_id, embedding) →
+    (vec_id, cluster, embedding) with cluster the argmin centroid id over
+    the closed-over centroid matrix.
+
+    Exactness argument (the pq_adc playbook, similarity.py:_pq_encode_kernel):
+    the kernel emits the INTEGER cluster id; vec_id and embedding are
+    PASS-THROUGH transport (returned byte-identical, never recomputed),
+    so no float computed in Python ever crosses back. The float work to
+    pick the argmin uses IEEE-754 basic ops only (subtract, multiply,
+    add) — each correctly rounded, bit-identical across numpy, the JVM,
+    and DuckDB — applied in the JVM/oracle's exact fold order: the
+    explicit per-position loop accumulates d = t0² + t1² + ...
+    left-associated, matching _assign's aggregate(zip_with) fold (the
+    JVM's 0.0 + t0² == t0² exactly; (x−y)² is never −0.0). np.sum is
+    deliberately NOT used (pairwise regrouping). The float32 → float64
+    widening is exact, matching x.cast("double"). Ties break via
+    np.argmin's first-minimum rule over centroids sorted by cluster id
+    == array_min over (d2, cluster) structs == ORDER BY d2, cluster.
+    No libm call runs in Python, so transcendental-drift hazards are
+    structurally absent, not waived."""
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cid_arr = np.asarray(cids, dtype=np.int32)
+        C = np.asarray(cent_rows, dtype=np.float64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            t = X[:, None, 0] - C[None, :, 0]
+            d = t * t
+            for p in range(1, X.shape[1]):
+                t = X[:, None, p] - C[None, :, p]
+                d = d + t * t
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": cid_arr[np.argmin(d, axis=1)],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return assign
+
+
+def _assign_arrow(e: DataFrame, cents_vals) -> DataFrame:
+    """Map-side cluster assignment via the Arrow kernel. The kernel
+    input is pinned to (vec_id, embedding) — nothing else crosses Arrow
+    (tests/test_plan_shape.py)."""
+    return e.select("vec_id", "embedding").mapInPandas(
+        _kmeans_assign_kernel(
+            [c for c, _ in cents_vals], [v for _, v in cents_vals]
+        ),
+        schema="vec_id bigint, cluster int, embedding array<float>",
+    )
+
+
+def kmeans_iterate(
+    spark: SparkSession, sf_dir: str, n_iters: int, assign_form: str = "arrow"
+) -> DataFrame:
     """Lloyd's k-means, deterministic init (the K lowest vec_ids), returning
-    long-form centroids (cluster, pos, c) + member counts after n_iters."""
+    long-form centroids (cluster, pos, c) + member counts after n_iters.
+
+    ``assign_form``: "arrow" (default — the r13 measured promotion,
+    tools/kmeans_kernel_bench.py) runs the assignment through the Arrow
+    kernel; "jvm" keeps the interpreted aggregate/zip_with fold callable
+    so the head-to-head stays reproducible, _pq_codes_jvm-style. Both
+    forms are value-identical at 1x and x100 (asserted by the bench
+    tool: same IEEE fold order, same argmin tie-break)."""
     e = load_table(spark, sf_dir, "embeddings")
-    init = e.orderBy("vec_id").limit(_KMEANS_K).select("embedding").collect()
-    cents = [
-        (i, F.array(*[F.lit(float(x)) for x in r["embedding"]]))
-        for i, r in enumerate(init)
-    ]
-    assign = _assign(e, cents)
+
+    def do_assign(cents_vals) -> DataFrame:
+        if assign_form == "jvm":
+            return _assign(e, _literal_centroids(cents_vals))
+        return _assign_arrow(e, cents_vals)
+
+    assign = do_assign(_init_centroid_values(e))
     for _ in range(n_iters - 1):
         cent_rows = (
             assign.select(
@@ -425,7 +514,7 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str, n_iters: int) -> DataFrame:
             .agg(F.avg(F.col("val").cast("double")).alias("c"))
             .collect()  # bounded: k × dim rows — the broadcast step
         )
-        assign = _assign(e, _centroid_literals(cent_rows))
+        assign = do_assign(_centroid_values(cent_rows))
     sizes = assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
     cent = (
         assign.select(

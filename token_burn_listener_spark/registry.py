@@ -129,17 +129,23 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 #   r13 window = positions 1-50 below (the corrected r12 pre-plan after
 #   the mechanical rotation: the r12-proven head block, minus the canary,
-#   rotated to the back): canary; the four keys the r12 dirty-lift
-#   displaced past position 50 (q_diag_join_skew q_llm_bpe_merges
-#   q_evt_windowed_funnel q_scan_csv_corrupt — VERDICT r12 #1's missing
-#   quartet); then the r06/r07-evidence staleness head (q_evt_rfm ...
-#   q_scan_json). Amend with r13-dirty and new keys first per the
-#   invariant — displaced keys slide onward to the r14 head.
+#   rotated to the back, then amended per the invariant): canary; the 3
+#   r13-DIRTY keys (q_llm_kmeans — the Arrow assignment-kernel
+#   promotion, VERDICT r12 #3; q_src_python_sink +
+#   q_stream_listener_e2e — the ADVICE r12 feed-sink commit/publish
+#   hardening changed their write paths after their r12 rows); the four
+#   keys the r12 dirty-lift displaced past position 50
+#   (q_diag_join_skew q_llm_bpe_merges q_evt_windowed_funnel
+#   q_scan_csv_corrupt — VERDICT r12 #1's missing quartet); then the
+#   r06/r07-evidence staleness head (q_evt_rfm ...). The three keys the
+#   dirty block displaced (q_scan_projection_pushdown
+#   q_scan_filter_pushdown q_scan_json) slide to the r14 head.
 #
 #   r14 window (listed so the next round can verify positions 1-50
 #   against this comment after its rotation edit; amend with r14-dirty
 #   and new keys first — displaced keys slide onward):
-#   q_scan_parquet q_scan_csv q_scan_binaryfile q_proj_select q_proj_arith
+#   q_scan_parquet q_scan_projection_pushdown q_scan_filter_pushdown
+#   q_scan_json q_scan_csv q_scan_binaryfile q_proj_select q_proj_arith
 #   q_proj_case_when q_proj_cast q_filter_cmp q_filter_in q_filter_like
 #   q_filter_between q_filter_null q_filter_bool q_proj_nullsafe
 #   q_join_inner_broadcast q_join_inner_smj q_join_inner_shj q_join_left
@@ -149,14 +155,23 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   q_tpch_q16ish q_tpch_q17ish q_tpch_q20ish q_tpch_q21ish q_llm_term_stats
 #   q_llm_pmi_collocations q_llm_kneser_ney q_llm_multimodal
 #   q_diag_dq_checks q_join_full q_join_semi q_join_anti q_join_cross
-#   q_join_theta q_join_interval q_join_bloom q_llm_cosine_topk
-#   q_llm_knn_query q_llm_ann_lsh
+#   q_join_theta q_join_interval q_join_bloom
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
     # --- r13 driver window (positions 1-50): canary + the four keys the
     # r12 dirty-lift displaced past position 50, then the r06/r07-era
     # staleness head (the corrected r12 pre-plan). ---
     "q_scan_parquet",  # canary: driver-proven twelve times, cheapest probe
+    # dirty r13 (VERDICT r12 #3, the pq playbook): the kmeans assignment
+    # is now the Arrow integer-cluster kernel (2.6x at 20 M vectors,
+    # tools/kmeans_kernel_bench.py) — plan changed, evidence (r9) stale
+    "q_llm_kmeans",
+    # dirty r13 (ADVICE r12): the feed sink's append commit now derives
+    # its index lexicographically with exclusive-create publish, and the
+    # listener e2e publishes parts via stage-then-rename inside the feed
+    # dir — both write paths changed after their r12 driver rows
+    "q_src_python_sink",
+    "q_stream_listener_e2e",
     "q_diag_join_skew",
     "q_llm_bpe_merges",
     "q_evt_windowed_funnel",
@@ -260,7 +275,6 @@ DRIVER_ORDER: list[str] = [
     "q_llm_ann_lsh",
     "q_llm_centroids",
     "q_llm_ivf_search",
-    "q_llm_kmeans",
     "q_llm_knn_classify",
     "q_llm_hard_negatives",
     "q_llm_ann_recall",
@@ -404,7 +418,6 @@ DRIVER_ORDER: list[str] = [
     "q_stream_reorg",
     "q_src_python_batch",
     "q_src_python_stream",
-    "q_src_python_sink",
     "q_stream_dynamic_session",
     "q_llm_pack_sequences",
     "q_arr_basic",
@@ -430,7 +443,6 @@ DRIVER_ORDER: list[str] = [
     "q_llm_length_buckets",
     "q_llm_zipf",
     "q_llm_cms_topk",
-    "q_stream_listener_e2e",
     "q_llm_media_decode",
     "q_llm_dup_rate_by_source",
     "q_llm_ngram_novelty",

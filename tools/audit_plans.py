@@ -241,6 +241,12 @@ ALLOW_PYTHON = {
                          # tools/pq_kernel_bench.py
     "q_llm_training_manifest",  # composes pack_sequences' fold — same Arrow
                                 # contract, same skinny (id, source, n) rows
+    "q_llm_kmeans",      # mapInPandas assignment kernel emitting the INTEGER
+                         # cluster id (r13, VERDICT r12 #3): embedding is
+                         # pass-through transport, IEEE basic ops in the
+                         # JVM fold order, ~2x at 1000x — measured
+                         # head-to-head vs the interpreted aggregate/zip_with
+                         # form in tools/kmeans_kernel_bench.py
 }
 
 PYTHON_OPS = (

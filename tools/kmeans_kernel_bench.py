@@ -41,8 +41,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from token_burn_listener_spark.llm.similarity import (  # noqa: E402
     _assign,
     _assign_arrow,
-    _centroid_literals,
     _init_centroid_values,
+    _literal_centroids,
     kmeans_iterate,
 )
 from token_burn_listener_spark.registry import load_all_modules  # noqa: E402
@@ -57,15 +57,9 @@ def _first_assign(spark, root: str, form: str):
     e = load_table(spark, root, "embeddings")
     cents_vals = _init_centroid_values(e)
     if form == "jvm":
-        a = _assign(e, _centroid_literals_from_values(cents_vals))
+        a = _assign(e, _literal_centroids(cents_vals))
         return a.select("vec_id", "cluster")
     return _assign_arrow(e, cents_vals).select("vec_id", "cluster")
-
-
-def _centroid_literals_from_values(cents_vals):
-    from pyspark.sql import functions as F
-
-    return [(c, F.array(*[F.lit(float(x)) for x in v])) for c, v in cents_vals]
 
 
 def main() -> int:
