@@ -238,24 +238,36 @@ class _FeedWriter(DataSourceWriter):
                 )
             width = widths.pop()
             base = int(stems[-1].group(1)) + 1
-        j = base
-        for m in messages:
-            if m is not None and m.n_rows > 0:
-                idx = f"{j:0{width}d}"
-                if len(idx) > width:
-                    raise ValueError(
-                        f"part index {j} overflows the feed's {width}-digit "
-                        f"naming in {self.path}: a wider name would sort "
-                        "before existing parts"
-                    )
-                dest = os.path.join(self.path, f"part-{idx}.jsonl")
+        # Validate EVERY final name up-front, then link with rollback on
+        # failure — a mid-loop raise after the first link would leave a
+        # half-visible commit behind the still-valid old fence (the exact
+        # state the two-phase design promises never to expose).
+        non_empty = [m for m in messages if m is not None and m.n_rows > 0]
+        idxs = [f"{base + i:0{width}d}" for i in range(len(non_empty))]
+        if any(len(s) > width for s in idxs):
+            raise ValueError(
+                f"appending {len(non_empty)} parts at base {base} overflows "
+                f"the feed's {width}-digit naming in {self.path}: a wider "
+                "name would sort before existing parts"
+            )
+        linked: list[str] = []
+        try:
+            for m, s in zip(non_empty, idxs):
+                dest = os.path.join(self.path, f"part-{s}.jsonl")
                 # exclusive publish: two concurrent appends that computed
                 # the same base fail loudly (EEXIST) instead of
                 # rename-clobbering each other's part
                 os.link(m.staged, dest)
-                os.remove(m.staged)
-                j += 1
-            elif m is not None:
+                linked.append(dest)
+        except OSError:
+            for dest in linked:  # restore all-or-nothing visibility
+                try:
+                    os.remove(dest)
+                except OSError:
+                    pass
+            raise
+        for m in messages:
+            if m is not None:
                 os.remove(m.staged)
         total = sum(m.n_rows for m in messages if m is not None)
         with open(os.path.join(self.path, "_FEEDCOMMIT"), "w") as f:

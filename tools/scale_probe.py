@@ -279,8 +279,15 @@ def build_scaled(
 
 
 def _oldest_live_java_start() -> float | None:
-    """Epoch start time of the OLDEST live java process, via /proc
-    (btime + stat field 22 / SC_CLK_TCK). None if no JVM is running."""
+    """Epoch start time of the OLDEST live JVM-ish process, via /proc
+    (btime + stat field 22 / SC_CLK_TCK). None if no JVM is running.
+
+    A process counts as JVM-ish if its comm is "java" OR its cmdline
+    mentions java/spark — a Spark driver under a renamed launcher must
+    still pin the cutoff (missing it would re-create the swept-live-JVM
+    incident through a different blind spot). The inverse cost of the
+    broad match — an ancient unrelated java daemon pinning the cutoff
+    and disabling reclaim — errs in the safe direction (sweep less)."""
     import glob as _glob
 
     boot = None
@@ -296,8 +303,15 @@ def _oldest_live_java_start() -> float | None:
     for pid_dir in _glob.glob("/proc/[0-9]*"):
         try:
             with open(os.path.join(pid_dir, "comm")) as f:
-                if f.read().strip() != "java":
-                    continue
+                is_jvm = f.read().strip() == "java"
+            if not is_jvm:
+                with open(os.path.join(pid_dir, "cmdline"), "rb") as f:
+                    cmd = f.read().lower()
+                is_jvm = b"java" in cmd or b"spark" in cmd
+            if not is_jvm:
+                continue
+            if os.path.realpath(pid_dir) == f"/proc/{os.getpid()}":
+                continue  # this probe's own cmdline mentions spark
             with open(os.path.join(pid_dir, "stat")) as f:
                 # fields after the parenthesised comm; overall field 22
                 # (starttime, clock ticks since boot) is index 19 here
@@ -343,18 +357,23 @@ def preflight_sweep(tmp_root: str = "/tmp") -> None:
             st = os.stat(d)
             if st.st_mtime >= cutoff:
                 continue  # could belong to a live JVM — never touch
-            size = sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(d)
-                for f in fs
-            )
-            _shutil.rmtree(d, ignore_errors=True)
-            print(
-                f"preflight: swept orphaned {d} ({size / 1e6:.0f} MB)",
-                file=sys.stderr,
-            )
         except OSError as exc:
             print(f"preflight: sweep of {d} failed: {exc}", file=sys.stderr)
+            continue
+        # size is log decoration only — a dangling symlink or unreadable
+        # entry must never abort the reclaim itself
+        size = 0
+        for r, _, fs in os.walk(d):
+            for f in fs:
+                try:
+                    size += os.lstat(os.path.join(r, f)).st_size
+                except OSError:
+                    pass
+        _shutil.rmtree(d, ignore_errors=True)
+        print(
+            f"preflight: swept orphaned {d} ({size / 1e6:.0f} MB)",
+            file=sys.stderr,
+        )
 
 
 def force(df) -> str:
