@@ -23,11 +23,11 @@ rules:
   (r6: pareto; r7: the cosine family, the recall denominator, two TPC-H
   shares, and the corr builtin).
 
-Fuzz census — the 22 registered keys NOT in any corpus, with reasons
+Fuzz census — the 21 registered keys NOT in any corpus, with reasons
 (all other keys ride a suite; test_fuzz_census_accounts_for_every_key
 below machine-checks this arithmetic so the census cannot drift):
 
-- 7 streaming keys (q_stream_* and q_src_python_stream, minus the 18
+- 6 streaming keys (q_stream_*, minus the 19
   fuzzed ones): their correctness surface is multi-batch replay,
   watermarks, and checkpoint RESTARTS — properties of the trigger/state
   machinery, not of the input table's value distribution; the stateful
@@ -45,13 +45,13 @@ below machine-checks this arithmetic so the census cannot drift):
   exactly-1-hour offsets on the quantized slots, doubled-sum rounding),
   plus the r13 restart-protocol tranche whose two-phase schedules are
   total at any corpus shape: foreachbatch, checkpoint, backfill,
-  listener_e2e (VERDICT r12 #5 — see the _FUZZ_KEYS entry).
-  The 7 remaining: rate_smoke/rate_limit/availablenow/source_replay
+  listener_e2e, and the custom-source cursor drain q_src_python_stream
+  (VERDICT r12 #5 — see the _FUZZ_KEYS entries).
+  The 6 remaining: rate_smoke/rate_limit/availablenow/source_replay
   (trigger and throttle machinery on synthetic payloads), reorg (its
   phase split needs >= 4 block heights, i.e. event_id >= 300; the
   chain walk itself is fuzzed via q_evt_chain_reorg), outer_join
-  (rows-only: outer-null EMISSION TIMING is the semantics under test),
-  q_src_python_stream (custom source protocol).
+  (rows-only: outer-null EMISSION TIMING is the semantics under test).
 - 11 rows-only keys (q_agg_approx_distinct, q_agg_approx_percentile,
   q_agg_hll_union, q_hash_xxhash, q_llm_ann_lsh, q_llm_frames,
   q_llm_multimodal, q_llm_near_dedup, q_llm_simhash, q_llm_tfidf,
@@ -229,6 +229,13 @@ _FUZZ_KEYS = [
     "q_stream_checkpoint",
     "q_stream_backfill",
     "q_stream_listener_e2e",
+    # r13 second tranche: the custom Python streaming source's cursor
+    # drain. Its >= 4-batch rate-limit assert holds at ANY corpus size
+    # n >= 4: rows_per_batch = max(1, n // 4), so the drain takes
+    # ceil(n / max(1, n // 4)) >= 4 non-empty polls. The fuzz surface is
+    # the cursor's no-loss/no-double-delivery sum over random tiny
+    # distributions (verified at n = 5/8/60 before inclusion).
+    "q_src_python_stream",
 ]
 
 
@@ -860,21 +867,20 @@ def test_random_tpch_tables_match_duckdb(spark, tmp_path_factory, lines):
 # machine-checked, so adding a key without deciding its fuzz story fails
 # here instead of silently widening the unfuzzed pool.
 
-_CENSUS_STREAMING = 7  # q_stream_* + q_src_python_stream, minus the 18
+_CENSUS_STREAMING = 6  # q_stream_* + q_src_python_stream, minus the 19
                        # oracle-bearing keys fuzzed in the events suite
                        # (8 since r11, VERDICT r10 #7; +rocksdb/
                        # upsert_latest/chained/dynamic_session in r12,
                        # VERDICT r11 #7; +stream_stream_join/union in
                        # the r12 second tranche; +foreachbatch/
-                       # checkpoint/backfill/listener_e2e in r13,
-                       # VERDICT r12 #5). The 7 remaining:
+                       # checkpoint/backfill/listener_e2e +
+                       # q_src_python_stream in r13, VERDICT r12 #5).
+                       # The 6 remaining:
                        # rate_smoke/rate_limit/availablenow/
                        # source_replay (trigger/throttle machinery),
                        # reorg (phase split needs >= 4 block heights —
                        # the walk is fuzzed via q_evt_chain_reorg),
-                       # outer_join (rows-only emission timing),
-                       # q_src_python_stream (custom source protocol,
-                       # >= 4-batch drain assert assumes fixture scale)
+                       # outer_join (rows-only emission timing)
 _CENSUS_ROWS_ONLY = {
     "q_agg_approx_distinct",
     "q_agg_approx_percentile",
