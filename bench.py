@@ -103,6 +103,10 @@ HEADLINE_KEYS = [
     # promotion and the zero-exchange bucketed q18 layout key.
     "q_llm_repetition",     # Arrow trigram-counting kernel (promoted in r11)
     "q_tpch_q18_bucketed",  # zero-exchange bucketed q18 (new in r11)
+    # r13 addition: the corpus-shuffle-free LSH layout key — the bench
+    # line measures the banded dedup the layout was built for (the
+    # content-addressed build amortizes across sessions, as with q18)
+    "q_llm_minhash_bucketed",
 ]
 
 

@@ -338,6 +338,10 @@ _DOC_FUZZ_KEYS = [
     "q_llm_minhash_steep",  # 6x3 steep banding: same verify gate,
     # salted-digest signatures; tiny corpora exercise the all-collide
     # and no-collide band edges on both engines (r12)
+    "q_llm_minhash_bucketed",  # the steep query over the bucketed
+    # shingle layout (r13): fuzzing re-runs the layout build per random
+    # corpus, so the content-addressed scratch + plan asserts are
+    # exercised at every corpus shape alongside the value parity
     "q_llm_fuzzy_dup",  # ED-Join prefix buckets on tiny token streams
     "q_llm_delta_dedup",  # incl. the empty-delta (doc_id % 10) branch
     "q_llm_dedup_survivors",  # pairs -> components -> quality argmax

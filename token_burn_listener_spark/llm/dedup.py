@@ -1283,9 +1283,12 @@ def _steep_sig_sql(h: int) -> str:
     )
 
 
-@query(
-    "q_llm_minhash_steep",
-    oracle=f"""
+# Shared by q_llm_minhash_steep and its bucketed-layout twin
+# q_llm_minhash_bucketed: the two keys compute the IDENTICAL logical
+# query (same signatures, bands, verify gate) — only the Spark-side
+# physical layout differs, so one oracle text checks both (the
+# q_tpch_q18ish / q_tpch_q18_bucketed precedent).
+_MH_STEEP_ORACLE = f"""
     WITH s AS MATERIALIZED (
       SELECT doc_id,
              list_distinct([substring(text, i, 5)
@@ -1312,8 +1315,10 @@ def _steep_sig_sql(h: int) -> str:
     JOIN s sb ON sb.doc_id = c.doc_b
     WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
           / len(list_distinct(sa.sh || sb.sh)) >= 0.4
-    """,
-)
+    """
+
+
+@query("q_llm_minhash_steep", oracle=_MH_STEEP_ORACLE)
 def q_llm_minhash_steep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH with STEEP banding (6 bands × 3 rows) — the measured
     production answer to q_llm_minhash_exact's single-box ×100 ceiling
@@ -1388,6 +1393,139 @@ def q_llm_minhash_steep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.4)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query("q_llm_minhash_bucketed", oracle=_MH_STEEP_ORACLE)
+def q_llm_minhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_llm_minhash_steep over a doc_id-bucketed SHINGLE LAYOUT — the
+    corpus-shuffle-free form of the banded LSH verify stage (r13; the
+    lever SCALE.md's ×300 ceiling row names).
+
+    The steep twin's ×300 probe (1.5 M entropy docs) died on DISK with
+    the cause isolated: its exact-Jaccard verify re-joins candidates
+    against the checkpointed shingle corpus on BOTH pair sides, so the
+    verify shuffles ~2× the corpus shingle bytes (~30 GB each way)
+    regardless of how few candidates the steep bands admit. This key
+    materializes the shingled corpus ONCE as a 32-bucket doc_id-
+    clustered layout (content-addressed + session-reusable via
+    _ensure_bucketed — the q18_bucketed discipline) and consumes it
+    three times with ZERO corpus shuffles, asserted on the plan:
+
+    - the 18-min signature aggregate consumes the scan's
+      HashPartitioning(doc_id) directly (no Exchange below the agg);
+    - each verify join bucket-joins the corpus side in place — only the
+      CANDIDATE table (pairs + one carried shingle array) ever shuffles,
+      so verify volume is candidate-bound, not corpus-bound.
+
+    At 100 TB this is the production shape: the shingle table is a
+    once-per-ingest lake artifact clustered on doc_id, and every dedup
+    pass (daily delta, band re-tune, threshold sweep) re-reads the
+    layout instead of re-shuffling the corpus. The build repartitions
+    on doc_id so each bucket is ONE file, which lets the scan report
+    its SortOrder and the merge joins skip the corpus-side re-sort.
+
+    Signatures/bands/verify are bit-identical to the steep twin (same
+    salted sha256 windows, same 6×3 bands, same J >= 0.4 gate), so the
+    twin's oracle text checks this key exactly.
+    """
+    from token_burn_listener_spark.operators.storage import (
+        _ensure_bucketed,
+        _plan,
+    )
+
+    name = _ensure_bucketed(
+        spark,
+        sf_dir,
+        "documents_sh",
+        "doc_id",
+        "bkt_mh",
+        n_buckets=32,
+        build=lambda s, d: shingled(load_table(s, d, "documents")).repartition(
+            32, "doc_id"
+        ),
+        source=f"{sf_dir}/documents.parquet",
+    )
+    d = spark.table(name)
+    e = d.select("doc_id", F.explode("sh").alias("g")).select(
+        "doc_id",
+        *[
+            F.sha2(
+                F.col("g") if not salt else F.concat(F.col("g"), F.lit(salt)),
+                256,
+            ).alias(f"sha{k}")
+            for k, salt in enumerate(_MH_STEEP_SALTS)
+        ],
+    )
+    sig_raw = e.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(f"sha{h // 8}", 1 + 8 * (h % 8), 8), 16, 10
+                ).cast("long")
+            ).alias(f"sig{h}")
+            for h in range(_MH_STEEP_FNS)
+        ]
+    )
+    # layout assert #1: the signature aggregate consumes the bucketed
+    # scan's HashPartitioning(doc_id) — no Exchange anywhere below it
+    import re as _re
+
+    n_sig_ex = len(_re.findall(r"^\(\d+\) Exchange", _plan(sig_raw), _re.M))
+    if n_sig_ex != 0:
+        raise AssertionError(
+            f"bucketed signature agg not exchange-free: {n_sig_ex} Exchanges"
+            " (expected 0: groupBy(doc_id) over the doc_id-bucketed scan)"
+        )
+    # sig still feeds 12 band branches: pin it (localCheckpoint) exactly
+    # as the twin does — the LAYOUT pins the corpus, the checkpoint pins
+    # the derived 18-long signature table. Band joins are merge-hinted:
+    # at fixture scale the checkpointed sig's stats would flip them to
+    # broadcast (changing the Exchange census the assert below pins),
+    # and SMJ on the band key IS the at-scale shape — a production sig
+    # table (8 B × 18 per doc) outgrows any broadcast threshold.
+    sig = sig_raw.localCheckpoint(eager=False)
+    cand = None
+    for band in _MH_STEEP_BANDS:
+        a = sig.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"sig{i}").alias(f"b{k}") for k, i in enumerate(band)],
+        )
+        b = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"sig{i}").alias(f"b{k}") for k, i in enumerate(band)],
+        )
+        bandj = (
+            a.join(b.hint("merge"), [f"b{k}" for k in range(len(band))])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cand = bandj if cand is None else cand.union(bandj)
+    cand = cand.distinct()
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr"))
+    jac = F.size(F.array_intersect("sha_arr", "shb_arr")).cast("double") / F.size(
+        F.array_union("sha_arr", "shb_arr")
+    )
+    out = (
+        cand.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+    # layout assert #2: only candidate-bound data shuffles. Expected
+    # shuffle Exchanges: 6 bands × 2 signature sides (the checkpointed
+    # sig re-keys per band) + 1 candidate distinct + 2 candidate-side
+    # verify shuffles (pairs by doc_a; pairs+carried array by doc_b)
+    # = 15. The corpus sides of both verify joins and the signature
+    # aggregate contribute ZERO — they consume the bucket layout.
+    n_ex = len(_re.findall(r"^\(\d+\) Exchange", _plan(out), _re.M))
+    if n_ex != 15:
+        raise AssertionError(
+            f"bucketed LSH verify plan drifted: {n_ex} shuffle Exchanges"
+            " (expected 15 = 12 band + 1 distinct + 2 candidate-side"
+            " verify; the corpus sides must stay exchange-free)"
+        )
+    return out
 
 
 _LSH_RECALL_SETS = f"""

@@ -27,6 +27,7 @@ fresh session pays metadata registration, not a bucketBy rewrite.
 from __future__ import annotations
 
 import re
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,10 +48,28 @@ def _plan(df: DataFrame) -> str:
 
 
 def _ensure_bucketed(
-    spark: SparkSession, sf_dir: str, table: str, key: str, prefix: str
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    prefix: str,
+    n_buckets: int = 8,
+    build: Callable[[SparkSession, str], DataFrame] | None = None,
+    source: str | None = None,
 ) -> str:
-    """Register (building at most once per fixture) an 8-bucket layout of
-    ``table`` clustered+sorted on ``key``; returns the catalog table name.
+    """Register (building at most once per fixture) an ``n_buckets``-bucket
+    layout of ``table`` clustered+sorted on ``key``; returns the catalog
+    table name.
+
+    ``build`` (r13) lets the layout hold a DERIVED table instead of a raw
+    fixture copy — e.g. the shingled corpus q_llm_minhash_bucketed
+    clusters on doc_id. The callable produces the DataFrame to bucket;
+    ``source`` names the fixture file whose (mtime, size) content-
+    addresses the layout (defaults to ``{table}.parquet``, which derived
+    builds usually are not). Derived builds should repartition on the
+    bucket key so each bucket lands in ONE file — Spark only reports the
+    layout's SortOrder (skipping the merge-join re-sort) for
+    single-file buckets.
 
     r12 (VERDICT r11 #4): the bucketed DATA is now content-addressed on
     disk (scratch_dir keyed on the table's OWN parquet mtime/size —
@@ -73,8 +92,8 @@ def _ensure_bucketed(
     import shutil
     import uuid
 
-    src = f"{sf_dir}/{table}.parquet"
-    path = scratch_dir(sf_dir, f"bkt8_{table}_{key}", source=src)
+    src = source if source is not None else f"{sf_dir}/{table}.parquet"
+    path = scratch_dir(sf_dir, f"bkt{n_buckets}_{table}_{key}", source=src)
     # the catalog name must carry the BUCKETING KEY too: the scratch hash
     # is keyed on (sf_dir, source stat) only, so two call sites sharing a
     # prefix+table but clustering on different columns would otherwise
@@ -88,9 +107,13 @@ def _ensure_bucketed(
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         tmp_name = f"{name}_build_{uuid.uuid4().hex[:8]}"
+        df = (
+            build(spark, sf_dir)
+            if build is not None
+            else load_table(spark, sf_dir, table)
+        )
         (
-            load_table(spark, sf_dir, table)
-            .write.bucketBy(8, key)
+            df.write.bucketBy(n_buckets, key)
             .sortBy(key)
             .option("path", tmp)
             .mode("overwrite")
@@ -109,7 +132,7 @@ def _ensure_bucketed(
     )
     spark.sql(
         f"CREATE TABLE {name} ({cols}) USING parquet"
-        f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS"
+        f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS"
         f" LOCATION '{path}'"
     )
     return name

@@ -129,39 +129,49 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 #   r13 window = positions 1-50 below (the corrected r12 pre-plan after
 #   the mechanical rotation: the r12-proven head block, minus the canary,
-#   rotated to the back, then amended per the invariant): canary; the 3
-#   r13-DIRTY keys (q_llm_kmeans — the Arrow assignment-kernel
+#   rotated to the back, then amended per the invariant): canary; the
+#   NEW q_llm_minhash_bucketed (the steep twin's corpus-shuffle-free
+#   bucketed-layout verify — the lever the ×300 ceiling row names); the
+#   3 r13-DIRTY keys (q_llm_kmeans — the Arrow assignment-kernel
 #   promotion, VERDICT r12 #3; q_src_python_sink +
 #   q_stream_listener_e2e — the ADVICE r12 feed-sink commit/publish
 #   hardening changed their write paths after their r12 rows); the four
 #   keys the r12 dirty-lift displaced past position 50
 #   (q_diag_join_skew q_llm_bpe_merges q_evt_windowed_funnel
 #   q_scan_csv_corrupt — VERDICT r12 #1's missing quartet); then the
-#   r06/r07-evidence staleness head (q_evt_rfm ...). The three keys the
-#   dirty block displaced (q_scan_projection_pushdown
-#   q_scan_filter_pushdown q_scan_json) slide to the r14 head.
+#   r06/r07-evidence staleness head (q_evt_rfm ...). The keys the
+#   dirty/new block displaced (q_scan_projection_pushdown
+#   q_scan_filter_pushdown q_scan_json, then q_join_asof_forward when
+#   the NEW key landed) slide to the r14 head.
 #
 #   r14 window (listed so the next round can verify positions 1-50
 #   against this comment after its rotation edit; amend with r14-dirty
 #   and new keys first — displaced keys slide onward):
-#   q_scan_parquet q_scan_projection_pushdown q_scan_filter_pushdown
-#   q_scan_json q_scan_csv q_scan_binaryfile q_proj_select q_proj_arith
-#   q_proj_case_when q_proj_cast q_filter_cmp q_filter_in q_filter_like
-#   q_filter_between q_filter_null q_filter_bool q_proj_nullsafe
-#   q_join_inner_broadcast q_join_inner_smj q_join_inner_shj q_join_left
-#   q_join_right q_llm_vocab_coverage q_llm_dim_stats q_agg_corr
-#   q_tpch_q8ish q_tpch_q14ish q_llm_random_projection q_llm_semantic_prune
+#   q_scan_parquet q_join_asof_forward q_scan_projection_pushdown
+#   q_scan_filter_pushdown q_scan_json q_scan_csv q_scan_binaryfile
+#   q_proj_select q_proj_arith q_proj_case_when q_proj_cast q_filter_cmp
+#   q_filter_in q_filter_like q_filter_between q_filter_null
+#   q_filter_bool q_proj_nullsafe q_join_inner_broadcast
+#   q_join_inner_smj q_join_inner_shj q_join_left q_join_right
+#   q_llm_vocab_coverage q_llm_dim_stats q_agg_corr q_tpch_q8ish
+#   q_tpch_q14ish q_llm_random_projection q_llm_semantic_prune
 #   q_join_star q_tpch_q2ish q_tpch_q9ish q_tpch_q11ish q_tpch_q15ish
-#   q_tpch_q16ish q_tpch_q17ish q_tpch_q20ish q_tpch_q21ish q_llm_term_stats
-#   q_llm_pmi_collocations q_llm_kneser_ney q_llm_multimodal
-#   q_diag_dq_checks q_join_full q_join_semi q_join_anti q_join_cross
-#   q_join_theta q_join_interval q_join_bloom
+#   q_tpch_q16ish q_tpch_q17ish q_tpch_q20ish q_tpch_q21ish
+#   q_llm_term_stats q_llm_pmi_collocations q_llm_kneser_ney
+#   q_llm_multimodal q_diag_dq_checks q_join_full q_join_semi
+#   q_join_anti q_join_cross q_join_theta q_join_interval
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r13 driver window (positions 1-50): canary + the four keys the
-    # r12 dirty-lift displaced past position 50, then the r06/r07-era
-    # staleness head (the corrected r12 pre-plan). ---
+    # --- r13 driver window (positions 1-50): canary + the NEW bucketed
+    # LSH key + the r13-dirty trio + the four keys the r12 dirty-lift
+    # displaced past position 50, then the r06/r07-era staleness head
+    # (the corrected r12 pre-plan). ---
     "q_scan_parquet",  # canary: driver-proven twelve times, cheapest probe
+    # NEW r13 (no driver evidence): the bucketed-layout LSH — the
+    # steep twin's corpus-shuffle-free verify form (the lever the
+    # x300 disk-ceiling row names); plan-asserted zero corpus
+    # Exchanges over the 32-bucket doc_id shingle layout
+    "q_llm_minhash_bucketed",
     # dirty r13 (VERDICT r12 #3, the pq playbook): the kmeans assignment
     # is now the Arrow integer-cluster kernel (2.6x at 20 M vectors,
     # tools/kmeans_kernel_bench.py) — plan changed, evidence (r9) stale
