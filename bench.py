@@ -146,6 +146,28 @@ def main() -> int:
 
     ensure_events_replay(spark, sf_dir)
     ensure_events_replay_multi(spark, sf_dir)
+
+    # Warm the Python worker pool once (r13, guide §4.5's init-once rule
+    # applied to the harness): several headline keys run Arrow kernels
+    # (mapInPandas), and the FIRST such key per session pays the one-time
+    # worker fork + numpy/pandas import for every core — session
+    # machinery, not that key's computation, and it silently moves
+    # between keys when the kernel set changes (r13: corpus_prep gained a
+    # kernel and would have inherited pq_adc's ~1 s spawn cost). One
+    # 32-partition identity kernel charges it to warmup; every kernel's
+    # real per-query work (Arrow transfer + batch compute) stays inside
+    # the timings, as the per-key deltas vs r12 confirm.
+    def _warm(it):
+        import numpy  # noqa: F401  (the kernels' imports, warmed)
+        import pandas  # noqa: F401
+
+        yield from it
+
+    (
+        spark.range(256, numPartitions=32)
+        .mapInPandas(_warm, schema="id long")
+        .write.format("noop").mode("overwrite").save()
+    )
     print(f"bench: warmup {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
     def canary_sec() -> float:

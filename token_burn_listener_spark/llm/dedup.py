@@ -1229,25 +1229,36 @@ def q_llm_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in range(_MH_FNS)
         ]
     ).localCheckpoint(eager=False)
-    cand = None
-    for i, j in _MH_BANDS:
-        a = sig.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col(f"sig{i}").alias("bi"),
-            F.col(f"sig{j}").alias("bj"),
-        )
-        b = sig.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col(f"sig{i}").alias("bi"),
-            F.col(f"sig{j}").alias("bj"),
-        )
-        band = (
-            a.join(b, ["bi", "bj"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        cand = band if cand is None else cand.union(band)
-    cand = cand.distinct()
+    # Band candidate generation as ONE self-join over the unpivoted
+    # (doc_id, band, bi, bj) rows (r13 optimization, guide §2.4): the
+    # r10–r12 form ran four separate per-band joins unioned — identical
+    # candidate pairs, but 8 shuffle Exchanges and ~4× the scheduled
+    # stages for the same shuffled bytes (4 band rows/doc × 2 sides
+    # either way). One equi-join on the composite (band, bi, bj) key is
+    # also the production LSH shape: one banding pass, one shuffle.
+    bands_long = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.col(f"sig{i}").alias("bi"),
+                        F.col(f"sig{j}").alias("bj"),
+                    )
+                    for k, (i, j) in enumerate(_MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bi", "bk.bj")
+    a = bands_long.select(F.col("doc_id").alias("doc_a"), "band", "bi", "bj")
+    b = bands_long.select(F.col("doc_id").alias("doc_b"), "band", "bi", "bj")
+    cand = (
+        a.join(b, ["band", "bi", "bj"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr"))
     sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr"))
     jac = F.size(F.array_intersect("sha_arr", "shb_arr")).cast("double") / F.size(
@@ -1365,23 +1376,40 @@ def q_llm_minhash_steep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in range(_MH_STEEP_FNS)
         ]
     ).localCheckpoint(eager=False)
-    cand = None
-    for band in _MH_STEEP_BANDS:
-        a = sig.select(
-            F.col("doc_id").alias("doc_a"),
-            *[F.col(f"sig{i}").alias(f"b{k}") for k, i in enumerate(band)],
-        )
-        b = sig.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(f"sig{i}").alias(f"b{k}") for k, i in enumerate(band)],
-        )
-        bandj = (
-            a.join(b, [f"b{k}" for k in range(len(band))])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        cand = bandj if cand is None else cand.union(bandj)
-    cand = cand.distinct()
+    # Band candidate generation as ONE self-join over the unpivoted
+    # (doc_id, band, k0, k1, k2) rows — same r13 restructure as
+    # q_llm_minhash_exact (guide §2.4): identical candidate pairs, the
+    # same shuffled bytes (6 band rows/doc × 2 sides), but one Exchange
+    # pair instead of twelve and a fraction of the scheduled stages.
+    bands_long = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        *[
+                            F.col(f"sig{i}").alias(f"k{k}")
+                            for k, i in enumerate(band)
+                        ],
+                    )
+                    for bi, band in enumerate(_MH_STEEP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.k0", "bk.k1", "bk.k2")
+    a = bands_long.select(
+        F.col("doc_id").alias("doc_a"), "band", "k0", "k1", "k2"
+    )
+    b = bands_long.select(
+        F.col("doc_id").alias("doc_b"), "band", "k0", "k1", "k2"
+    )
+    cand = (
+        a.join(b, ["band", "k0", "k1", "k2"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr"))
     sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr"))
     jac = F.size(F.array_intersect("sha_arr", "shb_arr")).cast("double") / F.size(
@@ -1476,31 +1504,54 @@ def q_llm_minhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"bucketed signature agg not exchange-free: {n_sig_ex} Exchanges"
             " (expected 0: groupBy(doc_id) over the doc_id-bucketed scan)"
         )
-    # sig still feeds 12 band branches: pin it (localCheckpoint) exactly
-    # as the twin does — the LAYOUT pins the corpus, the checkpoint pins
-    # the derived 18-long signature table. Band joins are merge-hinted:
-    # at fixture scale the checkpointed sig's stats would flip them to
-    # broadcast (changing the Exchange census the assert below pins),
-    # and SMJ on the band key IS the at-scale shape — a production sig
-    # table (8 B × 18 per doc) outgrows any broadcast threshold.
+    # sig feeds both sides of the band self-join: pin it (localCheckpoint)
+    # exactly as the twin does — the LAYOUT pins the corpus, the
+    # checkpoint pins the derived 18-long signature table.
     sig = sig_raw.localCheckpoint(eager=False)
-    cand = None
-    for band in _MH_STEEP_BANDS:
-        a = sig.select(
-            F.col("doc_id").alias("doc_a"),
-            *[F.col(f"sig{i}").alias(f"b{k}") for k, i in enumerate(band)],
-        )
-        b = sig.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(f"sig{i}").alias(f"b{k}") for k, i in enumerate(band)],
-        )
-        bandj = (
-            a.join(b.hint("merge"), [f"b{k}" for k in range(len(band))])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        cand = bandj if cand is None else cand.union(bandj)
-    cand = cand.distinct()
+    # Band candidate generation as ONE self-join (r13 optimization,
+    # guide §2.4): signatures unpivot to (doc_id, band, k0, k1, k2) —
+    # 6 rows per doc — and candidates are a single equi-join on the
+    # composite (band, k0, k1, k2) key. The r13-build form ran SIX
+    # separate joins (one per band) unioned: identical candidate pairs,
+    # but 12 shuffle Exchanges + 24 sorts of the signature table and
+    # ~25 scheduled stages, measured at ~4.4 s of the key's ~10 s warm
+    # wall at sf0.1. The unpivoted self-join shuffles the SAME bytes
+    # (6 band rows/doc × 2 sides) through ONE Exchange pair — and
+    # because both sides are the identical subplan, Spark reuses the
+    # exchange (ReusedExchange in plans/r13/*_after.txt): one shuffle
+    # write total. At 100 TB this is also the production LSH shape: one
+    # banding pass, one shuffle keyed on (band, band-hash). Merge hint
+    # as before: a production sig table outgrows any broadcast
+    # threshold, and the pinned census must not flip with fixture stats.
+    bands_long = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        *[
+                            F.col(f"sig{i}").alias(f"k{k}")
+                            for k, i in enumerate(band)
+                        ],
+                    )
+                    for bi, band in enumerate(_MH_STEEP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.k0", "bk.k1", "bk.k2")
+    a = bands_long.select(
+        F.col("doc_id").alias("doc_a"), "band", "k0", "k1", "k2"
+    )
+    b = bands_long.select(
+        F.col("doc_id").alias("doc_b"), "band", "k0", "k1", "k2"
+    )
+    cand = (
+        a.join(b.hint("merge"), ["band", "k0", "k1", "k2"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr"))
     sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr"))
     jac = F.size(F.array_intersect("sha_arr", "shb_arr")).cast("double") / F.size(
@@ -1513,17 +1564,20 @@ def q_llm_minhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
     # layout assert #2: only candidate-bound data shuffles. Expected
-    # shuffle Exchanges: 6 bands × 2 signature sides (the checkpointed
-    # sig re-keys per band) + 1 candidate distinct + 2 candidate-side
-    # verify shuffles (pairs by doc_a; pairs+carried array by doc_b)
-    # = 15. The corpus sides of both verify joins and the signature
-    # aggregate contribute ZERO — they consume the bucket layout.
+    # shuffle Exchanges: 2 band-self-join sides (the unpivoted signature
+    # table keyed on (band, k0, k1, k2)) + 1 candidate distinct + 2
+    # candidate-side verify shuffles (pairs by doc_a; pairs+carried
+    # array by doc_b) = 5 (the r13-build 12-join form shuffled the same
+    # bytes through 15). The corpus sides of both verify joins and the
+    # signature aggregate contribute ZERO — they consume the bucket
+    # layout.
     n_ex = len(_re.findall(r"^\(\d+\) Exchange", _plan(out), _re.M))
-    if n_ex != 15:
+    if n_ex != 5:
         raise AssertionError(
             f"bucketed LSH verify plan drifted: {n_ex} shuffle Exchanges"
-            " (expected 15 = 12 band + 1 distinct + 2 candidate-side"
-            " verify; the corpus sides must stay exchange-free)"
+            " (expected 5 = 2 band self-join + 1 distinct + 2"
+            " candidate-side verify; the corpus sides must stay"
+            " exchange-free)"
         )
     return out
 
@@ -1640,25 +1694,32 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in range(_MH_FNS)
         ]
     ).localCheckpoint(eager=False)
-    cand = None
-    for i, j in _MH_BANDS:
-        ba = sig.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col(f"sig{i}").alias("bi"),
-            F.col(f"sig{j}").alias("bj"),
-        )
-        bb = sig.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col(f"sig{i}").alias("bi"),
-            F.col(f"sig{j}").alias("bj"),
-        )
-        band = (
-            ba.join(bb, ["bi", "bj"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        cand = band if cand is None else cand.union(band)
-    cand = cand.distinct()
+    # ONE unpivoted band self-join instead of four unioned per-band joins
+    # (the r13 restructure, guide §2.4 — see q_llm_minhash_exact): same
+    # candidate pairs, 8 shuffle Exchanges → 2.
+    bands_long = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.col(f"sig{i}").alias("bi"),
+                        F.col(f"sig{j}").alias("bj"),
+                    )
+                    for k, (i, j) in enumerate(_MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bi", "bk.bj")
+    ba = bands_long.select(F.col("doc_id").alias("doc_a"), "band", "bi", "bj")
+    bb = bands_long.select(F.col("doc_id").alias("doc_b"), "band", "bi", "bj")
+    cand = (
+        ba.join(bb, ["band", "bi", "bj"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     sa2 = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr"))
     sb2 = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr"))
     jac_c = F.col("i").cast("double") / (F.col("la") + F.col("lb") - F.col("i"))

@@ -29,6 +29,62 @@ from token_burn_listener_spark.registry import query
 from token_burn_listener_spark.tables import load_table
 
 
+def _prep_gate_kernel(it):
+    """Arrow-batched corpus-prep gate kernel (r13 optimization, guide §4):
+    per surviving scan row, the INTEGER/HASH signals the gates need —
+    token count, total/distinct word-trigram counts, sha256 hex — with
+    the slice keys passed through. Exactness: the counts are exact
+    integers via the same tuple-set identity q_llm_repetition's kernel
+    proved (split(' ') tokens cannot contain spaces, so ' '-joined gram
+    strings are injective in the token tuples); Python ``str.split(' ')``
+    and Spark ``split(text, ' ')`` agree on empty/trailing fields; and
+    ``hashlib.sha256`` over UTF-8 bytes emits the identical lowercase
+    hex as ``F.sha2(text, 256)``. ALL float math (the rep ratio and its
+    gate) stays JVM-side over these integers with the r1–r12 expression
+    text, so cross-engine float identity is untouched.
+
+    The r5–r12 all-JVM trigram form (zip_with over three shifted slices
+    + array_distinct, materializing every gram string per doc) is the
+    same machinery tools/text_kernel_bench.py measured at 6.5× the
+    kernel's cost at 5 M docs for q_llm_repetition (44.7–65.5 s → 6.9 s,
+    r11); this key inherits that measured trade, plus the sha256 digest
+    folded into the same single pass over the text.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in it:
+        out = {
+            "doc_id": pdf["doc_id"],
+            "lang": pdf["lang"],
+            "source": pdf["source"],
+            "n_chars": pdf["n_chars"],
+        }
+        n_tok, n_g, n_d, shas = [], [], [], []
+        for text in pdf["text"]:
+            if text is None:
+                raise ValueError(
+                    "q_llm_corpus_prep: null text violates the documents "
+                    "contract (non-null text); filter nulls upstream"
+                )
+            toks = text.split(" ")
+            n_tok.append(len(toks))
+            n = len(toks) - 2
+            if n <= 0:
+                n_g.append(0)
+                n_d.append(0)
+            else:
+                n_g.append(n)
+                n_d.append(len(set(zip(toks, toks[1:], toks[2:]))))
+            shas.append(hashlib.sha256(text.encode("utf-8")).hexdigest())
+        out["n_tokens"] = pd.Series(n_tok, dtype="int64")
+        out["n_grams"] = pd.Series(n_g, dtype="int64")
+        out["n_distinct"] = pd.Series(n_d, dtype="int64")
+        out["sha"] = shas
+        yield pd.DataFrame(out)
+
+
 @query(
     "q_llm_corpus_prep",
     oracle="""
@@ -69,35 +125,36 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the sha key (one shuffle; at fixture scale the dedup stage is a
     verified pass-through — 0 exact dups at sf0.01 — which is itself the
     correct answer, and 8 dups collapse at sf0.1).
+
+    r13 optimization (guide §4.2, the q_llm_repetition playbook): the
+    per-doc signal pass (tokenize + trigram-set count + sha256) runs in
+    ONE Arrow kernel (_prep_gate_kernel) instead of the JVM
+    zip_with/array_distinct gram materialization — integer/hash outputs
+    only, rep ratio and every gate float computed JVM-side from them
+    with unchanged expression text. The lang/n_chars gates filter BEFORE
+    the kernel: they are scan-column predicates, so they still push to
+    the parquet reader (PushedFilters in plans/r13/) AND they shrink
+    what crosses the Arrow boundary to the surviving rows.
     """
     d = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split("text", " "))
-    grams = F.expr(
-        "zip_with("
-        "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
-        "  zip_with("
-        "    slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 2, 0)),"
-        "    slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0)),"
-        "    (b, c) -> concat(b, ' ', c)),"
-        "  (a, bc) -> concat(a, ' ', bc))"
-    )
-    rep = F.when(
-        n_tokens >= 3,
-        1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
-    ).otherwise(F.lit(0.0))
-    scored = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_chars",
-        n_tokens.cast("long").alias("n_tokens"),
-        rep.alias("rep"),
-        F.sha2("text", 256).alias("sha"),
+    pre = d.filter(
+        (F.col("lang") != "zh") & F.col("n_chars").between(80, 500)
+    ).select("doc_id", "lang", "source", "n_chars", "text")
+    scored = pre.mapInPandas(
+        _prep_gate_kernel,
+        schema=(
+            "doc_id bigint, lang string, source string, n_chars bigint,"
+            " n_tokens bigint, n_grams bigint, n_distinct bigint, sha string"
+        ),
+    ).withColumn(
+        "rep",
+        F.when(
+            F.col("n_tokens") >= 3,
+            1.0 - F.col("n_distinct") / F.col("n_grams"),
+        ).otherwise(F.lit(0.0)),
     )
     gated = scored.filter(
-        (F.col("lang") != "zh")
-        & F.col("n_chars").between(80, 500)
-        & (F.col("n_tokens") >= 15)
+        (F.col("n_tokens") >= 15)
         & (F.col("n_chars") / F.col("n_tokens") <= 8.0)
         & (F.col("rep") <= 0.05)
     )

@@ -509,17 +509,25 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     off-distribution text, reduced to its self-trained bigram core (no
     external model files in the container).
 
-    100 TB plan: the model side is BOUNDED by charset² regardless of
-    corpus size, so the trained counts BROADCAST into the scoring join —
-    the exploded corpus never shuffles for the join; the per-doc score
-    aggregation partial-combines the ~|text| bigram rows back to one row
-    per document map-side (bigrams of a doc are colocated with the doc).
-    The corpus total folds out of the count table itself (a global window
-    over the BOUNDED model rows — never a rescan of the exploded corpus,
-    never a driver collect): the corpus is read exactly twice, once to
-    train and once to score. Both engines average the identical log10
-    terms; round(6) absorbs FP summation-order noise (|score| ≈ 4, tail
-    error ≈ 1e-12).
+    100 TB plan (r13 single-pass form, guide §2.3/§2.4): the corpus is
+    read and exploded ONCE into per-doc bigram counts — one shuffle on
+    (doc_id, bg), partial-aggregated map-side, whose output is ≤
+    min(|doc|, charset²) rows per doc (≪ the text bytes for real
+    documents). Both the model (a further groupBy on bg over those
+    counts — charset²-bounded) and the scoring join consume that ONE
+    exchange: the two subtrees are canonically identical, so Spark's
+    ReuseExchange materializes the scan+explode+partial-agg once
+    (verified in plans/r13/q_llm_bigram_lm_after.txt). The r4–r12 form
+    instead read + exploded the corpus TWICE (train pass, score pass) to
+    keep zero corpus shuffles; at 100 TB one read + a counts-sized
+    shuffle strictly dominates two full reads. The corpus total still
+    folds out of the bounded model table (global window over model rows,
+    never a corpus rescan, never a driver collect), and the trained
+    counts still BROADCAST into the scoring join. Scoring aggregates
+    sum(k·log10(p))/sum(k) per doc — the same multiset of log10 terms
+    the per-occurrence avg folds, regrouped; round(6) absorbs FP
+    regrouping noise exactly as it already absorbs Spark's
+    partial-aggregation order (|score| ≈ 4, tail error ≈ 1e-12).
     """
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
     # Bigrams via zip_with over two shifted char-array slices, NOT
@@ -539,18 +547,21 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     )
+    percnt = bi.groupBy("doc_id", "bg").agg(F.count("*").alias("k"))
     # Global window is safe here: it runs over the model table (charset²
     # rows, bounded), not over any corpus-sized input.
-    model = bi.groupBy("bg").agg(F.count("*").alias("c")).withColumn(
+    model = percnt.groupBy("bg").agg(F.sum("k").alias("c")).withColumn(
         "total", F.sum("c").over(Window.partitionBy()).cast("double")
     )
+    logp = F.log10(F.col("c") / F.col("total"))
     return (
-        bi.join(F.broadcast(model), "bg")
+        percnt.join(F.broadcast(model), "bg")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.avg(F.log10(F.col("c") / F.col("total"))), 6)
-              .alias("lm_score"),
+            F.sum("k").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("k") * logp) / F.sum("k").cast("double"), 6
+            ).alias("lm_score"),
         )
     )
 
@@ -761,8 +772,16 @@ def q_llm_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = pairs.groupBy("h", "slot").agg(F.sum("exact_cnt").alias("c"))
     top = cnt.orderBy(F.desc("exact_cnt"), "token").limit(20)
+    # The top-20's (h, slot) probes are RECOMPUTED on the 20 rows rather
+    # than equi-joined out of the full-vocabulary pairs table (r13
+    # optimization, guide §2.3): (h, slot) is a deterministic function
+    # of the token, so the rows are identical, but the join used to
+    # shuffle vocabulary×4 probe rows to look up 80 — at 100 TB a
+    # vocab-sized exchange for a constant-sized answer. The sketch side
+    # is unchanged (it must fold the FULL vocabulary by definition).
     return (
-        top.join(pairs.select("token", "h", "slot"), "token")
+        top.select("token", "exact_cnt", hs.alias("p"))
+        .select("token", "exact_cnt", "p.h", "p.slot")
         .join(F.broadcast(sketch), ["h", "slot"])
         .groupBy("token", "exact_cnt")
         .agg(F.min("c").alias("est_cnt"))

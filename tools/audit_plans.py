@@ -247,6 +247,12 @@ ALLOW_PYTHON = {
                          # JVM fold order, ~2x at 1000x — measured
                          # head-to-head vs the interpreted aggregate/zip_with
                          # form in tools/kmeans_kernel_bench.py
+    "q_llm_corpus_prep",  # mapInPandas INTEGER/HASH gate kernel (r13
+                          # optimization): token/trigram counts + sha256
+                          # per doc — the same measured trade as
+                          # q_llm_repetition's kernel (6.5x at 5 M docs,
+                          # tools/text_kernel_bench.py); rep ratio and all
+                          # gate floats stay JVM-side
 }
 
 PYTHON_OPS = (
