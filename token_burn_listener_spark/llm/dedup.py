@@ -205,16 +205,27 @@ def exact_pair_grid(
     jac = F.col("_i").cast("double") / (
         F.col("_la") + F.col("_lb") - F.col("_i")
     )
+    # the (i, la, lb) projection sits behind an explode(array(struct))
+    # Generate barrier (r13, the _jaccard_verify trade): without it,
+    # CollapseProject re-inlines the intersect into the threshold filter
+    # AND the output projection — two hash-set builds per surviving pair
     return (
         a.crossJoin(b)
         .filter((F.col(a_name) < F.col(b_name)) & (ratio >= _JACCARD_T))
         .select(
             a_name,
             b_name,
-            F.size(F.array_intersect("_sa", "_sb")).alias("_i"),
-            F.size("_sa").alias("_la"),
-            F.size("_sb").alias("_lb"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.size(F.array_intersect("_sa", "_sb")).alias("_i"),
+                        F.size("_sa").alias("_la"),
+                        F.size("_sb").alias("_lb"),
+                    )
+                )
+            ).alias("_v"),
         )
+        .select(a_name, b_name, "_v._i", "_v._la", "_v._lb")
         .filter(jac >= _JACCARD_T)
         .select(a_name, b_name, jac.alias("jaccard"))
     )
@@ -1259,16 +1270,61 @@ def q_llm_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    return _jaccard_verify(cand, d)
+
+
+def _jaccard_verify(cand, d: DataFrame, merge: bool = False) -> DataFrame:
+    """Exact-Jaccard verify of banded candidate pairs, shared by the
+    minhash keys (r13 optimization, guide §1.2 per-task work).
+
+    Two per-pair savings over the r10–r12 inline form, both
+    value-identical:
+
+    - |A∪B| = |A| + |B| - |A∩B|: the shingle arrays are DISTINCT by
+      construction (shingled() wraps array_distinct), so the union size
+      is pure integer arithmetic — the array_union evaluation (a second
+      hash-set build over both arrays per pair) disappears. Same exact
+      rational as the oracle's len(list_distinct(sa||sb)) denominator,
+      and the identity the q_llm_lsh_recall/q_llm_jaccard_pairs oracles
+      already use.
+    - the remaining array_intersect evaluates ONCE per pair: the
+      (i, la, lb) projection sits behind an explode(array(struct(...)))
+      Generate barrier (the winnow/simhash pin pattern), which
+      CollapseProject cannot cross — unpinned, the filter and the
+      output projection each re-inline the intersect (2× per pair).
+
+    Measured (sf0.1, 233k candidates on the contrast-free fixture —
+    J_bg ≈ 0.17 by spec): verify stage 38.1 s → 20.0 s noop, identical
+    256 output rows. On a real-contrast corpus candidates are the tiny
+    minority, but the per-pair cost constant is what the ×N probes pay.
+    """
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr"))
     sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr"))
-    jac = F.size(F.array_intersect("sha_arr", "shb_arr")).cast("double") / F.size(
-        F.array_union("sha_arr", "shb_arr")
-    )
-    return (
+    if merge:
+        sa, sb = sa.hint("merge"), sb.hint("merge")
+    pinned = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.4)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.size(F.array_intersect("sha_arr", "shb_arr")).alias("i"),
+                        F.size("sha_arr").alias("la"),
+                        F.size("shb_arr").alias("lb"),
+                    )
+                )
+            ).alias("v"),
+        )
+        .select("doc_a", "doc_b", "v.i", "v.la", "v.lb")
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("la") + F.col("lb") - F.col("i")
+    ).cast("double")
+    return pinned.filter(jac >= 0.4).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -1410,17 +1466,7 @@ def q_llm_minhash_steep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr"))
-    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr"))
-    jac = F.size(F.array_intersect("sha_arr", "shb_arr")).cast("double") / F.size(
-        F.array_union("sha_arr", "shb_arr")
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.4)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return _jaccard_verify(cand, d)
 
 
 @query("q_llm_minhash_bucketed", oracle=_MH_STEEP_ORACLE)
@@ -1552,17 +1598,7 @@ def q_llm_minhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr"))
-    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr"))
-    jac = F.size(F.array_intersect("sha_arr", "shb_arr")).cast("double") / F.size(
-        F.array_union("sha_arr", "shb_arr")
-    )
-    out = (
-        cand.join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), "doc_b")
-        .filter(jac >= 0.4)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    out = _jaccard_verify(cand, d, merge=True)
     # layout assert #2: only candidate-bound data shuffles. Expected
     # shuffle Exchanges: 2 band-self-join sides (the unpivoted signature
     # table keyed on (band, k0, k1, k2)) + 1 candidate distinct + 2
@@ -1723,15 +1759,27 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa2 = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr"))
     sb2 = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr"))
     jac_c = F.col("i").cast("double") / (F.col("la") + F.col("lb") - F.col("i"))
+    # (i, la, lb) behind the explode(array(struct)) Generate barrier so
+    # the threshold filter cannot re-inline the array_intersect (the
+    # _jaccard_verify trade: one intersect per pair, not two)
     n_found = (
         cand.filter(F.col("doc_a") % 4 == 0)
         .join(sa2, "doc_a")
         .join(sb2, "doc_b")
         .select(
-            F.size(F.array_intersect("sha_arr", "shb_arr")).alias("i"),
-            F.size("sha_arr").alias("la"),
-            F.size("shb_arr").alias("lb"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.size(
+                            F.array_intersect("sha_arr", "shb_arr")
+                        ).alias("i"),
+                        F.size("sha_arr").alias("la"),
+                        F.size("shb_arr").alias("lb"),
+                    )
+                )
+            ).alias("v")
         )
+        .select("v.i", "v.la", "v.lb")
         .filter(jac_c >= 0.4)
         .agg(F.count("*").alias("n_found"))
     )

@@ -547,7 +547,17 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     )
-    percnt = bi.groupBy("doc_id", "bg").agg(F.count("*").alias("k"))
+    # The explicit isnotnull(bg) is vacuously true (bg concatenates
+    # non-null chars) but load-bearing for plan shape: the scoring join
+    # pushes exactly this filter below ITS copy of percnt, and without
+    # the same filter under the model's copy the two subtrees stop being
+    # canonically equal — ReuseExchange then can't dedupe them and the
+    # corpus scans+explodes twice (verified on the AQE final plan).
+    percnt = (
+        bi.filter(F.col("bg").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("k"))
+    )
     # Global window is safe here: it runs over the model table (charset²
     # rows, bounded), not over any corpus-sized input.
     model = percnt.groupBy("bg").agg(F.sum("k").alias("c")).withColumn(
@@ -826,13 +836,20 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     importance resampling then samples the corpus proportionally — the
     principled alternative to hard quality-classifier cuts.
 
-    100 TB plan: same shape as q_llm_bigram_lm — BOTH models live in one
-    charset²-bounded count table (target counts via a conditional agg on
-    the same pass, no second corpus scan); normalizers and vocabulary size
-    fold out of the bounded model table with a global window over model
-    rows only; the log-ratio table BROADCASTS into the scoring join, and
-    per-doc averaging partial-aggregates map-side. Corpus read exactly
-    twice (train pass, score pass), shuffled never.
+    100 TB plan (r13 single-pass form — the q_llm_bigram_lm restructure):
+    the corpus is read and exploded ONCE into per-(doc, source, bigram)
+    counts; both models live in one charset²-bounded count table derived
+    from those counts (target counts via a conditional agg — no second
+    corpus scan), and the scoring join consumes the SAME exchange via
+    ReuseExchange (the explicit isnotnull(bg) keeps the two subtrees
+    canonically equal). Normalizers and vocabulary size fold out of the
+    bounded model table with a global window over model rows only; the
+    log-ratio table BROADCASTS into the scoring join; per-doc weighting
+    sums k·lr / k over the counts (the same multiset of lr terms the
+    per-occurrence avg folds, regrouped — inside the round(6) envelope
+    exactly as Spark's own partial-agg order already is). The r5–r12
+    form read + exploded the corpus twice to keep zero corpus shuffles;
+    one read + a counts-sized exchange dominates at scale.
     """
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
     bi = d.select(
@@ -846,9 +863,19 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     )
-    m = bi.groupBy("bg").agg(
-        F.count("*").alias("cc"),
-        F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("ct"),
+    percnt = (
+        bi.filter(F.col("bg").isNotNull())
+        .groupBy("doc_id", "source", "bg")
+        .agg(F.count("*").alias("k"))
+    )
+    m = percnt.groupBy("bg").agg(
+        F.sum("k").alias("cc"),
+        # coalesce: a bigram with no target-domain occurrences must count
+        # 0 (as the old per-occurrence count() did), not NULL-poison lr
+        F.coalesce(
+            F.sum(F.when(F.col("source") == _DSIR_TARGET, F.col("k"))),
+            F.lit(0).cast("long"),
+        ).alias("ct"),
     )
     w = Window.partitionBy()
     lr = (
@@ -864,11 +891,13 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        bi.join(F.broadcast(lr), "bg")
+        percnt.join(F.broadcast(lr), "bg")
         .groupBy("doc_id", "source")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.avg("lr"), 6).alias("dsir_weight"),
+            F.sum("k").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("k") * F.col("lr")) / F.sum("k").cast("double"), 6
+            ).alias("dsir_weight"),
         )
     )
 

@@ -249,19 +249,11 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # Latest-per-key via max_by (r13 optimization, guide §2.3): the
-    # r4–r12 form ranked the log with a row_number window — a full
-    # shuffle+sort of every log row. max_by(struct(op, v), seq) computes
-    # the identical winner (seq is unique per key by construction: the
-    # three log branches emit at most one row per (k, seq)) as a
-    # PARTIAL-AGGREGABLE hash aggregate: map-side combine collapses each
-    # key to one candidate before the exchange, and the sort disappears.
-    # At 100 TB that turns the changelog collapse from sort-the-delta
-    # into one hash pass.
+    rn = Window.partitionBy("k").orderBy(F.col("seq").desc())
     latest = (
-        log.groupBy("k")
-        .agg(F.max_by(F.struct("op", "v"), "seq").alias("mc"))
-        .select("k", F.col("mc.op").alias("op"), F.col("mc.v").alias("v"))
+        log.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "v")
     )
     b, l = base.alias("b"), latest.alias("l")
     merged = b.join(l, F.col("b.k") == F.col("l.k"), "full")
