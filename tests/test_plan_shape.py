@@ -217,3 +217,61 @@ def test_ensure_bucketed_identity_includes_key(spark, sf_dir):
             None,
         )
         assert buckets is not None and key in buckets, (name, buckets)
+
+
+def test_corpus_prep_arrow_kernel_shape(spark, sf_dir):
+    # r13 optimization: corpus_prep's gate pass (tokenize + trigram-set
+    # count + sha256) runs in an Arrow kernel fed ONLY the gate columns
+    # (doc_id, lang, source, n_chars, text); the rep ratio and every
+    # gate float stay JVM-side over the kernel's integer outputs. A
+    # widened input pays Arrow transfer per row; a NARROWED one means a
+    # join-back crept in (which would re-shuffle the corpus at scale).
+    _assert_arrow_kernel(
+        spark,
+        sf_dir,
+        "q_llm_corpus_prep",
+        {"doc_id", "lang", "source", "n_chars", "text"},
+    )
+
+
+def test_jaccard_verify_single_intersect(spark, sf_dir):
+    """r13 optimization: the minhash verify evaluates array_intersect
+    ONCE per candidate pair — the (i, la, lb) projection sits behind an
+    explode(array(struct)) Generate barrier, and |A∪B| is the la+lb-i
+    identity (the arrays are distinct by construction), so array_union
+    is gone entirely. If CollapseProject ever crosses the pin again, the
+    intersect re-inlines into both the threshold filter and the output
+    projection and this counts 2+ per key."""
+    for key in ("q_llm_minhash_exact", "q_llm_minhash_steep"):
+        plan = str(
+            QUERIES[key](spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+        )
+        n = plan.count("array_intersect(")
+        assert n == 1, (
+            f"{key}: expected exactly 1 array_intersect in the optimized "
+            f"plan (barrier-pinned), found {n}:\n{plan}"
+        )
+        assert "array_union(" not in plan, (
+            f"{key}: array_union re-appeared — the la+lb-i union-size "
+            f"identity was dropped:\n{plan}"
+        )
+
+
+def test_bigram_lm_reuses_count_exchange(spark, sf_dir):
+    """r13 optimization: bigram_lm (and dsir, same shape) reads the
+    corpus ONCE — model and scoring both consume the per-(doc, bigram)
+    count exchange, deduped by ReuseExchange in the ADAPTIVE final plan
+    (the static explain cannot show reuse). The explicit isnotnull(bg)
+    under the count table is what keeps the two subtrees canonically
+    equal; if it is dropped, the join's pushed null-filter breaks reuse
+    and the scan+explode runs twice."""
+    df = QUERIES["q_llm_bigram_lm"](spark, sf_dir)
+    # collect (not a noop write): the write would spawn its OWN
+    # QueryExecution, leaving df's plan un-executed (isFinalPlan=false,
+    # where AQE reuse is not yet decided)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, (
+        f"bigram_lm: no ReusedExchange in the final adaptive plan — the "
+        f"corpus is being scanned twice again:\n{final[:4000]}"
+    )
