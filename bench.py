@@ -110,6 +110,12 @@ HEADLINE_KEYS = [
 ]
 
 
+def _layout_state() -> dict[str, str]:
+    from token_burn_listener_spark.operators.storage import LAYOUT_STATE
+
+    return dict(sorted(LAYOUT_STATE.items()))
+
+
 def _sf_of(sf_dir: str) -> float:
     tag = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -228,6 +234,13 @@ def main() -> int:
                     "loadavg_start": loadavg_start,
                     "loadavg_end": loadavg_end,
                     "cpu_sec": cpu_sec,
+                    # per-layout cold/warm state (VERDICT r13 #3): every
+                    # _ensure_bucketed layout a headline key consumed this
+                    # run, and whether THIS process paid the bucketBy
+                    # write ("cold_built") or re-attached existing files
+                    # ("warm_attached") — so a bucketed-key line always
+                    # self-declares which cost it includes
+                    "layouts": _layout_state(),
                 },
             }
         )

@@ -257,6 +257,96 @@ def test_jaccard_verify_single_intersect(spark, sf_dir):
         )
 
 
+def test_minhash_sig_kernel_exact(spark, sf_dir):
+    """r14 optimization (VERDICT r13 #1): the MinHash signature build is
+    one Arrow kernel pass (_minhash_sigs). Its values must stay
+    BIT-IDENTICAL to the r10–r13 JVM aggregate form — min over shingles
+    of conv(substring(sha2(g || salt), 1+8w, 8), 16, 10)::long — which
+    is also the literal math the DuckDB oracle texts spell. Any drift
+    (byte order, salt concat, null handling, window offset) flips
+    candidate sets silently; this comparison fails it loudly at both
+    banding widths."""
+    from pyspark.sql import functions as F
+
+    from token_burn_listener_spark.llm.dedup import (
+        _MH_STEEP_FNS,
+        _MH_STEEP_SALTS,
+        _minhash_sigs,
+        shingled,
+    )
+    from token_burn_listener_spark.tables import load_table
+
+    d = shingled(load_table(spark, sf_dir, "documents")).localCheckpoint()
+    for n_fns, salts in ((8, [""]), (_MH_STEEP_FNS, list(_MH_STEEP_SALTS))):
+        e = d.select("doc_id", F.explode("sh").alias("g")).select(
+            "doc_id",
+            *[
+                F.sha2(
+                    F.col("g")
+                    if not salt
+                    else F.concat(F.col("g"), F.lit(salt)),
+                    256,
+                ).alias(f"sha{k}")
+                for k, salt in enumerate(salts)
+            ],
+        )
+        jvm = e.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.conv(
+                        F.substring(f"sha{h // 8}", 1 + 8 * (h % 8), 8),
+                        16,
+                        10,
+                    ).cast("long")
+                ).alias(f"sig{h}")
+                for h in range(n_fns)
+            ]
+        )
+        ker = _minhash_sigs(d, n_fns, tuple(salts))
+        diff = F.lit(False)
+        for h in range(n_fns):
+            diff = diff | ~F.col(f"k.sig{h}").eqNullSafe(F.col(f"j.sig{h}"))
+        mism = (
+            ker.alias("k")
+            .join(jvm.alias("j"), F.col("k.doc_id") == F.col("j.doc_id"), "full")
+            .where(
+                F.col("k.doc_id").isNull() | F.col("j.doc_id").isNull() | diff
+            )
+            .count()
+        )
+        assert mism == 0, (
+            f"{n_fns}-fn signature kernel diverged from the JVM "
+            f"aggregate form on {mism} docs — the bit-exactness "
+            f"contract in _minhash_sigs is broken"
+        )
+
+
+def test_minhash_sig_kernel_input_pin(spark, sf_dir):
+    """r14: the signature kernel is fed ONLY (doc_id, sh) — mapInPandas
+    is opaque to column pruning, so a widened input would ship (and at
+    the bucketed key, scan) extra corpus columns through Arrow per row.
+    One pin covers all four minhash keys (they share _minhash_sigs)."""
+    import re
+
+    from token_burn_listener_spark.llm.dedup import _minhash_sigs, shingled
+    from token_burn_listener_spark.tables import load_table
+
+    sig = _minhash_sigs(
+        shingled(load_table(spark, sf_dir, "documents")), 18, ("", "#1", "#2")
+    )
+    plan = str(sig._jdf.queryExecution().optimizedPlan())
+    assert plan.count("MapInPandas") == 1, plan
+    map_line = next(
+        line for line in plan.splitlines() if "MapInPandas" in line
+    )
+    m = re.search(r"MapInPandas \w+\(([^)]*)\)", map_line)
+    assert m is not None, map_line
+    fed = set(re.findall(r"(\w+)#\d+", m.group(1)))
+    assert fed == {"doc_id", "sh"}, (
+        f"signature kernel fed {sorted(fed)}, expected ['doc_id', 'sh']"
+    )
+
+
 def test_bigram_lm_reuses_count_exchange(spark, sf_dir):
     """r13 optimization: bigram_lm (and dsir, same shape) reads the
     corpus ONCE — model and scoring both consume the per-(doc, bigram)
@@ -265,6 +355,16 @@ def test_bigram_lm_reuses_count_exchange(spark, sf_dir):
     under the count table is what keeps the two subtrees canonically
     equal; if it is dropped, the join's pushed null-filter breaks reuse
     and the scan+explode runs twice."""
+    # ReuseExchange is decided by the adaptive planner; on a session
+    # with AQE (or exchange reuse) disabled the assertion below would
+    # fail despite correct results (ADVICE r13 #2) — skip, don't fail.
+    import pytest
+
+    if (
+        spark.conf.get("spark.sql.adaptive.enabled", "true") != "true"
+        or spark.conf.get("spark.sql.exchange.reuse", "true") != "true"
+    ):
+        pytest.skip("exchange reuse disabled on this session")
     df = QUERIES["q_llm_bigram_lm"](spark, sf_dir)
     # collect (not a noop write): the write would spawn its OWN
     # QueryExecution, leaving df's plan un-executed (isFinalPlan=false,

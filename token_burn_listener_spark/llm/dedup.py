@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from token_burn_listener_spark.registry import query
-from token_burn_listener_spark.tables import load_table
+from token_burn_listener_spark.tables import load_table, spread_small_scan
 
 
 def shingled(df: DataFrame, n: int = 5) -> DataFrame:
@@ -45,8 +45,15 @@ def shingled(df: DataFrame, n: int = 5) -> DataFrame:
     the array end truncates, so the one gram of a short doc is the whole
     text — byte-identical to the substring form on in-contract (BMP)
     inputs.
+
+    r14 (guide §2.5): the input is spread to core count when the scan is
+    sub-core-count (the one-file documents fixture reads as a SINGLE
+    partition — under the 4 MB openCost floor — so this O(n·L) explode
+    and every kernel/verify stage built on it ran serial; PERF_r13's
+    0.95-scaling decontaminate diagnosed the same cause). No-op at real
+    scale: a corpus with more splits than cores never repartitions.
     """
-    chars = df.select(
+    chars = spread_small_scan(df.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array(F.split("text", ""))).alias("cs")
     )
     sh = F.expr(
@@ -993,9 +1000,12 @@ def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~4e8 shingles, ~1e-11 at oracle scale; see the pin comment below).
     """
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= _SPAN_GRAM
-    )
+    # r14 (guide §2.5): spread the sub-core-count one-file scan so the
+    # shingle hashing below parallelizes (no-op at real scale — see
+    # tables.spread_small_scan)
+    t = spread_small_scan(d.select("doc_id", "text")).select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= _SPAN_GRAM)
     g = t.select(
         "doc_id",
         F.posexplode(
@@ -1040,10 +1050,16 @@ def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("pos").alias("mx"),
         F.count("*").alias("n_grams"),
     )
-    wr = Window.partitionBy("doc_id").orderBy("mn")
+    # span_rank = grp + 1 (r14, guide §1.2): grp is the running sum of
+    # 0/1 break flags in pos order, so within a doc it takes the
+    # CONSECUTIVE values 0..n_spans-1 and mn is strictly increasing in
+    # grp — row_number() OVER (ORDER BY mn) is grp + 1 by construction.
+    # The r8–r13 form computed it as a second doc-ordered window, which
+    # planned a second sort of the span rows after the aggregate (same
+    # exchange, extra sort) for a value already sitting in the group key.
     return spans.select(
         "doc_id",
-        F.row_number().over(wr).cast("long").alias("span_rank"),
+        (F.col("grp") + 1).cast("long").alias("span_rank"),
         (F.col("mn") + 1).cast("long").alias("start_tok"),
         (F.col("mx") + _SPAN_GRAM).cast("long").alias("end_tok"),
         (F.col("mx") + _SPAN_GRAM - F.col("mn")).cast("long").alias("n_tokens"),
@@ -1103,44 +1119,65 @@ def q_llm_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is read exactly twice (span path + token path), the
     bigram-LM trade documented in llm/text.py.
     """
-    spans = q_llm_dup_spans(spark, sf_dir).select(
-        F.col("doc_id").alias("s_doc"), "start_tok", "end_tok"
+    # r14 restructure (guide §2.3/§2.4 — shuffle decisions, not payloads):
+    # the r9–r13 form exploded every token, left-joined the span table on
+    # (doc_id, between), and re-assembled each doc with a
+    # groupBy(collect_list + array_sort) — i.e. the WHOLE corpus crossed
+    # the final exchange one row per token only to be put back together in
+    # doc order, which the token array already had. Now the (tiny —
+    # duplicated islands only) span table is collected to ONE row per
+    # contaminated doc and joined to the UN-exploded corpus; the removal
+    # is a map-side array filter over (position, token) — no token
+    # explode, no corpus-sized exchange, no re-sort. Values are identical:
+    # islands are pairwise disjoint and the array filter preserves token
+    # order, so counts and the re-joined clean_text match the per-token
+    # form on every doc (parity at 3 SFs + the fuzz corpora).
+    spans_per_doc = (
+        q_llm_dup_spans(spark, sf_dir)
+        .groupBy(F.col("doc_id").alias("s_doc"))
+        .agg(
+            F.collect_list(F.struct("start_tok", "end_tok")).alias("spans")
+        )
     )
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("tok_pos"), "tok")
-    flagged = toks.join(
-        spans,
-        (toks["doc_id"] == spans["s_doc"])
-        & F.col("tok_pos").between(F.col("start_tok"), F.col("end_tok")),
-        "left",
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    j = t.join(spans_per_doc, t["doc_id"] == spans_per_doc["s_doc"], "left")
+    # coalesce to a typed empty list: exists() over NULL spans would
+    # null the filter predicate and silently drop every token of the
+    # span-free (majority) docs
+    sp = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<start_tok:bigint,end_tok:bigint>>"),
     )
-    keep = F.col("s_doc").isNull()
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(keep, F.struct("tok_pos", "tok"))
-                        )
-                    ),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("clean_text"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_kept",
-            (F.col("n_tokens") - F.col("n_kept")).alias("n_removed"),
-            "clean_text",
-        )
+    kept = F.filter(
+        F.transform(
+            "t",
+            lambda tok, i: F.struct(
+                (i + F.lit(1)).cast("long").alias("p"), tok.alias("tok")
+            ),
+        ),
+        lambda s: ~F.exists(
+            sp,
+            lambda b: (s["p"] >= b["start_tok"]) & (s["p"] <= b["end_tok"]),
+        ),
+    )
+    # the kept array feeds three outputs (n_kept, n_removed, clean_text):
+    # pin it behind the explode(array(e)) Generate barrier (the
+    # winnow/simhash idiom) so the O(tokens × spans) filter evaluates
+    # once per doc, not once per consumer projection
+    pinned = j.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.explode(F.array(kept)).alias("kept"),
+    )
+    return pinned.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kept").cast("long").alias("n_kept"),
+        (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        F.array_join(F.transform("kept", lambda s: s["tok"]), " ").alias(
+            "clean_text"
+        ),
     )
 
 
@@ -1221,25 +1258,13 @@ def q_llm_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = shingled(
         load_table(spark, sf_dir, "documents")
     ).localCheckpoint(eager=False)
-    # sha2 is HOISTED into the projection below the aggregate (r10): as a
-    # child of all 8 min() expressions it was evaluated 8x per shingle —
-    # aggregates get no common-subexpression elimination across their
-    # expression list, so the signature stage paid 8 sha256 digests per
-    # exploded shingle row (the honest force() probe made this stage the
-    # 100x bottleneck even after the shingled() O(L^2) fix). As a bound
-    # attribute it is digested once; the 8 substring+conv window reads
-    # are O(1) on the 64-char hex.
-    e = d.select("doc_id", F.explode("sh").alias("g")).select(
-        "doc_id", F.sha2("g", 256).alias("sha")
-    )
-    sig = e.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.conv(F.substring("sha", 1 + 8 * h, 8), 16, 10).cast("long")
-            ).alias(f"sig{h}")
-            for h in range(_MH_FNS)
-        ]
-    ).localCheckpoint(eager=False)
+    # r14 (guide §4.2, VERDICT r13 #1): the signature table comes from
+    # ONE Arrow kernel pass over the per-doc shingle rows — no explode,
+    # no min-agg Exchange, no conv(substring(hex)) string round-trips,
+    # distinct shingles digested once per batch. Bit-exact vs the
+    # r10–r13 explode + min(conv(substring(sha2))) aggregate (proof in
+    # _minhash_sigs' docstring; asserted in tests + sig_kernel_bench).
+    sig = _minhash_sigs(d, _MH_FNS, ("",)).localCheckpoint(eager=False)
     # Band candidate generation as ONE self-join over the unpivoted
     # (doc_id, band, bi, bj) rows (r13 optimization, guide §2.4): the
     # r10–r12 form ran four separate per-band joins unioned — identical
@@ -1328,6 +1353,100 @@ def _jaccard_verify(cand, d: DataFrame, merge: bool = False) -> DataFrame:
     )
 
 
+def _minhash_sigs(d: DataFrame, n_fns: int, salts: tuple[str, ...]) -> DataFrame:
+    """(doc_id, sig0..sig{n_fns-1}): the MinHash signature table over the
+    one-row-per-doc shingle table, in ONE Arrow kernel pass (r14
+    optimization, guide §4.2 — VERDICT r13 next-#1).
+
+    The r10–r13 JVM form exploded the shingle array (~2 M rows at sf0.1),
+    computed len(salts) sha256 digests PER OCCURRENCE, extracted every
+    hash window with a ``conv(substring(hex), 16, 10)`` string round-trip
+    (n_fns decimal-string formats + parses per shingle row), and
+    regrouped with a partial/final min aggregate whose only job was
+    undoing the explode. ``shingled()`` already emits one row per doc, so
+    the kernel computes the per-doc mins directly: no explode, no
+    Exchange, no hex/decimal string materialization — and each DISTINCT
+    shingle is digested once per batch (``pd.factorize``) instead of once
+    per occurrence, which on a shingle distribution with repeats (any
+    real corpus; the fixture's small vocabulary by spec) removes most of
+    the digest work outright. Measured head-to-head in
+    tools/sig_kernel_bench.py; value identity asserted there at 1x and in
+    tests/test_plan_shape.py::test_minhash_sig_kernel_exact.
+
+    BIT-EXACTNESS vs the JVM aggregate form (and the DuckDB oracle texts,
+    which spell the same math): ``hashlib.sha256`` over UTF-8 bytes ≡
+    ``sha2(concat(g, salt), 256)``; hex chars [8w, 8w+8) of the digest
+    ARE digest bytes [4w, 4w+4), so the big-endian uint32 read of those
+    bytes equals ``conv(substring(hex, 1+8w, 8), 16, 10) :: long`` (all
+    values < 2^32 — no sign or overflow edge); min over a doc's shingles
+    is order-free. Null shingles contribute nothing (JVM ``min`` skips
+    nulls); a doc with NO non-null shingle yields null sigs exactly as
+    the JVM aggregate does.
+    """
+    schema = "doc_id bigint, " + ", ".join(
+        f"sig{h} bigint" for h in range(n_fns)
+    )
+
+    def kernel(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        sbytes = [s.encode("utf-8") for s in salts]
+        n_wins = 8 * len(sbytes)
+        for pdf in it:
+            n_docs = len(pdf)
+            lists = pdf["sh"]
+            raw_counts = np.fromiter(
+                (len(x) for x in lists), dtype=np.int64, count=n_docs
+            )
+            flat = (
+                np.concatenate([np.asarray(x, dtype=object) for x in lists])
+                if raw_counts.sum()
+                else np.empty(0, dtype=object)
+            )
+            codes, uniq = pd.factorize(flat)
+            if (codes < 0).any():  # null shingles: the JVM min() skips them
+                keep = codes >= 0
+                doc_of = np.repeat(np.arange(n_docs), raw_counts)
+                counts = np.bincount(doc_of[keep], minlength=n_docs)
+                codes = codes[keep]
+            else:
+                counts = raw_counts
+            digs = b"".join(
+                hashlib.sha256(g.encode("utf-8") + sb).digest()
+                for g in uniq
+                for sb in sbytes
+            )
+            wins = (
+                np.frombuffer(digs, dtype=">u4")
+                .reshape(-1, n_wins)
+                .astype(np.uint32)  # native byte order for the reduceat
+            )
+            nonempty = counts > 0
+            ends = np.cumsum(counts)
+            starts = (ends - counts)[nonempty]
+            out = {"doc_id": pdf["doc_id"]}
+            all_nonempty = bool(nonempty.all())
+            for h in range(n_fns):
+                mins = np.zeros(n_docs, dtype=np.int64)
+                if len(codes):
+                    mins[nonempty] = np.minimum.reduceat(
+                        wins[:, h][codes], starts
+                    ).astype(np.int64)
+                out[f"sig{h}"] = (
+                    pd.Series(mins, dtype="int64")
+                    if all_nonempty
+                    else pd.arrays.IntegerArray(mins, mask=~nonempty)
+                )
+            yield pd.DataFrame(out)
+
+    # select first: mapInPandas is opaque to column pruning (guide §4.1),
+    # so only the two columns the kernel reads may cross the boundary
+    return d.select("doc_id", "sh").mapInPandas(kernel, schema=schema)
+
+
 # Steeper banding (r12, VERDICT r11 #3): 6 bands × 3 rows from 18 minhash
 # functions. Band-collision probability is P = 6·J³ — at a real crawl's
 # background J_bg ≈ 0.01 that is ~6e-6 of all pairs (vs 4·J² ≈ 4e-4 for
@@ -1412,25 +1531,11 @@ def q_llm_minhash_steep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = shingled(
         load_table(spark, sf_dir, "documents")
     ).localCheckpoint(eager=False)
-    e = d.select("doc_id", F.explode("sh").alias("g")).select(
-        "doc_id",
-        *[
-            F.sha2(
-                F.col("g") if not salt else F.concat(F.col("g"), F.lit(salt)),
-                256,
-            ).alias(f"sha{k}")
-            for k, salt in enumerate(_MH_STEEP_SALTS)
-        ],
-    )
-    sig = e.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.conv(
-                    F.substring(f"sha{h // 8}", 1 + 8 * (h % 8), 8), 16, 10
-                ).cast("long")
-            ).alias(f"sig{h}")
-            for h in range(_MH_STEEP_FNS)
-        ]
+    # r14 (guide §4.2, VERDICT r13 #1): signature build as ONE Arrow
+    # kernel pass — see _minhash_sigs for the bit-exactness proof vs the
+    # r12–r13 explode + 3×sha2 + 18×conv(substring) aggregate form.
+    sig = _minhash_sigs(
+        d, _MH_STEEP_FNS, tuple(_MH_STEEP_SALTS)
     ).localCheckpoint(eager=False)
     # Band candidate generation as ONE self-join over the unpivoted
     # (doc_id, band, k0, k1, k2) rows — same r13 restructure as
@@ -1520,35 +1625,24 @@ def q_llm_minhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         source=f"{sf_dir}/documents.parquet",
     )
     d = spark.table(name)
-    e = d.select("doc_id", F.explode("sh").alias("g")).select(
-        "doc_id",
-        *[
-            F.sha2(
-                F.col("g") if not salt else F.concat(F.col("g"), F.lit(salt)),
-                256,
-            ).alias(f"sha{k}")
-            for k, salt in enumerate(_MH_STEEP_SALTS)
-        ],
-    )
-    sig_raw = e.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.conv(
-                    F.substring(f"sha{h // 8}", 1 + 8 * (h % 8), 8), 16, 10
-                ).cast("long")
-            ).alias(f"sig{h}")
-            for h in range(_MH_STEEP_FNS)
-        ]
-    )
-    # layout assert #1: the signature aggregate consumes the bucketed
-    # scan's HashPartitioning(doc_id) — no Exchange anywhere below it
+    # r14 (guide §4.2, VERDICT r13 #1): signature build as ONE Arrow
+    # kernel pass over the 32-bucket shingle scan — map-only, so the
+    # 32-way bucket parallelism carries straight through the kernel; see
+    # _minhash_sigs for the bit-exactness proof vs the r13 explode +
+    # 3×sha2 + 18×conv(substring) aggregate form.
+    sig_raw = _minhash_sigs(d, _MH_STEEP_FNS, tuple(_MH_STEEP_SALTS))
+    # layout assert #1: the signature build is a map-only pass over the
+    # bucketed scan — no Exchange anywhere below it (the r13 aggregate
+    # form consumed the scan's HashPartitioning(doc_id); the r14 kernel
+    # needs no grouping at all: shingle rows are already one per doc)
     import re as _re
 
     n_sig_ex = len(_re.findall(r"^\(\d+\) Exchange", _plan(sig_raw), _re.M))
     if n_sig_ex != 0:
         raise AssertionError(
-            f"bucketed signature agg not exchange-free: {n_sig_ex} Exchanges"
-            " (expected 0: groupBy(doc_id) over the doc_id-bucketed scan)"
+            f"bucketed signature build not exchange-free: {n_sig_ex}"
+            " Exchanges (expected 0: one map-only kernel pass over the"
+            " doc_id-bucketed shingle scan)"
         )
     # sig feeds both sides of the band self-join: pin it (localCheckpoint)
     # exactly as the twin does — the LAYOUT pins the corpus, the
@@ -1710,26 +1804,11 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_pair_grid(d, sample_mod=4)
         .agg(F.count("*").alias("n_exact"))
     )
-    # banded-candidate verified pair count (the production path)
-    # sha2 is HOISTED into the projection below the aggregate (r10): as a
-    # child of all 8 min() expressions it was evaluated 8x per shingle —
-    # aggregates get no common-subexpression elimination across their
-    # expression list, so the signature stage paid 8 sha256 digests per
-    # exploded shingle row (the honest force() probe made this stage the
-    # 100x bottleneck even after the shingled() O(L^2) fix). As a bound
-    # attribute it is digested once; the 8 substring+conv window reads
-    # are O(1) on the 64-char hex.
-    e = d.select("doc_id", F.explode("sh").alias("g")).select(
-        "doc_id", F.sha2("g", 256).alias("sha")
-    )
-    sig = e.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.conv(F.substring("sha", 1 + 8 * h, 8), 16, 10).cast("long")
-            ).alias(f"sig{h}")
-            for h in range(_MH_FNS)
-        ]
-    ).localCheckpoint(eager=False)
+    # banded-candidate verified pair count (the production path).
+    # r14 (guide §4.2, VERDICT r13 #1): signature build as ONE Arrow
+    # kernel pass — see _minhash_sigs for the bit-exactness proof vs the
+    # r10–r13 explode + min(conv(substring(sha2))) aggregate form.
+    sig = _minhash_sigs(d, _MH_FNS, ("",)).localCheckpoint(eager=False)
     # ONE unpivoted band self-join instead of four unioned per-band joins
     # (the r13 restructure, guide §2.4 — see q_llm_minhash_exact): same
     # candidate pairs, 8 shuffle Exchanges → 2.

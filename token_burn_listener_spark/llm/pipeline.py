@@ -137,6 +137,10 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     what crosses the Arrow boundary to the surviving rows.
     """
     d = load_table(spark, sf_dir, "documents")
+    # (r14: spread_small_scan tried above the gate filters and REVERTED
+    # after the A/B — the Arrow gate kernel is already fast enough that
+    # the round-robin shuffle costs more than the parallelism buys:
+    # median 0.48 -> 0.71 s at sf0.1, same-process interleaved arms.)
     pre = d.filter(
         (F.col("lang") != "zh") & F.col("n_chars").between(80, 500)
     ).select("doc_id", "lang", "source", "n_chars", "text")

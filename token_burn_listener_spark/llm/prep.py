@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from token_burn_listener_spark.registry import query
-from token_burn_listener_spark.tables import load_table
+from token_burn_listener_spark.tables import load_table, spread_small_scan
 
 # The held-out "benchmark" slice is carved deterministically from the corpus
 # itself (no separate eval fixture exists): doc_id % 37 == 0 → ~2.7% of docs.
@@ -96,7 +96,14 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 37 == 0
-    toks = d.select(
+    # r14 (guide §2.5; VERDICT r13 #6): the gram explode+hash is the
+    # key's dominant work and ran on the single scan partition of the
+    # one-file fixture — the 0.95 core-scaling ratio in PERF_r13 was
+    # this serial stage, not machinery. spread_small_scan round-robins
+    # the docs across cores ONLY when the scan is sub-core-count (no-op
+    # at real scale); projected to (doc_id, text) first so the spread
+    # moves no unused columns (guide §2.3).
+    toks = spread_small_scan(d.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array(F.split("text", " "))).alias("w")
     )
     grams = toks.select("doc_id", F.explode(_grams8("w")).alias("gram"))

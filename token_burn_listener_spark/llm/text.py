@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from token_burn_listener_spark.registry import query
-from token_burn_listener_spark.tables import load_table
+from token_burn_listener_spark.tables import load_table, spread_small_scan
 
 def _tokens():
     """Lazy: building a Column requires an active SparkContext."""
@@ -529,7 +529,15 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     regrouping noise exactly as it already absorbs Spark's
     partial-aggregation order (|score| ≈ 4, tail error ≈ 1e-12).
     """
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    # r14 (guide §2.5): spread the sub-core-count one-file scan so the
+    # char-bigram explode + map-side partial agg parallelize (no-op at
+    # real scale — see tables.spread_small_scan); the length gate stays
+    # below the spread, so it still pushes to the parquet reader.
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 2)
+        .select("doc_id", "text")
+    )
     # Bigrams via zip_with over two shifted char-array slices, NOT
     # substring(text, i, 2) per position: each substring call re-scans the
     # UTF8 string to its offset (O(pos) each → O(len²) per doc); the
@@ -753,6 +761,11 @@ def q_llm_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch.
     """
     d = load_table(spark, sf_dir, "documents")
+    # (r14: spread_small_scan tried here and REVERTED after the A/B —
+    # the token explode is too light to amortize the round-robin
+    # shuffle: median 0.54 -> 0.77 s at sf0.1, same-process interleaved
+    # arms. The keys that kept the spread do 8-gram joins / shingling /
+    # salted digests per row; this one splits on spaces.)
     cnt = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
@@ -851,7 +864,12 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     form read + exploded the corpus twice to keep zero corpus shuffles;
     one read + a counts-sized exchange dominates at scale.
     """
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    # r14 (guide §2.5): spread as in q_llm_bigram_lm (same one-read shape)
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 2)
+        .select("doc_id", "source", "text")
+    )
     bi = d.select(
         "doc_id",
         "source",

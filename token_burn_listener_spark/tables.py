@@ -51,6 +51,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a sub-core-count input up to ``defaultParallelism``
+    (r14, guide §2.5 'input skew': one small/unsplittable file leaves
+    every other core idle for the heavy per-row work downstream — the
+    documents fixture is ONE parquet file under the 4 MB openCost floor,
+    so its scan is a single partition and every explode/kernel stage
+    built on it ran serial; q_llm_decontaminate's 0.95 core-scaling
+    ratio in PERF_r13 was exactly this).
+
+    SCALE-ADAPTIVE, not a local[32] constant: the repartition fires only
+    when the scan has FEWER partitions than cores, so on a real
+    deployment (any table with more splits than cores) it is a no-op and
+    never adds a shuffle; and what it shuffles when it does fire is by
+    definition smaller than one scan partition per core. Round-robin
+    (keyless) because the downstream work is per-row; Spark's
+    sort-before-repartition keeps the assignment deterministic under
+    task retry (SPARK-38388 / guide §2.5).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     """Register fixture tables as temp views (for spark.sql entry points)."""
     for name in names:

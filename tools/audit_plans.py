@@ -253,6 +253,15 @@ ALLOW_PYTHON = {
                           # q_llm_repetition's kernel (6.5x at 5 M docs,
                           # tools/text_kernel_bench.py); rep ratio and all
                           # gate floats stay JVM-side
+    # r14 (VERDICT r13 #1): the MinHash signature build is one Arrow
+    # kernel (_minhash_sigs) emitting INTEGER sig columns only — bit-
+    # exact vs the explode + min(conv(substring(sha2))) aggregate form
+    # (proof in the docstring; identity asserted + measured 47x at x10
+    # corpus scale in tools/sig_kernel_bench.py)
+    "q_llm_minhash_exact",
+    "q_llm_minhash_steep",
+    "q_llm_minhash_bucketed",
+    "q_llm_lsh_recall",
 }
 
 PYTHON_OPS = (
@@ -275,6 +284,34 @@ ALLOW_LAMBDA_REDERIVE: set[str] = set()
 # a lambda sweeping i over the string is O(L^2)/row — the r10 shingles()
 # finding; the others are O(input) outright.
 _FAT_DERIVERS = ("split", "array_sort", "sentences", "sequence", "substring")
+
+
+def _joins_two_local_relations(opt_plan: str) -> bool:
+    """True when any Join node's BOTH immediate children are
+    LocalRelations — the tools/bnlj_probe.py stall shape. Parses the
+    optimized logical plan's tree text: each nesting level is one 3-char
+    prefix group (':- ', '+- ', ':  ', '   '), so a node's immediate
+    children are the next lines one level deeper."""
+    infos = []
+    for ln in opt_plan.splitlines():
+        stripped = ln.lstrip(" :+-")
+        infos.append(((len(ln) - len(stripped)) // 3, stripped))
+    for i, (d, s) in enumerate(infos):
+        if not s.startswith("Join"):
+            continue
+        kids: list[str] = []
+        for d2, s2 in infos[i + 1 :]:
+            if d2 == d + 1:
+                kids.append(s2)
+                if len(kids) == 2:
+                    break
+            elif d2 <= d:
+                break
+        if len(kids) == 2 and all(
+            k.startswith("LocalRelation") for k in kids
+        ):
+            return True
+    return False
 
 
 def lambda_rederivations(opt_plan: str) -> list[str]:
@@ -366,6 +403,18 @@ def main() -> int:
             "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
         ) and k not in ALLOW_NESTED_LOOP:
             problems.append((k, "undocumented cartesian/nested-loop join"))
+        # LocalRelation x LocalRelation join: the pathological shape the
+        # r13 pq_adc rewrite hit (~15 s nested-loop stall on two tiny
+        # driver-embedded tables; repro: tools/bnlj_probe.py). Flagged
+        # REGARDLESS of the nested-loop allowlist — the allowlist vouches
+        # for documented crossJoin cardinalities, not for this shape
+        # (r14, VERDICT r13 #8).
+        if _joins_two_local_relations(opt):
+            problems.append(
+                (k, "join with LocalRelation on BOTH sides (the "
+                    "bnlj_probe stall shape) — pin one side or keep it "
+                    "distributed")
+            )
         if any(op in plan for op in PYTHON_OPS) and k not in ALLOW_PYTHON:
             problems.append((k, "Python eval outside the UDF surface"))
         scans = collections.Counter()
