@@ -144,42 +144,279 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   q_scan_filter_pushdown q_scan_json, then q_join_asof_forward when
 #   the NEW key landed) slide to the r14 head.
 #
-#   r14 window (listed so the next round can verify positions 1-50
-#   against this comment after its rotation edit; amend with r14-dirty
-#   and new keys first — displaced keys slide onward):
-#   q_scan_parquet q_join_asof_forward q_scan_projection_pushdown
-#   q_scan_filter_pushdown q_scan_json q_scan_csv q_scan_binaryfile
-#   q_proj_select q_proj_arith q_proj_case_when q_proj_cast q_filter_cmp
-#   q_filter_in q_filter_like q_filter_between q_filter_null
-#   q_filter_bool q_proj_nullsafe q_join_inner_broadcast
-#   q_join_inner_smj q_join_inner_shj q_join_left q_join_right
-#   q_llm_vocab_coverage q_llm_dim_stats q_agg_corr q_tpch_q8ish
-#   q_tpch_q14ish q_llm_random_projection q_llm_semantic_prune
-#   q_join_star q_tpch_q2ish q_tpch_q9ish q_tpch_q11ish q_tpch_q15ish
-#   q_tpch_q16ish q_tpch_q17ish q_tpch_q20ish q_tpch_q21ish
-#   q_llm_term_stats q_llm_pmi_collocations q_llm_kneser_ney
-#   q_llm_multimodal q_diag_dq_checks q_join_full q_join_semi
-#   q_join_anti q_join_cross q_join_theta q_join_interval
+#   r14 window = positions 1-50 below: canary; the 19 DIRTY keys —
+#   13 r14-touched (the minhash family's Arrow signature kernel +
+#   the spread_small_scan sweep + the span restructures + the
+#   shingled() spread consumers, incl. the two rows-only keys) and
+#   6 r13-rewritten keys whose r13 driver evidence predates the
+#   rewrite (VERDICT r13 #2's lift, minus those re-dirtied by r14
+#   edits); then the r08-evidence staleness head the r13 pre-plan
+#   promised (q_join_asof_forward ... q_join_star). The staleness
+#   keys the dirty block displaced slide to the r15 head.
+#
+#   r15 window (listed so the next round can verify positions 1-50
+#   against this comment after its rotation edit; amend with
+#   r15-dirty and new keys first — displaced keys slide onward):
+#   q_scan_parquet q_tpch_q2ish q_tpch_q9ish q_tpch_q11ish
+#   q_tpch_q15ish q_tpch_q16ish q_tpch_q17ish q_tpch_q20ish
+#   q_tpch_q21ish q_llm_term_stats q_llm_pmi_collocations
+#   q_llm_kneser_ney q_llm_multimodal q_diag_dq_checks q_join_full
+#   q_join_semi q_join_anti q_join_cross q_join_theta q_join_interval
+#   q_join_bloom q_llm_cosine_topk q_llm_knn_query q_llm_ann_lsh
+#   q_llm_centroids q_llm_ivf_search q_llm_knn_classify
+#   q_llm_hard_negatives q_llm_ann_recall q_llm_matryoshka_recall
+#   q_llm_anisotropy q_llm_emb_near_dup q_graph_triangles
+#   q_graph_pagerank q_join_asof q_join_salted q_agg_global
+#   q_agg_groupby q_agg_count_distinct q_agg_approx_distinct
+#   q_agg_sum_distinct q_agg_rollup q_agg_cube q_agg_grouping_sets
+#   q_agg_collect q_agg_stddev q_agg_percentile q_agg_conditional
+#   q_agg_having q_agg_pivot
 # ---------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
-    # --- r13 driver window (positions 1-50): canary + the NEW bucketed
-    # LSH key + the r13-dirty trio + the four keys the r12 dirty-lift
-    # displaced past position 50, then the r06/r07-era staleness head
-    # (the corrected r12 pre-plan). ---
-    "q_scan_parquet",  # canary: driver-proven twelve times, cheapest probe
-    # NEW r13 (no driver evidence): the bucketed-layout LSH — the
-    # steep twin's corpus-shuffle-free verify form (the lever the
-    # x300 disk-ceiling row names); plan-asserted zero corpus
-    # Exchanges over the 32-bucket doc_id shingle layout
-    "q_llm_minhash_bucketed",
-    # dirty r13 (VERDICT r12 #3, the pq playbook): the kmeans assignment
-    # is now the Arrow integer-cluster kernel (2.6x at 20 M vectors,
-    # tools/kmeans_kernel_bench.py) — plan changed, evidence (r9) stale
+    # --- r14 driver window (positions 1-50): canary + the 19
+    # r13/r14-dirty keys (dirty-first invariant; see the rotation
+    # comment) + the r08-evidence staleness head. ---
+    "q_scan_parquet",  # canary: driver-proven thirteen times, cheapest probe
+    "q_llm_minhash_bucketed",  # dirty r14: Arrow signature kernel + shingled spread
+    "q_llm_minhash_steep",
+    "q_llm_minhash_exact",
+    "q_llm_lsh_recall",
+    "q_llm_span_removal",
+    "q_llm_dup_spans",
+    "q_llm_decontaminate",
+    "q_llm_bigram_lm",
+    "q_llm_dsir",
+    "q_llm_jaccard_pairs",
+    "q_llm_dedup_survivors",
+    "q_llm_simhash",
+    "q_llm_near_dedup",
+    "q_llm_fuzzy_dup",
+    "q_llm_dup_clusters",
+    "q_llm_corpus_prep",
+    "q_llm_training_manifest",
+    "q_llm_ccnet_buckets",
+    "q_llm_cms_topk",  # dirty r13: top-20 probe recompute (spread tried, reverted)
+    # --- staleness head (r08 evidence), per the r13 pre-plan ---
+    "q_join_asof_forward",
+    "q_scan_projection_pushdown",
+    "q_scan_filter_pushdown",
+    "q_scan_json",
+    "q_scan_csv",
+    "q_scan_binaryfile",
+    "q_proj_select",
+    "q_proj_arith",
+    "q_proj_case_when",
+    "q_proj_cast",
+    "q_filter_cmp",
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_between",
+    "q_filter_null",
+    "q_filter_bool",
+    "q_proj_nullsafe",
+    "q_join_inner_broadcast",
+    "q_join_inner_smj",
+    "q_join_inner_shj",
+    "q_join_left",
+    "q_join_right",
+    "q_llm_vocab_coverage",
+    "q_llm_dim_stats",
+    "q_agg_corr",
+    "q_tpch_q8ish",
+    "q_tpch_q14ish",
+    "q_llm_random_projection",
+    "q_llm_semantic_prune",
+    "q_join_star",
+    # --- r15 pre-plan head: the staleness keys the dirty block
+    # displaced, then the rotation order (see comment above). ---
+    "q_tpch_q2ish",
+    "q_tpch_q9ish",
+    "q_tpch_q11ish",
+    "q_tpch_q15ish",
+    "q_tpch_q16ish",
+    "q_tpch_q17ish",
+    "q_tpch_q20ish",
+    "q_tpch_q21ish",
+    "q_llm_term_stats",
+    "q_llm_pmi_collocations",
+    "q_llm_kneser_ney",
+    "q_llm_multimodal",
+    "q_diag_dq_checks",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta",
+    "q_join_interval",
+    "q_join_bloom",
+    "q_llm_cosine_topk",
+    "q_llm_knn_query",
+    "q_llm_ann_lsh",
+    "q_llm_centroids",
+    "q_llm_ivf_search",
+    "q_llm_knn_classify",
+    "q_llm_hard_negatives",
+    "q_llm_ann_recall",
+    "q_llm_matryoshka_recall",
+    "q_llm_anisotropy",
+    "q_llm_emb_near_dup",
+    "q_graph_triangles",
+    "q_graph_pagerank",
+    "q_join_asof",
+    "q_join_salted",
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_count_distinct",
+    "q_agg_approx_distinct",
+    "q_agg_sum_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_collect",
+    "q_agg_stddev",
+    "q_agg_percentile",
+    "q_agg_conditional",
+    "q_agg_having",
+    "q_agg_pivot",
+    "q_agg_time_rollup",
+    "q_agg_approx_percentile",
+    "q_win_row_number",
+    "q_str_basic",
+    "q_str_split",
+    "q_str_regex",
+    "q_date_parts",
+    "q_date_arith",
+    "q_date_unix",
+    "q_math_fns",
+    "q_math_conv",
+    "q_arr_hof",
+    "q_arr_explode",
+    "q_arr_zip",
+    "q_llm_subdoc_dup",
+    "q_llm_cdc_chunking",
+    "q_map_json",
+    "q_json_tuple",
+    "q_json_to",
+    "q_hash_sha2",
+    "q_hash_md5",
+    "q_hash_xxhash",
+    "q_win_rank",
+    "q_win_ntile",
+    "q_win_pct",
+    "q_win_lag_lead",
+    "q_win_running",
+    "q_win_range_frame",
+    "q_win_sliding",
+    "q_win_first_last",
+    "q_win_topk_group",
+    "q_sort_multi",
+    "q_limit",
+    "q_topk_global",
+    "q_stream_source_replay",
+    "q_stream_rate_smoke",
+    "q_stream_availablenow",
+    "q_stream_rate_limit",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_watermark",
+    "q_stream_late_data",
+    "q_stream_dedup",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_stateful",
+    "q_stream_foreachbatch",
+    "q_stream_checkpoint",
+    "q_stream_outer_join",
+    "q_set_union_all",
+    "q_set_union",
+    "q_set_intersect",
+    "q_llm_char_entropy",
+    "q_llm_repetition",
+    "q_llm_winnow",
+    "q_stream_session",
+    "q_scan_orc",
+    "q_sink_partitioned",
+    "q_sink_compaction",
+    "q_scan_schema_evolution",
+    "q_struct_ops",
+    "q_set_intersect_all",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_distinct",
+    "q_sub_scalar",
+    "q_sub_in",
+    "q_sub_correlated",
+    "q_tpch_q4ish",
+    "q_tpch_q5ish",
+    "q_tpch_q6ish",
+    "q_tpch_q7ish",
+    "q_tpch_q10ish",
+    "q_tpch_q12ish",
+    "q_tpch_q13ish",
+    "q_tpch_q18ish",
+    "q_tpch_q19ish",
+    "q_tpch_q22ish",
+    "q_stream_union",
+    "q_stream_rocksdb",
+    "q_llm_exact_dedup",
+    "q_llm_tokenize",
+    "q_llm_tfidf",
+    "q_llm_ngrams",
+    "q_llm_text_filter",
+    "q_llm_doc_stats",
+    "q_llm_quality_score",
+    "q_llm_fingerprint",
+    "q_llm_lang_id",
+    "q_llm_token_count",
+    "q_llm_quantize",
+    "q_llm_inverted_index",
+    "q_llm_redact_pii",
+    "q_llm_chunk",
+    "q_llm_mix_domains",
+    "q_llm_sample_stratified",
+    "q_llm_global_shuffle",
+    "q_llm_pq_adc",
+    "q_tpch_q18_bucketed",
+    "q_join_bucketed",
+    "q_agg_minmax_by",
+    "q_evt_cohort_ltv",
+    "q_llm_tfidf_exact",
+    "q_stream_reorg",
+    "q_src_python_batch",
+    "q_src_python_stream",
+    "q_stream_dynamic_session",
+    "q_llm_pack_sequences",
+    "q_arr_basic",
+    "q_llm_frames",
+    "q_evt_sessionize",
+    "q_evt_funnel",
+    "q_evt_retention",
+    "q_evt_anomaly",
+    "q_evt_resample",
+    "q_evt_histogram",
+    "q_cdc_snapshot_diff",
+    "q_cdc_scd2",
+    "q_cdc_merge",
+    "q_stream_upsert_latest",
+    "q_scan_text",
+    "q_agg_hll_union",
+    "q_evt_transitions",
+    "q_cdc_incr_agg",
+    "q_llm_split",
+    "q_llm_length_buckets",
+    "q_llm_zipf",
+    "q_llm_media_decode",
+    "q_llm_dup_rate_by_source",
+    "q_llm_ngram_novelty",
+    "q_llm_curriculum",
+    "q_llm_embedding_coverage",
+    "q_stream_chained",
+    "q_sink_zorder",
+    "q_evt_dynamic_sessions",
+    "q_scan_time_travel",
+    # --- r13-proven head block (minus the canary and the keys
+    # re-dirtied above), rotated to the back per the invariant. ---
     "q_llm_kmeans",
-    # dirty r13 (ADVICE r12): the feed sink's append commit now derives
-    # its index lexicographically with exclusive-create publish, and the
-    # listener e2e publishes parts via stage-then-rename inside the feed
-    # dir — both write paths changed after their r12 driver rows
     "q_src_python_sink",
     "q_stream_listener_e2e",
     "q_diag_join_skew",
@@ -227,244 +464,6 @@ DRIVER_ORDER: list[str] = [
     "q_stream_backfill",
     "q_evt_cumulative_uniques",
     "q_llm_topic_boundaries",
-    "q_join_asof_forward",
-    "q_scan_projection_pushdown",
-    "q_scan_filter_pushdown",
-    "q_scan_json",
-    # --- r14 pre-plan head: the r08-evidence scan/projection/filter/join
-    # staleness block, then the r09/r10/r11 proven blocks in rotation
-    # order (see the rotation comment above). ---
-    "q_scan_csv",
-    "q_scan_binaryfile",
-    "q_proj_select",
-    "q_proj_arith",
-    "q_proj_case_when",
-    "q_proj_cast",
-    "q_filter_cmp",
-    "q_filter_in",
-    "q_filter_like",
-    "q_filter_between",
-    "q_filter_null",
-    "q_filter_bool",
-    "q_proj_nullsafe",
-    "q_join_inner_broadcast",
-    "q_join_inner_smj",
-    "q_join_inner_shj",
-    "q_join_left",
-    "q_join_right",
-    "q_llm_vocab_coverage",
-    "q_llm_dim_stats",
-    "q_agg_corr",
-    "q_tpch_q8ish",
-    "q_tpch_q14ish",
-    "q_llm_random_projection",
-    "q_llm_semantic_prune",
-    "q_join_star",
-    "q_tpch_q2ish",
-    "q_tpch_q9ish",
-    "q_tpch_q11ish",
-    "q_tpch_q15ish",
-    "q_tpch_q16ish",
-    "q_tpch_q17ish",
-    "q_tpch_q20ish",
-    "q_tpch_q21ish",
-    "q_llm_term_stats",
-    "q_llm_pmi_collocations",
-    "q_llm_kneser_ney",
-    "q_llm_multimodal",
-    "q_diag_dq_checks",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_theta",
-    "q_join_interval",
-    "q_join_bloom",
-    "q_llm_cosine_topk",
-    "q_llm_knn_query",
-    "q_llm_ann_lsh",
-    "q_llm_centroids",
-    "q_llm_ivf_search",
-    "q_llm_knn_classify",
-    "q_llm_hard_negatives",
-    "q_llm_ann_recall",
-    "q_llm_matryoshka_recall",
-    "q_llm_anisotropy",
-    "q_llm_emb_near_dup",
-    "q_llm_dup_clusters",
-    "q_graph_triangles",
-    "q_graph_pagerank",
-    "q_join_asof",
-    "q_join_salted",
-    "q_agg_global",
-    "q_agg_groupby",
-    "q_agg_count_distinct",
-    "q_agg_approx_distinct",
-    "q_agg_sum_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_collect",
-    "q_agg_stddev",
-    "q_agg_percentile",
-    "q_agg_conditional",
-    "q_agg_having",
-    "q_agg_pivot",
-    "q_agg_time_rollup",
-    "q_agg_approx_percentile",
-    "q_win_row_number",
-    "q_str_basic",
-    "q_str_split",
-    "q_str_regex",
-    "q_date_parts",
-    "q_date_arith",
-    "q_date_unix",
-    "q_math_fns",
-    "q_math_conv",
-    "q_arr_hof",
-    "q_arr_explode",
-    "q_arr_zip",
-    "q_llm_decontaminate",
-    "q_llm_subdoc_dup",
-    "q_llm_near_dedup",
-    "q_llm_jaccard_pairs",
-    "q_llm_simhash",
-    "q_llm_dedup_survivors",
-    "q_llm_minhash_exact",
-    "q_llm_lsh_recall",
-    "q_llm_cdc_chunking",
-    "q_map_json",
-    "q_json_tuple",
-    "q_json_to",
-    "q_hash_sha2",
-    "q_hash_md5",
-    "q_hash_xxhash",
-    "q_win_rank",
-    "q_win_ntile",
-    "q_win_pct",
-    "q_win_lag_lead",
-    "q_win_running",
-    "q_win_range_frame",
-    "q_win_sliding",
-    "q_win_first_last",
-    "q_win_topk_group",
-    "q_sort_multi",
-    "q_limit",
-    "q_topk_global",
-    "q_stream_source_replay",
-    "q_stream_rate_smoke",
-    "q_stream_availablenow",
-    "q_stream_rate_limit",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_watermark",
-    "q_stream_late_data",
-    "q_stream_dedup",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_stream_stateful",
-    "q_stream_foreachbatch",
-    "q_stream_checkpoint",
-    "q_stream_outer_join",
-    "q_set_union_all",
-    "q_set_union",
-    "q_set_intersect",
-    "q_llm_char_entropy",
-    "q_llm_repetition",
-    "q_llm_winnow",
-    "q_llm_dup_spans",
-    "q_llm_span_removal",
-    "q_stream_session",
-    "q_scan_orc",
-    "q_sink_partitioned",
-    "q_sink_compaction",
-    "q_scan_schema_evolution",
-    "q_struct_ops",
-    "q_set_intersect_all",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_distinct",
-    "q_sub_scalar",
-    "q_sub_in",
-    "q_sub_correlated",
-    "q_tpch_q4ish",
-    "q_tpch_q5ish",
-    "q_tpch_q6ish",
-    "q_tpch_q7ish",
-    "q_tpch_q10ish",
-    "q_tpch_q12ish",
-    "q_tpch_q13ish",
-    "q_tpch_q18ish",
-    "q_tpch_q19ish",
-    "q_tpch_q22ish",
-    "q_stream_union",
-    "q_stream_rocksdb",
-    "q_llm_exact_dedup",
-    "q_llm_tokenize",
-    "q_llm_tfidf",
-    "q_llm_ngrams",
-    "q_llm_text_filter",
-    "q_llm_doc_stats",
-    "q_llm_quality_score",
-    "q_llm_fingerprint",
-    "q_llm_lang_id",
-    "q_llm_token_count",
-    "q_llm_quantize",
-    "q_llm_inverted_index",
-    "q_llm_redact_pii",
-    "q_llm_chunk",
-    "q_llm_mix_domains",
-    "q_llm_sample_stratified",
-    "q_llm_global_shuffle",
-    # --- r12-proven head block (minus the canary), rotated to the back
-    # per the invariant, in its proven order. ---
-    "q_llm_minhash_steep",
-    "q_llm_pq_adc",
-    "q_tpch_q18_bucketed",
-    "q_join_bucketed",
-    "q_agg_minmax_by",
-    "q_evt_cohort_ltv",
-    "q_llm_tfidf_exact",
-    "q_stream_reorg",
-    "q_src_python_batch",
-    "q_src_python_stream",
-    "q_stream_dynamic_session",
-    "q_llm_pack_sequences",
-    "q_arr_basic",
-    "q_llm_corpus_prep",
-    "q_llm_frames",
-    "q_evt_sessionize",
-    "q_evt_funnel",
-    "q_evt_retention",
-    "q_evt_anomaly",
-    "q_evt_resample",
-    "q_evt_histogram",
-    "q_cdc_snapshot_diff",
-    "q_cdc_scd2",
-    "q_cdc_merge",
-    "q_llm_bigram_lm",
-    "q_stream_upsert_latest",
-    "q_scan_text",
-    "q_agg_hll_union",
-    "q_evt_transitions",
-    "q_cdc_incr_agg",
-    "q_llm_fuzzy_dup",
-    "q_llm_split",
-    "q_llm_length_buckets",
-    "q_llm_zipf",
-    "q_llm_cms_topk",
-    "q_llm_media_decode",
-    "q_llm_dup_rate_by_source",
-    "q_llm_ngram_novelty",
-    "q_llm_curriculum",
-    "q_llm_embedding_coverage",
-    "q_stream_chained",
-    "q_sink_zorder",
-    "q_llm_dsir",
-    "q_evt_dynamic_sessions",
-    "q_llm_training_manifest",
-    "q_scan_time_travel",
-    "q_llm_ccnet_buckets",
 ]
 
 
