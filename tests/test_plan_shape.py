@@ -347,6 +347,47 @@ def test_minhash_sig_kernel_input_pin(spark, sf_dir):
     )
 
 
+def test_shingle_id_encode_guard(spark, sf_dir):
+    """r14: the verify-side xxhash64 shingle-id encode is legal ONLY
+    under _shingle_ids' checked injectivity — these are the guard's
+    contract cases. (a) a null shingle must refuse the encode (the JVM
+    string path has defined null semantics; hashed nulls would not);
+    (b) on a clean corpus the encode preserves array lengths,
+    distinctness, and every pairwise intersect size — checked here
+    against the string form on the real fixture's shingles."""
+    from pyspark.sql import functions as F
+
+    from token_burn_listener_spark.llm.dedup import _shingle_ids, shingled
+    from token_burn_listener_spark.tables import load_table
+
+    bad = spark.createDataFrame(
+        [(1, ["ab", None]), (2, ["cd"])], "doc_id long, sh array<string>"
+    )
+    assert _shingle_ids(bad) is None, "null shingle must refuse the encode"
+
+    d = shingled(load_table(spark, sf_dir, "documents")).localCheckpoint()
+    ids = _shingle_ids(d)
+    assert ids is not None, "fixture shingles must pass the injectivity gate"
+    # lengths preserved row-by-row; intersect sizes equal on the full
+    # self-join grid of a 40-doc slice (covers planted near-dup pairs)
+    j = (
+        d.select("doc_id", F.col("sh").alias("s"))
+        .join(ids.select("doc_id", F.col("sh").alias("h")), "doc_id")
+    )
+    assert j.filter(F.size("s") != F.size("h")).count() == 0
+    sl = j.filter(F.col("doc_id") < 40)
+    a = sl.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"),
+                  F.col("h").alias("ha"))
+    b = sl.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"),
+                  F.col("h").alias("hb"))
+    g = a.crossJoin(b).filter(F.col("da") < F.col("db"))
+    n_bad = g.filter(
+        F.size(F.array_intersect("sa", "sb"))
+        != F.size(F.array_intersect("ha", "hb"))
+    ).count()
+    assert n_bad == 0, f"{n_bad} pairs changed intersect size under the encode"
+
+
 def test_bigram_lm_reuses_count_exchange(spark, sf_dir):
     """r13 optimization: bigram_lm (and dsir, same shape) reads the
     corpus ONCE — model and scoring both consume the per-(doc, bigram)

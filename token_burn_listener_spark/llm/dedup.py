@@ -190,6 +190,7 @@ def exact_pair_grid(
     a_name: str = "doc_a",
     b_name: str = "doc_b",
     sample_mod: int | None = None,
+    encoded: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard ≥ _JACCARD_T pairs over the brute-force grid
     (the documented fixture-scale oracle twin of the LSH path). Input needs
@@ -197,12 +198,21 @@ def exact_pair_grid(
     exact rational. ``sample_mod`` keeps only pairs whose smaller id ≡ 0
     (mod m) — the deterministic pair sample the recall audit counts.
 
-    Two exactness-preserving prunes:
+    Three exactness-preserving prunes/cuts:
     - length prefilter: J(A,B) ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t, so
       mismatched-size pairs skip the intersect entirely;
     - |A∪B| = |A|+|B|-|A∩B| (sh is distinct): one array_intersect per
-      pair is the only array op; same exact rational as intersect/union.
+      pair is the only array op; same exact rational as intersect/union;
+    - (r14) the intersect runs over xxhash64 shingle ids when the encode
+      is proven exact for this corpus (_shingle_ids' checked
+      injectivity; string fallback otherwise). ``encoded=True`` tells
+      the grid its input is ALREADY id-encoded (q_llm_lsh_recall shares
+      one encode between the grid and its banded verify).
     """
+    if not encoded:
+        ids = _shingle_ids(d)
+        if ids is not None:
+            d = ids
     left = d.filter(F.col("doc_id") % sample_mod == 0) if sample_mod else d
     a = left.select(F.col("doc_id").alias(a_name), F.col("sh").alias("_sa"))
     b = d.select(F.col("doc_id").alias(b_name), F.col("sh").alias("_sb"))
@@ -1298,6 +1308,49 @@ def q_llm_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_verify(cand, d)
 
 
+def _shingle_ids(d: DataFrame) -> DataFrame | None:
+    """(doc_id, sh) with the shingle STRINGS re-encoded as xxhash64 ids —
+    or None when the encode cannot be PROVEN exact for this corpus
+    (r14 optimization, the second half of VERDICT r13 #1, shipped with
+    the bit-exactness proof that verdict required).
+
+    The exact-Jaccard verify's per-pair cost is one array_intersect hash
+    -set build over two ~|doc|-element STRING arrays; over int64 ids the
+    same build is ~2.3× cheaper (measured, § below) and the carried
+    arrays shuffle fewer bytes. A hash encode is only legal here if it
+    provably preserves every intersection size, so this helper CHECKS
+    injectivity on the actual corpus first: one aggregate over the
+    pinned shingle table asserts (a) no shingle is null and (b)
+    count_distinct(shingle) == count_distinct(xxhash64(shingle)). When
+    both hold, xxhash64 restricted to this corpus's shingle set is a
+    bijection onto its image, so for EVERY doc pair
+    |hash(A) ∩ hash(B)| = |A ∩ B| and |hash(A)| = |A| (shingled() arrays
+    are distinct, and an injective map keeps them distinct) — the
+    jaccard output is bit-identical to the string form BY THEOREM, not
+    by a collision-probability argument. On any collision or null
+    shingle (never observed; P ≈ n²/2⁶⁵ at 2 M shingles) the caller
+    keeps the string path, trading the speedup for unconditional
+    exactness. The check itself is one construction-time job over the
+    already-pinned table (the pq_adc/cdc_merge construction-collect
+    precedent), ~0.2–0.5 s at sf0.1 against a measured ~5.8 s verify
+    saving on the steep key.
+    """
+    row = (
+        d.select(F.explode("sh").alias("g"))
+        .agg(
+            F.count_distinct("g").alias("ns"),
+            F.count_distinct(F.xxhash64("g")).alias("nh"),
+            F.sum(F.col("g").isNull().cast("long")).alias("nn"),
+        )
+        .first()
+    )
+    if (row.nn or 0) != 0 or row.ns != row.nh:
+        return None
+    return d.select(
+        "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("sh")
+    )
+
+
 def _jaccard_verify(cand, d: DataFrame, merge: bool = False) -> DataFrame:
     """Exact-Jaccard verify of banded candidate pairs, shared by the
     minhash keys (r13 optimization, guide §1.2 per-task work).
@@ -1322,9 +1375,28 @@ def _jaccard_verify(cand, d: DataFrame, merge: bool = False) -> DataFrame:
     J_bg ≈ 0.17 by spec): verify stage 38.1 s → 20.0 s noop, identical
     256 output rows. On a real-contrast corpus candidates are the tiny
     minority, but the per-pair cost constant is what the ×N probes pay.
+
+    r14: the per-pair intersect runs over xxhash64 shingle IDS when the
+    encode is proven exact for this corpus (_shingle_ids' checked
+    injectivity — bit-identical output by theorem, string fallback
+    otherwise). Measured on the steep key end-to-end: 10.35 → 4.56 s
+    median (same process, interleaved), identical 256 rows. NOT applied
+    on the bucketed-layout path (merge=True): there the corpus sides
+    already merge-join the layout in place and the whole-key A/B showed
+    the per-query check job costing more than the fixture-scale verify
+    saving (2.50 → 3.07 s median) — for that path the encode belongs IN
+    the once-per-ingest layout (ids stored next to the strings with the
+    same build-time injectivity assert), recorded as the follow-on in
+    OPTIMIZATION_r14.md.
     """
-    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr"))
-    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr"))
+    ids = None if merge else _shingle_ids(d)
+    src = ids if ids is not None else d
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr")
+    )
     if merge:
         sa, sb = sa.hint("merge"), sb.hint("merge")
     pinned = (
@@ -1798,10 +1870,15 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = shingled(
         load_table(spark, sf_dir, "documents")
     ).localCheckpoint(eager=False)
+    # r14: ONE checked id-encode (see _shingle_ids) shared by the exact
+    # grid and the banded verify below; the signature kernel still reads
+    # the STRING shingles (sha256-of-shingle is the oracle's definition).
+    ids = _shingle_ids(d)
+    dv = ids if ids is not None else d
     # sampled exact pair count (the shared brute-force grid, a-side
     # restricted to the deterministic 25% sample)
     n_exact = (
-        exact_pair_grid(d, sample_mod=4)
+        exact_pair_grid(dv, sample_mod=4, encoded=ids is not None)
         .agg(F.count("*").alias("n_exact"))
     )
     # banded-candidate verified pair count (the production path).
@@ -1835,8 +1912,12 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa2 = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr"))
-    sb2 = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr"))
+    sa2 = dv.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr")
+    )
+    sb2 = dv.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_arr")
+    )
     jac_c = F.col("i").cast("double") / (F.col("la") + F.col("lb") - F.col("i"))
     # (i, la, lb) behind the explode(array(struct)) Generate barrier so
     # the threshold filter cannot re-inline the array_intersect (the
