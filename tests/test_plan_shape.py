@@ -388,6 +388,33 @@ def test_shingle_id_encode_guard(spark, sf_dir):
     assert n_bad == 0, f"{n_bad} pairs changed intersect size under the encode"
 
 
+def test_bucketed_layout_carries_shingle_ids(spark, sf_dir):
+    """r14b (OPTIMIZATION_r14 §4b's recorded follow-on): the bucketed
+    minhash layout stores the xxhash64 shingle-id arrays NEXT TO the
+    strings, written under the build-time injectivity assert, and the
+    key's verify consumes them straight off the bucketed scan — zero
+    per-query check job. Pins (a) the v2 layout schema (doc_id, sh,
+    shid), (b) value identity of the whole key vs the steep twin's
+    string-path verify (identical logical query — any id/string
+    divergence flips rows here), and (c) that the verify plan actually
+    reads the id column (the saving is real, not schema decoration)."""
+    from token_burn_listener_spark.registry import QUERIES
+
+    out = QUERIES["q_llm_minhash_bucketed"](spark, sf_dir)
+    tbl = next(
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("bkt_mh_documents_sh2_")
+    )
+    cols = [f.name for f in spark.table(tbl).schema.fields]
+    assert cols == ["doc_id", "sh", "shid"], cols
+    plan = str(out._jdf.queryExecution().optimizedPlan())
+    assert "shid" in plan, "verify plan does not consume the layout ids"
+    steep = QUERIES["q_llm_minhash_steep"](spark, sf_dir)
+    assert out.exceptAll(steep).count() == 0
+    assert steep.exceptAll(out).count() == 0
+
+
 def test_bigram_lm_reuses_count_exchange(spark, sf_dir):
     """r13 optimization: bigram_lm (and dsir, same shape) reads the
     corpus ONCE — model and scoring both consume the per-(doc, bigram)

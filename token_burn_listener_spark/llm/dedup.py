@@ -1351,7 +1351,9 @@ def _shingle_ids(d: DataFrame) -> DataFrame | None:
     )
 
 
-def _jaccard_verify(cand, d: DataFrame, merge: bool = False) -> DataFrame:
+def _jaccard_verify(
+    cand, d: DataFrame, merge: bool = False, id_col: str | None = None
+) -> DataFrame:
     """Exact-Jaccard verify of banded candidate pairs, shared by the
     minhash keys (r13 optimization, guide §1.2 per-task work).
 
@@ -1386,11 +1388,21 @@ def _jaccard_verify(cand, d: DataFrame, merge: bool = False) -> DataFrame:
     the per-query check job costing more than the fixture-scale verify
     saving (2.50 → 3.07 s median) — for that path the encode belongs IN
     the once-per-ingest layout (ids stored next to the strings with the
-    same build-time injectivity assert), recorded as the follow-on in
-    OPTIMIZATION_r14.md.
+    same build-time injectivity assert) — which is exactly what
+    ``id_col`` delivers (r14b): when the caller's layout already CARRIES
+    the xxhash64 id arrays (column ``id_col``, written next to the
+    strings under the build-time injectivity assert — see
+    q_llm_minhash_bucketed's layout build), the verify consumes them
+    straight off the bucketed scan: zero per-query check job, zero
+    per-query transform, and the same by-theorem exactness (the assert
+    ran when the layout was built, against the same corpus the
+    content-address pins).
     """
-    ids = None if merge else _shingle_ids(d)
-    src = ids if ids is not None else d
+    if id_col is not None:
+        src = d.select("doc_id", F.col(id_col).alias("sh"))
+    else:
+        ids = None if merge else _shingle_ids(d)
+        src = ids if ids is not None else d
     sa = src.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_arr")
     )
@@ -1678,22 +1690,55 @@ def q_llm_minhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signatures/bands/verify are bit-identical to the steep twin (same
     salted sha256 windows, same 6×3 bands, same J >= 0.4 gate), so the
     twin's oracle text checks this key exactly.
+
+    r14b (the follow-on OPTIMIZATION_r14 §4b recorded): the layout also
+    stores the xxhash64 shingle-ID arrays NEXT TO the strings (`shid`),
+    written only when the build-time injectivity assert holds on this
+    corpus (count_distinct(shingle) == count_distinct(xxhash64(shingle)),
+    no nulls — _shingle_ids' checked-exactness contract, run once per
+    ingest instead of once per query). The verify's per-pair
+    array_intersect then hash-sets int64 ids instead of ~5-char strings
+    straight off the bucketed scan — the ~2× per-pair saving the other
+    minhash keys measured in §4b, now with ZERO per-query check cost.
+    On the (never-observed) collision the column is absent and the
+    verify keeps the strings; either way the layout version tag (v2)
+    keys fresh scratch so a stale string-only layout can never be
+    silently consumed as an id layout.
     """
     from token_burn_listener_spark.operators.storage import (
         _ensure_bucketed,
         _plan,
     )
 
+    def _build(s: SparkSession, dd: str) -> DataFrame:
+        # pin the shingle pass: the injectivity check and the bucketBy
+        # write must see the SAME rows without re-shingling the corpus
+        base = shingled(load_table(s, dd, "documents")).localCheckpoint(
+            eager=False
+        )
+        row = (
+            base.select(F.explode("sh").alias("g"))
+            .agg(
+                F.count_distinct("g").alias("ns"),
+                F.count_distinct(F.xxhash64("g")).alias("nh"),
+                F.sum(F.col("g").isNull().cast("long")).alias("nn"),
+            )
+            .first()
+        )
+        if (row.nn or 0) == 0 and row.ns == row.nh:
+            base = base.withColumn(
+                "shid", F.expr("transform(sh, s -> xxhash64(s))")
+            )
+        return base.repartition(32, "doc_id")
+
     name = _ensure_bucketed(
         spark,
         sf_dir,
-        "documents_sh",
+        "documents_sh2",  # v2: strings + proven-injective xxhash64 ids
         "doc_id",
         "bkt_mh",
         n_buckets=32,
-        build=lambda s, d: shingled(load_table(s, d, "documents")).repartition(
-            32, "doc_id"
-        ),
+        build=_build,
         source=f"{sf_dir}/documents.parquet",
     )
     d = spark.table(name)
@@ -1764,7 +1809,9 @@ def q_llm_minhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    out = _jaccard_verify(cand, d, merge=True)
+    out = _jaccard_verify(
+        cand, d, merge=True, id_col="shid" if "shid" in d.columns else None
+    )
     # layout assert #2: only candidate-bound data shuffles. Expected
     # shuffle Exchanges: 2 band-self-join sides (the unpivoted signature
     # table keyed on (band, k0, k1, k2)) + 1 candidate distinct + 2
