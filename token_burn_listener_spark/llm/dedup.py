@@ -1704,6 +1704,20 @@ def q_llm_minhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify keeps the strings; either way the layout version tag (v2)
     keys fresh scratch so a stale string-only layout can never be
     silently consumed as an id layout.
+
+    r14b (guide §2.4, "two operations keyed the same way share one
+    exchange"): the candidate dedup is partitioned by doc_a into the
+    LAYOUT'S bucket count instead of hash(doc_a, doc_b) — a
+    HashPartitioning(doc_a, 32) satisfies the (doc_a, doc_b) dedup's
+    clustered distribution AND co-partitions with the 32-bucket corpus
+    scan, so the doc_a verify merge-join consumes the dedup's exchange
+    directly: the pair table crosses one exchange fewer (plan census
+    5 → 4). The trade (duplicate band-collision pairs — ≤6×, 16 bytes
+    each — now cross that one exchange un-prededuped, where the old
+    (doc_a, doc_b) distinct partial-aggregated below it) measured a
+    net win at sf0.1: noop median 1.68 → 1.44 s, identical rows. The
+    32 is the layout's n_buckets (a layout constant that scales with
+    the ingest layout), not a core-count tune.
     """
     from token_burn_listener_spark.operators.storage import (
         _ensure_bucketed,
@@ -1807,25 +1821,31 @@ def q_llm_minhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b.hint("merge"), ["band", "k0", "k1", "k2"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
+        # dedup partitioned by doc_a into the layout's bucket count
+        # (r14b, guide §2.4 — rationale in the docstring): the dedup
+        # aggregate AND the doc_a verify merge-join both consume this
+        # one exchange, and no re-shuffle stands between the candidate
+        # table and the bucketed corpus scan.
+        .repartition(32, "doc_a")
+        .dropDuplicates()
     )
     out = _jaccard_verify(
         cand, d, merge=True, id_col="shid" if "shid" in d.columns else None
     )
     # layout assert #2: only candidate-bound data shuffles. Expected
     # shuffle Exchanges: 2 band-self-join sides (the unpivoted signature
-    # table keyed on (band, k0, k1, k2)) + 1 candidate distinct + 2
-    # candidate-side verify shuffles (pairs by doc_a; pairs+carried
-    # array by doc_b) = 5 (the r13-build 12-join form shuffled the same
-    # bytes through 15). The corpus sides of both verify joins and the
-    # signature aggregate contribute ZERO — they consume the bucket
-    # layout.
+    # table keyed on (band, k0, k1, k2)) + 1 shared candidate
+    # dedup/doc_a-verify exchange + 1 doc_b-side verify shuffle = 4
+    # (the r14a form spent 5 — separate (doc_a, doc_b) distinct — and
+    # the r13-build 12-join form shuffled the same bytes through 15).
+    # The corpus sides of both verify joins and the signature build
+    # contribute ZERO — they consume the bucket layout.
     n_ex = len(_re.findall(r"^\(\d+\) Exchange", _plan(out), _re.M))
-    if n_ex != 5:
+    if n_ex != 4:
         raise AssertionError(
             f"bucketed LSH verify plan drifted: {n_ex} shuffle Exchanges"
-            " (expected 5 = 2 band self-join + 1 distinct + 2"
-            " candidate-side verify; the corpus sides must stay"
+            " (expected 4 = 2 band self-join + 1 shared dedup/doc_a"
+            " verify + 1 doc_b verify; the corpus sides must stay"
             " exchange-free)"
         )
     return out
